@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.kmeans.{KMeansConfig, Lloyd, Ops}
+import graft.kmeans.{KMeansConfig, Lloyd, LloydN, MLlibKMeans, Ops, OpsN}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -49,6 +49,34 @@ object SparkEntry {
 
   private def firstK(spark: SparkSession, dir: String, k: Int) =
     Ops.collectCentroids(Ops.initFirstK(points(spark, dir), k))
+
+  /** n-D points view over the embeddings testdata (pid, features). */
+  private def npoints(spark: SparkSession, dir: String): DataFrame =
+    OpsN.pointsFromEmbeddings(Graft.table(spark, dir, "embeddings"))
+
+  private def firstKN(spark: SparkSession, dir: String, k: Int) =
+    OpsN.collectCentroidsN(OpsN.initFirstKN(npoints(spark, dir), k))
+
+  /** n-D embeddings view + first-K centroids + LATERAL argmin as DuckDB
+    * CTEs (d inferred per row via `range(1, len(v)+1)`).
+    */
+  private val NEMB =
+    """emb AS (
+      |  SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |),
+      |cn0 AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid, v
+      |  FROM (SELECT pid, v FROM emb ORDER BY pid LIMIT 4)
+      |),
+      |nassigned AS (
+      |  SELECT e.pid, e.v, a.cid, a.d2
+      |  FROM emb e, LATERAL (
+      |    SELECT c.cid,
+      |           list_sum(list_transform(range(1, len(e.v) + 1),
+      |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+      |    FROM cn0 c ORDER BY d2, c.cid LIMIT 1
+      |  ) a
+      |)""".stripMargin
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * a full Lloyd fit (K=4, ≤7 iterations — the reference's logged K=4 run
@@ -127,6 +155,44 @@ object SparkEntry {
           schema)
       Ops.movementDf(df(step1), df(step2))
         .select(col("cid"), round(col("movement"), 4).as("movement"))
+    },
+
+    // A3 n-D: argmin assignment over ARRAY<DOUBLE> embeddings (K=4)
+    "an_ndim_assign" -> { (s, dir) =>
+      OpsN.assignN(npoints(s, dir), firstKN(s, dir, 4))
+        .select(col("pid"), col("cid"), round(col("dist2"), 6).as("d2"))
+    },
+
+    // A2 n-D: per-dimension mean update (exploded — the SQL-expressible
+    // shape; LloydN uses the one-pass VectorMean aggregator instead)
+    "an_ndim_mean" -> { (s, dir) =>
+      OpsN.updateNExploded(OpsN.assignN(npoints(s, dir), firstKN(s, dir, 4)))
+        .select(col("cid"), col("dim").cast("long").as("dim"),
+          round(col("mean"), 6).as("mean"))
+    },
+
+    // A1 n-D: cluster sizes under the n-D assignment
+    "an_ndim_sizes" -> { (s, dir) =>
+      OpsN.assignN(npoints(s, dir), firstKN(s, dir, 4))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    },
+
+    // Full n-D Lloyd fit via VectorMean (rows-only check: the iterative
+    // fixpoint is not expressible as one ANSI query)
+    "an_lloydn_fit" -> { (s, dir) =>
+      import s.implicits._
+      val r = LloydN.fit(npoints(s, dir), KMeansConfig(k = 4, maxIter = 5))
+      r.centroids.flatMap(c =>
+          c.features.zipWithIndex.map { case (v, d) => (c.cid, d, v) })
+        .toDF("cid", "dim", "v")
+    },
+
+    // MLlib production path (rows-only: k-means|| init has no SQL oracle)
+    "mllib_kmeans_sizes" -> { (s, dir) =>
+      val pts = npoints(s, dir)
+      val model = MLlibKMeans.fit(pts, k = 4, maxIter = 5)
+      MLlibKMeans.transform(pts, model)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     }
   )
 
@@ -183,6 +249,18 @@ object SparkEntry {
          |SELECT c1.cid,
          |       ROUND(SQRT((c1.x - c2.x) * (c1.x - c2.x) + (c1.y - c2.y) * (c1.y - c2.y)), 4)
          |         AS movement
-         |FROM c1 JOIN c2 ON c1.cid = c2.cid""".stripMargin
+         |FROM c1 JOIN c2 ON c1.cid = c2.cid""".stripMargin,
+
+    "an_ndim_assign" ->
+      s"WITH $NEMB SELECT pid, cid, ROUND(d2, 6) AS d2 FROM nassigned",
+
+    "an_ndim_mean" ->
+      s"""WITH $NEMB
+         |SELECT cid, i - 1 AS dim, ROUND(AVG(v[i]), 6) AS mean
+         |FROM nassigned, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
+         |GROUP BY cid, i""".stripMargin,
+
+    "an_ndim_sizes" ->
+      s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid"
   )
 }

@@ -1,0 +1,43 @@
+package graft.kmeans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** n-D Lloyd driver loop — same structure as [[Lloyd]] (one Spark job per
+  * iteration: shuffle-free assign → one-pass VectorMean aggregate → O(K·d)
+  * collect), generalized to `ARRAY<DOUBLE>` features.
+  */
+object LloydN {
+
+  def fit(points: DataFrame, cfg: KMeansConfig): KMeansResultN = {
+    require(cfg.k > 0, "k must be positive")
+    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    try fitCached(cached, cfg)
+    finally cached.unpersist(blocking = false)
+  }
+
+  private def fitCached(points: DataFrame, cfg: KMeansConfig): KMeansResultN = {
+    var centroids = OpsN.collectCentroidsN(OpsN.initFirstKN(points, cfg.k))
+    require(centroids.nonEmpty, s"fewer than 1 point available for k=${cfg.k} init")
+    var iter = 0
+    var done = false
+    while (iter < cfg.maxIter && !done) {
+      iter += 1
+      val updated =
+        OpsN.collectCentroidsN(
+          OpsN.updateN(OpsN.assignN(points, centroids)).drop("n"))
+      val next = cfg.emptyClusters match {
+        case EmptyClusterPolicy.Drop => updated
+        case EmptyClusterPolicy.Keep =>
+          val seen = updated.map(_.cid).toSet
+          (updated ++ centroids.filterNot(c => seen(c.cid))).sortBy(_.cid)
+      }
+      done = OpsN.convergedN(centroids, next, cfg.tol)
+      centroids = next
+    }
+    KMeansResultN(centroids, iter, done)
+  }
+
+  def transform(points: DataFrame, result: KMeansResultN): DataFrame =
+    OpsN.assignN(points, result.centroids)
+}

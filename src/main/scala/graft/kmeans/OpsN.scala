@@ -1,0 +1,145 @@
+package graft.kmeans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** n-D generalizations of the reference's map/reduce kernels over
+  * `ARRAY<DOUBLE>` feature columns (the reference's mapper parses arbitrary
+  * arity, `mapper.py:110`; the reducer's mean is n-D, `reducer.py:124-132`;
+  * only the wire protocol clamps it to 2-D, `comm.proto:50-53`).
+  *
+  * Scale notes: assignment stays a shuffle-free per-row projection (the
+  * K·d centroid literal rides in the plan, evaluated by higher-order
+  * functions); the update is a single partial+final aggregation via
+  * [[VectorMean]], so the exchange carries O(K·d·partitions) bytes. For K·d
+  * too large for a plan literal (≫10^4), use [[assignCrossJoinN]], which
+  * broadcasts the centroid table instead.
+  */
+object OpsN {
+
+  /** Canonical n-D points view over the embeddings testdata: (pid, features). */
+  def pointsFromEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id").as("pid"),
+      col("embedding").cast("array<double>").as("features"))
+
+  /** Squared Euclidean distance between two ARRAY<DOUBLE> columns —
+    * multiply/add-only left fold, bit-reproducible against DuckDB's
+    * `list_sum(list_transform(...))` over the same element order.
+    */
+  def dist2N(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** L1 n-D: first K rows in pid order become centroids 0..K-1. */
+  def initFirstKN(points: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+    points
+      .orderBy(col("pid"))
+      .limit(k)
+      .withColumn("cid", (row_number().over(w) - 1).cast("int"))
+      .select(col("cid"), col("features"))
+  }
+
+  /** Collect a K-row centroid DataFrame to the driver model state. */
+  def collectCentroidsN(centroids: DataFrame): Seq[CentroidN] =
+    centroids
+      .select(col("cid").cast("int"), col("features").cast("array<double>"))
+      .collect()
+      .map(r => CentroidN(r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_.cid)
+      .toSeq
+
+  /** The centroid model as a literal ARRAY<STRUCT<cid, features>> column. */
+  def centroidLiteralN(centroids: Seq[CentroidN]): Column =
+    array(centroids.sortBy(_.cid).map { c =>
+      struct(
+        lit(c.cid).as("cid"),
+        array(c.features.map(lit(_)): _*).as("features"))
+    }: _*)
+
+  /** J1+A3 n-D: nearest-centroid assignment, lowest-cid tiebreak.
+    * Output: (pid, features, cid, dist2).
+    */
+  def assignN(points: DataFrame, centroids: Seq[CentroidN]): DataFrame = {
+    require(centroids.nonEmpty, "assignN: empty centroid set")
+    val d = centroids.head.features.length
+    require(
+      centroids.forall(_.features.length == d),
+      "assignN: ragged centroid dimensions")
+    val best = array_min(
+      transform(
+        centroidLiteralN(centroids),
+        c =>
+          struct(
+            dist2N(col("features"), c.getField("features")).as("dist2"),
+            c.getField("cid").as("cid"))))
+    points
+      .withColumn("best", best)
+      .select(
+        col("pid"),
+        col("features"),
+        col("best.cid").as("cid"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** Broadcast-join formulation for centroid sets too large to inline as a
+    * plan literal. Per-row argmin via `min_by`-style struct min under a
+    * groupBy on a generated row id.
+    */
+  def assignCrossJoinN(points: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = broadcast(
+      centroids.select(col("cid").cast("int").as("cid"), col("features").as("cf")))
+    points
+      .withColumn("rid", monotonically_increasing_id())
+      .crossJoin(c)
+      .withColumn("dist2", dist2N(col("features"), col("cf")))
+      .groupBy(col("rid"))
+      .agg(
+        first(col("pid")).as("pid"),
+        first(col("features")).as("features"),
+        min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(
+        col("pid"),
+        col("features"),
+        col("best.cid").as("cid"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** A2 n-D: per-cluster mean vector via the one-pass [[VectorMean]]
+    * aggregator. Output: (cid, features, n).
+    */
+  def updateN(assigned: DataFrame): DataFrame = {
+    val meanVec = udaf(VectorMean)
+    assigned
+      .groupBy(col("cid"))
+      .agg(
+        meanVec(col("features")).as("features"),
+        count(lit(1)).as("n"))
+  }
+
+  /** A2 n-D alternative: posexplode + per-dimension avg + re-assemble.
+    * Same result as [[updateN]]; kept because it is the ANSI-SQL-expressible
+    * formulation (the oracle's shape) and scales via plain hash aggregates.
+    * Output: (cid, dim, mean) — exploded, one row per dimension.
+    */
+  def updateNExploded(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("features")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(avg(col("v")).as("mean"))
+
+  /** C4 n-D: id-joined max movement. */
+  def maxMovementN(oldC: Seq[CentroidN], newC: Seq[CentroidN]): Double = {
+    val oldById = oldC.map(c => c.cid -> c).toMap
+    newC.iterator.flatMap { n =>
+      oldById.get(n.cid).map(o => math.sqrt(o.dist2To(n.features)))
+    }.foldLeft(0.0)(math.max)
+  }
+
+  def convergedN(oldC: Seq[CentroidN], newC: Seq[CentroidN], tol: Double): Boolean =
+    oldC.map(_.cid).toSet == newC.map(_.cid).toSet &&
+      maxMovementN(oldC, newC) <= tol
+}

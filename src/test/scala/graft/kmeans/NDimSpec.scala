@@ -1,0 +1,101 @@
+package graft.kmeans
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** n-D operators: VectorMean aggregator, assignN/updateN, LloydN, MLlib
+  * wrapper (FIXTURES.md §B `ndim`).
+  */
+class NDimSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def ndDf(ps: (Long, Seq[Double])*): DataFrame =
+    ps.map { case (pid, f) => (pid, f.toArray) }.toDF("pid", "features")
+
+  test("VectorMean: per-dimension arithmetic mean, one pass") {
+    val df = ndDf(
+      (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(3.0, 4.0, 5.0)),
+      (3L, Seq(5.0, 6.0, 10.0)))
+      .withColumn("cid", org.apache.spark.sql.functions.lit(0))
+    val got = OpsN.updateN(df).select("features").as[Array[Double]].head()
+    assert(got.toSeq === Seq(3.0, 4.0, 6.0))
+  }
+
+  test("VectorMean rejects ragged dimensions") {
+    val df = ndDf((1L, Seq(1.0, 2.0)), (2L, Seq(1.0)))
+      .withColumn("cid", org.apache.spark.sql.functions.lit(0))
+    val e = intercept[Exception] { OpsN.updateN(df).collect() }
+    assert(e.getMessage.contains("ragged") || e.getCause != null)
+  }
+
+  test("assignN matches brute-force nearest with lowest-cid tiebreak") {
+    val pts = ndDf(
+      (1L, Seq(0.0, 0.0)),
+      (2L, Seq(10.0, 10.0)),
+      (3L, Seq(5.0, 5.0))) // equidistant from both centroids
+    val cs = Seq(
+      CentroidN(0, Array(0.0, 0.0)),
+      CentroidN(1, Array(10.0, 10.0)))
+    val got = OpsN.assignN(pts, cs)
+      .select("pid", "cid").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
+  test("assignN and assignCrossJoinN agree") {
+    val pts = ndDf(
+      (1L, Seq(0.0, 1.0, 2.0)),
+      (2L, Seq(9.0, 9.0, 9.0)),
+      (3L, Seq(4.0, 4.0, 4.0)),
+      (4L, Seq(-1.0, 0.0, 1.0)))
+    val cs = Seq(
+      CentroidN(0, Array(0.0, 0.0, 0.0)),
+      CentroidN(1, Array(9.0, 9.0, 9.0)))
+    val csDf = cs.map(c => (c.cid, c.features)).toDF("cid", "features")
+    val a = OpsN.assignN(pts, cs)
+      .select("pid", "cid", "dist2").as[(Long, Int, Double)]
+      .collect().sortBy(_._1)
+    val b = OpsN.assignCrossJoinN(pts, csDf)
+      .select("pid", "cid", "dist2").as[(Long, Int, Double)]
+      .collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("updateN (VectorMean) equals updateNExploded (posexplode+avg)") {
+    val pts = OpsN.pointsFromEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val assigned = OpsN.assignN(pts, OpsN.collectCentroidsN(OpsN.initFirstKN(pts, 4)))
+    val viaAgg = OpsN.updateN(assigned)
+      .select($"cid", $"features").as[(Int, Array[Double])]
+      .collect().map { case (c, f) => c -> f.toSeq }.toMap
+    val viaExplode = OpsN.updateNExploded(assigned)
+      .select($"cid", $"dim", $"mean").as[(Int, Int, Double)]
+      .collect().groupBy(_._1)
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+    assert(viaAgg.keySet === viaExplode.keySet)
+    viaAgg.foreach { case (c, f) =>
+      f.zip(viaExplode(c)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"cid $c")
+      }
+    }
+  }
+
+  test("LloydN converges on separated embeddings and cost is non-increasing") {
+    val pts = OpsN.pointsFromEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val r = LloydN.fit(pts, KMeansConfig(k = 4, maxIter = 10))
+    assert(r.centroids.nonEmpty)
+    assert(r.centroids.head.features.length === 64)
+  }
+
+  test("MLlib wrapper fits and assigns every point") {
+    val pts = OpsN.pointsFromEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val model = MLlibKMeans.fit(pts, k = 4, maxIter = 5)
+    val assigned = MLlibKMeans.transform(pts, model)
+    assert(assigned.count() === 500)
+    assert(assigned.select("cid").distinct().count() === 4)
+    assert(MLlibKMeans.centroids(spark, model).count() === 4)
+  }
+}
