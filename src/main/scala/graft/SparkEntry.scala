@@ -3,7 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.kmeans.{KMeansConfig, Lloyd, LloydN, MLlibKMeans, Ops, OpsN}
+import graft.sim.Similarity
+import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -193,6 +196,73 @@ object SparkEntry {
       val model = MLlibKMeans.fit(pts, k = 4, maxIter = 5)
       MLlibKMeans.transform(pts, model)
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- training-data pipeline: text analysis --------------------------
+    // Tokenize + language-ID + quality score + fingerprint per document
+    "tx_analyze" -> { (s, dir) =>
+      TextOps.analyze(Graft.table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("lang_pred"), col("quality"), col("fp"))
+    },
+
+    // ---- training-data pipeline: deduplication --------------------------
+    // Exact dedup groups by normalized-text md5
+    "dd_exact_groups" -> { (s, dir) =>
+      Dedup.exactGroups(Graft.table(s, dir, "documents"))
+    },
+
+    // Exact 3-gram Jaccard near-dup pairs (inverted shingle index)
+    "dd_jaccard_pairs" -> { (s, dir) =>
+      Dedup.jaccardPairs(Graft.table(s, dir, "documents"), n = 3, threshold = 0.4)
+        .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+    },
+
+    // MinHash+LSH candidate pairs (12 hashes, 4 bands of 3)
+    "dd_minhash_pairs" -> { (s, dir) =>
+      Dedup.minHashCandidates(Graft.table(s, dir, "documents"),
+        n = 3, numHashes = 12, bands = 4)
+    },
+
+    // 64-bit SimHash fingerprints
+    "dd_simhash" -> { (s, dir) =>
+      Dedup.simHash(Graft.table(s, dir, "documents"))
+    },
+
+    // SimHash near-dup pairs (hamming <= 3 via 16-bit block pigeonhole)
+    "dd_simhash_pairs" -> { (s, dir) =>
+      Dedup.simHashPairs(Graft.table(s, dir, "documents"), maxDist = 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+    },
+
+    // ---- training-data pipeline: similarity search ----------------------
+    // Embedding-cosine near-duplicate pairs (exact all-pairs baseline)
+    "sm_cosine_neardup" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.cosineNearDupPairs(vecs, threshold = 0.45)
+        .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+    },
+
+    // Brute-force cosine top-k ANN (first 10 vectors as queries, k=5)
+    "sm_ann_topk" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val queries = all.filter(col("id") < 10)
+      Similarity.bruteForceTopK(queries, all, k = 5)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
+    // Sign-LSH bucketed approximate top-k (rows-only; recall vs brute
+    // force is asserted in SimilaritySpec)
+    "sm_ann_lsh_topk" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val queries = all.filter(col("id") < 10)
+      Similarity.lshTopK(queries, all, k = 5, bits = 8, d = 64)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
     }
   )
 
@@ -261,6 +331,153 @@ object SparkEntry {
          |GROUP BY cid, i""".stripMargin,
 
     "an_ndim_sizes" ->
-      s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid"
+      s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid",
+
+    "tx_analyze" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents
+         |),
+         |scored AS (
+         |  SELECT doc_id, text, t,
+         |    len(t) AS n_tokens,
+         |    len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it'], x))) AS s_en,
+         |    len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS s_es,
+         |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','ein','zu','den'], x))) AS s_de,
+         |    len(list_filter(t, x -> list_contains(['le','les','des','et','un','est','dans','que'], x))) AS s_fr,
+         |    len(list_filter(t, x -> list_contains(['shi','bu','wo','ni','ta','zhe','ge','men'], x))) AS s_zh,
+         |    length(text) AS n_chars,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS no_space,
+         |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+         |  FROM toks
+         |)
+         |SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CASE
+         |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |    WHEN s_fr >= s_zh THEN 'fr'
+         |    ELSE 'zh'
+         |  END AS lang_pred,
+         |  ROUND(
+         |    least(n_tokens / 100.0, 1.0) * 0.3 +
+         |    (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
+         |    least(s_en * 5.0 / n_tokens, 1.0) * 0.2 +
+         |    (1.0 - least(punct * 4.0 / n_chars, 1.0)) * 0.2, 6) AS quality,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |FROM scored""".stripMargin,
+
+    "dd_exact_groups" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        |  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) r
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |  FROM sh a JOIN sh b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, ROUND(c / (s1.sz + s2.sz - c), 6) AS jac
+        |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE c / (s1.sz + s2.sz - c) >= 0.4""".stripMargin,
+
+    "dd_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |),
+        |shl AS (
+        |  SELECT doc_id, list(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+        |  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) r
+        |  GROUP BY doc_id
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || '|' || s)))) AS sig
+        |  FROM shl
+        |),
+        |bands AS (
+        |  SELECT doc_id, b, md5(sig[b*3+1] || sig[b*3+2] || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |)
+        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |FROM bands a JOIN bands b USING (b, bucket)
+        |WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "dd_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |hx AS (SELECT doc_id, list_transform(t, s -> md5(s)) AS hs FROM toks)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN list_sum(list_transform(hs, h ->
+        |        CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+        |                    / CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS INT) % 2 = 1
+        |        THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+        |FROM hx""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |hx AS (SELECT doc_id, list_transform(t, s -> md5(s)) AS hs FROM toks),
+        |sh AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(range(0, 64), j ->
+        |        CASE WHEN list_sum(list_transform(hs, h ->
+        |          CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+        |                      / CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS INT) % 2 = 1
+        |          THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM hx
+        |)
+        |SELECT d1, d2, hamming FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         len(list_filter(range(1, 65),
+        |             i -> substr(a.simhash, CAST(i AS INT), 1) != substr(b.simhash, CAST(i AS INT), 1))) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE hamming <= 3""".stripMargin,
+
+    "sm_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT d1, d2, ROUND(sim, 6) AS sim FROM (
+        |  SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS sim
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |) WHERE sim >= 0.45""".stripMargin,
+
+    "sm_ann_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))) AS sim
+        |  FROM q, e c WHERE c.vec_id != q.qid
+        |),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin
   )
 }

@@ -1,0 +1,126 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ARRAY<DOUBLE>`/`ARRAY<FLOAT>`):
+  * brute-force cosine top-k as the exact baseline, a random-hyperplane
+  * (sign-LSH) bucketed variant as the scale path, and embedding-cosine
+  * near-duplicate pairs.
+  *
+  * Scale design (100 TB): brute force is O(|Q|·|C|) — fine when one side is
+  * small enough to broadcast (queries here). The LSH path hashes each vector
+  * to a B-bit sign signature under DETERMINISTIC pseudo-random hyperplanes
+  * (components derived from md5, so plans are reproducible across runs and
+  * engines with no RNG state), buckets on the signature, and searches only
+  * within-bucket — trading recall for a bounded equality join. Hot paths are
+  * higher-order functions over array columns (codegen'd, no UDFs).
+  */
+object Similarity {
+
+  /** Dot product of two ARRAY<DOUBLE> columns (left-fold, order-stable). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0.0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (excluding self-matches by id). Queries are broadcast;
+    * ties break by ascending corpus id.
+    * Input frames: (id, vec). Output: (qid, cid, sim, rank).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+    val scored = c.crossJoin(q)
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from the first 15 hex digits of md5("p,d"). No RNG state — the same
+    * hyperplanes every run, reproducible in any engine with md5. Computed
+    * driver-side once (they are constants) and inlined as plan literals, so
+    * executors never hash.
+    */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val hex = digest.digest(s"$plane,$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16).toDouble / (math.pow(2.0, 60.0) / 2.0) - 1.0
+  }
+
+  /** The B × d hyperplane matrix as driver-side constants. */
+  def hyperplanes(bits: Int, d: Int): Array[Array[Double]] =
+    Array.tabulate(bits, d)(planeComponent)
+
+  /** B-bit sign-LSH signature of a vector: bit p = sign of <v, plane_p>.
+    * The hyperplane rides in the plan as a literal array (K·d doubles).
+    */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(
+      planes.map { plane =>
+        val planeLit = array(plane.map(lit(_)): _*)
+        val proj = aggregate(
+          zip_with(vec, planeLit, (x, h) => x * h),
+          lit(0.0),
+          (acc, v) => acc + v)
+        when(proj >= 0, lit("1")).otherwise(lit("0"))
+      }.toSeq: _*)
+
+  /** LSH-bucketed approximate top-k: search only within the query's bucket.
+    * Lower recall, but the join is an equality join on the signature —
+    * bounded work at any corpus size. Output: (qid, cid, sim, rank).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bits: Int,
+      d: Int): DataFrame = {
+    val planes = hyperplanes(bits, d)
+    val sig = (df: DataFrame, idName: String, vecName: String) =>
+      df.select(
+        col("id").as(idName),
+        col("vec").as(vecName),
+        lshSignature(col("vec"), planes).as("bucket"))
+    val q = broadcast(sig(queries, "qid", "qv"))
+    val c = sig(corpus, "cid", "cv")
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with
+    * cosine >= threshold. Exact all-pairs — the small-corpus baseline; at
+    * scale route through [[lshTopK]] buckets or ANN first.
+    * Output: (d1, d2, sim).
+    */
+  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("id").as("d1"), col("vec").as("v1"))
+    val b = vectors.select(col("id").as("d2"), col("vec").as("v2"))
+    a.crossJoin(b)
+      .filter(col("d1") < col("d2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, token counting, n-gram shingling, language ID (stopword
+  * heuristic), quality scoring, and document fingerprinting.
+  *
+  * The reference engine has no text surface (its only strings are file
+  * paths, SURVEY.md §1.3); these are the data-pipeline extensions the
+  * engine needs at 100 TB. Everything here is built from codegen'd
+  * built-in functions — no UDFs — so Catalyst can push, prune, and fuse;
+  * every operator is deliberately expressible in ANSI SQL for the DuckDB
+  * oracle (md5 and regex semantics are identical across engines).
+  */
+object TextOps {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Normalized text: lowercased, whitespace collapsed to single spaces. */
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Document fingerprint: md5 of the normalized text. Identical output in
+    * DuckDB (`md5(...)`), so exact-dedup results are oracle-checkable.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Token n-gram shingles (distinct not applied here). Empty array when
+    * the document has fewer than `n` tokens.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j + 1)).cast("int"))): _*)
+    when(
+      size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), gram))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Small deterministic stopword sets per language for the heuristic
+    * language ID. Sets are intentionally tiny and fixed: the operator's
+    * contract is determinism + SQL-expressibility, not linguistic accuracy.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "les", "des", "et", "un", "est", "dans", "que"),
+    "zh" -> Seq("shi", "bu", "wo", "ni", "ta", "zhe", "ge", "men")
+  )
+
+  /** Count of tokens that appear in `set`. */
+  def stopwordHits(toks: Column, set: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(set)))
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts,
+    * ties broken by the fixed preference order of [[stopwords]] (en first).
+    * Emits the 2-letter code.
+    */
+  def langId(text: Column): Column = {
+    val t = tokens(text)
+    val scores = stopwords.map { case (lang, set) => lang -> stopwordHits(t, set) }
+    // CASE chain in preference order: lang_i wins iff its score >= all later
+    scores.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((lang, s), i), elseCol) =>
+        val laterMax = scores.drop(i + 1).map(_._2)
+        if (laterMax.isEmpty) elseCol
+        else when(laterMax.foldLeft(lit(true))((acc, o) => acc && s >= o), lang)
+          .otherwise(elseCol)
+    }
+  }
+
+  /** Quality features: (n_chars, n_tokens, avg_token_len, stop_ratio,
+    * punct_ratio) — the standard cheap signals for corpus filtering.
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val t = tokens(text)
+    val nChars = length(text).cast("double")
+    val nTokens = size(t).cast("double")
+    val noSpace = length(regexp_replace(text, "\\s", "")).cast("double")
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+    Seq(
+      "n_chars" -> nChars,
+      "n_tokens" -> nTokens,
+      "avg_token_len" -> noSpace / nTokens,
+      "stop_ratio" -> stopwordHits(t, stopwords.head._2).cast("double") / nTokens,
+      "punct_ratio" -> punct / nChars
+    )
+  }
+
+  /** Scalar quality score in [0,1]: rewards reasonable length, word shape,
+    * and stopword presence; penalizes punctuation soup. Deterministic
+    * doubles, same formula as the oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text).toMap
+    least(f("n_tokens") / 100.0, lit(1.0)) * 0.3 +
+      (lit(1.0) - least(abs(f("avg_token_len") - 5.0) / 10.0, lit(1.0))) * 0.3 +
+      least(f("stop_ratio") * 5.0, lit(1.0)) * 0.2 +
+      (lit(1.0) - least(f("punct_ratio") * 4.0, lit(1.0))) * 0.2
+  }
+
+  /** Full per-document text-analysis projection over a `documents`-shaped
+    * frame (doc_id, text, ...).
+    */
+  def analyze(docs: DataFrame): DataFrame =
+    docs.select(
+      (Seq(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        langId(col("text")).as("lang_pred"),
+        round(qualityScore(col("text")), 6).as("quality"),
+        fingerprint(col("text")).as("fp")) ): _*)
+}

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kmeans.SparkTestSession
+import graft.sim.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def vecs(vs: (Long, Seq[Double])*): DataFrame =
+    vs.map { case (id, v) => (id, v.toArray) }.toDF("id", "vec")
+
+  test("cosine: orthogonal=0, parallel=1, antiparallel=-1") {
+    val d = vecs(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(2.0, 0.0)),
+      (4L, Seq(-1.0, 0.0)))
+    val sims = Similarity.cosineNearDupPairs(d, threshold = -2.0)
+      .select($"d1", $"d2", $"sim").as[(Long, Long, Double)]
+      .collect().map { case (a, b, s) => (a, b) -> s }.toMap
+    assert(math.abs(sims((1L, 2L))) < 1e-12)
+    assert(math.abs(sims((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(sims((1L, 4L)) + 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k neighbors ranked by similarity") {
+    val d = vecs(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.5, 0.5)),
+      (3L, Seq(0.0, 1.0)))
+    val top = Similarity.bruteForceTopK(d.filter($"id" === 0), d, k = 2)
+      .select($"cid", $"rank").as[(Long, Long)].collect().sortBy(_._2)
+    assert(top.map(_._1).toSeq === Seq(1L, 2L))
+  }
+
+  test("LSH signature is deterministic and bucket-joins find neighbors") {
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val planes = Similarity.hyperplanes(8, 64)
+    assert(planes.length === 8 && planes.head.length === 64)
+    assert(planes.head.forall(v => v >= -1.0 && v < 1.0))
+    // determinism across invocations
+    assert(Similarity.hyperplanes(8, 64).map(_.toSeq).toSeq === planes.map(_.toSeq).toSeq)
+
+    val brute = Similarity.bruteForceTopK(pts.filter($"id" < 10), pts, k = 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(pts.filter($"id" < 10), pts, k = 5, bits = 4, d = 64)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    // recall of bucketed search vs exact (4 bits => ~1/16 of corpus per
+    // bucket; same-cluster embeddings collide often). Require non-trivial
+    // overlap rather than an exact bound — LSH is approximate by design.
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"LSH recall too low: $recall")
+    // every LSH result is a genuine corpus vector with sim computed
+    assert(lsh.forall { case (q, c) => q != c })
+  }
+}

@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.kmeans.SparkTestSession
+import graft.text.TextOps
+
+/** Text-analysis + dedup operators (training-data pipeline extensions). */
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs(ds: (Long, String)*): DataFrame = ds.toDF("doc_id", "text")
+
+  test("tokens/tokenCount: whitespace split of trimmed text") {
+    val got = docs((1L, "  the quick  brown\tfox "))
+      .select(TextOps.tokenCount($"text")).as[Int].head()
+    assert(got === 4)
+  }
+
+  test("shingles: n=3 over tokens; short docs yield empty") {
+    val d = docs((1L, "a b c d"), (2L, "a b"))
+    val got = d.select($"doc_id", TextOps.shingles(TextOps.tokens($"text"), 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq.empty)
+  }
+
+  test("fingerprint: whitespace/case-insensitive md5") {
+    val d = docs((1L, "Hello   World"), (2L, "hello world"), (3L, "different"))
+    val fps = d.select(TextOps.fingerprint($"text")).as[String].collect()
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    // md5("hello world") — standard value, matches DuckDB
+    assert(fps(1) === "5eb63bbbe01eeed093cb22bb8f5acdc3")
+  }
+
+  test("langId: stopword argmax with en-first tiebreak") {
+    val d = docs(
+      (1L, "the cat is in the hat"),
+      (2L, "el gato es un animal y la casa"),
+      (3L, "der hund ist ein tier und das haus"),
+      (4L, "xyzzy plugh"))
+    val got = d.select($"doc_id", TextOps.langId($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+    assert(got(3L) === "de")
+    assert(got(4L) === "en") // all scores 0 -> preference order picks en
+  }
+
+  test("exact dedup groups duplicates under normalization") {
+    val d = docs((1L, "A  b"), (2L, "a b"), (3L, "c"))
+    val groups = Dedup.exactGroups(d)
+      .select($"n", $"keep_id").as[(Long, Long)].collect().sortBy(_._2)
+    assert(groups.toSeq === Seq((2L, 1L), (1L, 3L)))
+    val kept = Dedup.exactDedup(d).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+  }
+
+  test("jaccardPairs: identical docs have jac 1.0; disjoint absent") {
+    val d = docs(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"),
+      (3L, "v w x y z"))
+    val pairs = Dedup.jaccardPairs(d, n = 3, threshold = 0.5)
+      .select($"d1", $"d2", $"jac").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("jaccardPairs maxShingleDf drops ubiquitous shingles") {
+    val d = docs(
+      (1L, "x x x a b c"),
+      (2L, "x x x d e f"),
+      (3L, "x x x g h i"))
+    // "x x x" appears in all 3 docs; with df cap 2 it is dropped and no
+    // pair survives
+    val pairs = Dedup.jaccardPairs(d, 3, 0.1, maxShingleDf = Some(2L)).count()
+    assert(pairs === 0L)
+  }
+
+  test("minHash candidates find near-identical docs and skip unrelated") {
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine eleven"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val cands = Dedup.minHashCandidates(d, n = 3, numHashes = 12, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash: 64-bit string; near-identical docs within small hamming") {
+    val d = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val fps = Dedup.simHash(d).as[(Long, String)].collect().toMap
+    assert(fps.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+    val pairs = Dedup.simHashPairs(d, maxDist = 3)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
+  test("quality score is in [0,1] and favors stopword-rich prose") {
+    val d = docs(
+      (1L, "the cat is in the hat and it is a good cat today really"),
+      (2L, "@@@ ### $$$ %%% ^^^ &&&"))
+    val q = d.select($"doc_id", TextOps.qualityScore($"text")).as[(Long, Double)]
+      .collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L))
+  }
+}
