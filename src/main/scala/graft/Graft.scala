@@ -23,6 +23,7 @@ object Graft {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -30,6 +31,25 @@ object Graft {
   }
 
   /** Load one of the driver testdata tables from a scale-factor directory. */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the events fixture carries TIMESTAMP(NANOS), which Spark's reader
+    // rejects unless nanos are surfaced as long
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** The events table with `ts` normalized to a TIMESTAMP column (the
+    * fixture stores TIMESTAMP(NANOS); Spark reads it as long nanos under
+    * the legacy flag — truncate to micros, matching DuckDB's nanos→micros
+    * cast).
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      case _ => raw
+    }
+  }
 }

@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.kmeans.{KMeansConfig, Lloyd, LloydN, MLlibKMeans, Ops, OpsN}
+import graft.multimodal.MultimodalOps
 import graft.sim.Similarity
+import graft.streaming.StreamOps
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -263,6 +265,52 @@ object SparkEntry {
       Similarity.lshTopK(queries, all, k = 5, bits = 8, d = 64)
         .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rank"))
+    },
+
+    // ---- streaming (batch form of the same transform; the streaming
+    // path adds only a watermark — StreamingSpec covers it) -------------
+    // Tumbling 1-hour window aggregation over events
+    "st_window_counts" -> { (s, dir) =>
+      StreamOps.windowedEventCounts(Graft.events(s, dir), "1 hour")
+        .select(
+          unix_timestamp(col("window_start")).as("ws"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+
+    // Streaming assignment fixture: events as 2-D points classified
+    // against a batch-trained model
+    "st_event_assign" -> { (s, dir) =>
+      val model = Lloyd.fit(
+        StreamOps.eventPoints(Graft.events(s, dir)),
+        KMeansConfig(k = 4, maxIter = 3))
+      Ops.assign(StreamOps.eventPoints(Graft.events(s, dir)), model.centroids)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    },
+
+    // ---- multimodal binary columns --------------------------------------
+    // Metadata-only stats (column pruning: payload never read)
+    "mm_media_stats" -> { (s, dir) =>
+      MultimodalOps.mediaStats(
+        MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")))
+    },
+
+    // Frame sampling over opaque payloads (frame sizes oracle-checked)
+    "mm_frames" -> { (s, dir) =>
+      MultimodalOps.frameSample(
+          MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")),
+          frameSize = 32, stride = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("n"))
+    },
+
+    // Batched STUB decode -> features (rows-only; plumbing under test in
+    // MultimodalSpec)
+    "mm_features" -> { (s, dir) =>
+      MultimodalOps.extractFeatures(
+          MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")))
+        .select(col("media_id"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          size(col("features")).cast("long").as("d"))
     }
   )
 
@@ -478,6 +526,32 @@ object SparkEntry {
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
         |  FROM scored
         |)
-        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin
+        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    "st_window_counts" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws,
+        |       event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "mm_media_stats" ->
+      """SELECT 'application/octet-stream' AS format, COUNT(*) AS n,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+        |       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb FROM documents
+        |),
+        |fr AS (
+        |  SELECT media_id,
+        |         list_transform(
+        |           list_filter(range(0, CAST(ceil(nb / 32.0) AS BIGINT)), i -> i % 2 = 0),
+        |           i -> octet_length(encode(substring(text, CAST(i * 32 + 1 AS INT), 32)))) AS lens
+        |  FROM m
+        |)
+        |SELECT media_id, j AS frame_idx, lens[CAST(j + 1 AS INT)] AS n
+        |FROM fr, LATERAL (SELECT UNNEST(range(0, len(lens))) AS j) t""".stripMargin
   )
 }

@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.kmeans.{Centroid2, Ops}
+
+/** Structured Streaming extensions (the reference is strictly batch —
+  * SURVEY.md §2.8; these are the streaming capabilities the engine needs
+  * for a live training-data pipeline).
+  *
+  * Design: every transform is expressed on a plain DataFrame so the same
+  * code serves batch tables and `readStream` sources; watermarks are
+  * applied only on the streaming path. State (`flatMapGroupsWithState`)
+  * carries O(K) running moments, never data rows.
+  */
+object StreamOps {
+
+  /** Tumbling-window event aggregation: (window_start, window_end,
+    * event_type, n, total_value). Works identically on batch and streaming
+    * frames — the batch form is the oracle-checkable one (DuckDB
+    * `time_bucket`).
+    */
+  def windowedEventCounts(events: DataFrame, windowDur: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"),
+        col("n"),
+        col("total_value"))
+
+  /** Streaming variant with a watermark for late data: aggregates finalize
+    * `lateness` after the window closes; rows later than that are dropped.
+    */
+  def streamingWindowedCounts(
+      stream: DataFrame,
+      windowDur: String,
+      lateness: String): DataFrame =
+    windowedEventCounts(stream.withWatermark("ts", lateness), windowDur)
+
+  /** Map events to the canonical 2-D point view: x = value, y = hour of
+    * day. (The events table has no natural 2-D embedding; this is the
+    * fixture mapping used by the streaming-assignment demo.)
+    */
+  def eventPoints(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id").as("pid"),
+      col("value").cast("double").as("x"),
+      hour(col("ts")).cast("double").as("y"))
+
+  /** Stateless streaming k-means assignment: classify each incoming event
+    * against a FIXED centroid model (the common serving pattern: model
+    * trained in batch, applied to the stream). Pure projection — no state,
+    * no shuffle, append-mode safe at any rate.
+    */
+  def streamingAssign(stream: DataFrame, centroids: Seq[Centroid2]): DataFrame =
+    Ops.assign(eventPoints(stream), centroids)
+
+  /** Per-cluster running state for incremental centroid maintenance. */
+  final case class ClusterState(n: Long, sumX: Double, sumY: Double) {
+    def centroid(cid: Int): ClusterUpdate =
+      ClusterUpdate(cid, sumX / n, sumY / n, n)
+  }
+  final case class ClusterUpdate(cid: Int, x: Double, y: Double, n: Long)
+  final case class AssignedPoint(cid: Int, x: Double, y: Double)
+
+  /** Incremental centroid updates over a stream of assigned points:
+    * `flatMapGroupsWithState` keyed by cluster id keeps (n, Σx, Σy) and
+    * emits the updated running mean once per cluster per micro-batch —
+    * the streaming analogue of the reference's per-iteration mean
+    * (`reducer.py:124-132`), with state O(K), not O(rows).
+    */
+  def incrementalCentroids(
+      assigned: Dataset[AssignedPoint]): Dataset[ClusterUpdate] = {
+    import assigned.sparkSession.implicits._
+    assigned
+      .groupByKey(_.cid)
+      .flatMapGroupsWithState[ClusterState, ClusterUpdate](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (cid: Int, rows: Iterator[AssignedPoint], state: GroupState[ClusterState]) =>
+          var s = state.getOption.getOrElse(ClusterState(0L, 0.0, 0.0))
+          var touched = false
+          rows.foreach { p =>
+            s = ClusterState(s.n + 1, s.sumX + p.x, s.sumY + p.y)
+            touched = true
+          }
+          if (touched) {
+            state.update(s)
+            Iterator.single(s.centroid(cid))
+          } else Iterator.empty
+      }
+  }
+
+  /** Wire a streaming DataFrame of raw events through assignment into
+    * incremental centroid maintenance.
+    */
+  def incrementalCentroidStream(
+      stream: DataFrame,
+      centroids: Seq[Centroid2]): Dataset[ClusterUpdate] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    incrementalCentroids(
+      streamingAssign(stream, centroids)
+        .select(col("cid").cast("int"), col("x"), col("y"))
+        .as[AssignedPoint])
+  }
+
+  /** Batch-train-then-stream-score: fit on a static points table, then
+    * return a function applying the model inside `foreachBatch`.
+    */
+  def foreachBatchScorer(
+      centroids: Seq[Centroid2]): (DataFrame, Long) => DataFrame =
+    (batch: DataFrame, _: Long) => Ops.assign(eventPoints(batch), centroids)
+}

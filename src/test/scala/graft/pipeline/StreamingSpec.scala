@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kmeans.{Centroid2, SparkTestSession}
+import graft.streaming.StreamOps
+
+final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Structured Streaming extensions: windowed aggregation with watermark,
+  * stateless streaming assignment, and stateful incremental centroids via
+  * flatMapGroupsWithState — all driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedEventCounts: batch and streaming forms agree") {
+    val rows = Seq(
+      Ev(1, ts("2024-01-01 00:10:00"), "click", 1.0),
+      Ev(2, ts("2024-01-01 00:40:00"), "click", 2.0),
+      Ev(3, ts("2024-01-01 01:05:00"), "view", 3.0))
+    val batch = StreamOps.windowedEventCounts(rows.toDF(), "1 hour")
+      .select($"window_start", $"event_type", $"n", $"total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(rows: _*)
+    val q = StreamOps.streamingWindowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("win_counts")
+        .select($"window_start", $"event_type", $"n", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.exists { case (w, t, n, v) =>
+        w == ts("2024-01-01 00:00:00") && t == "click" && n == 2 && v == 3.0
+      })
+    } finally q.stop()
+  }
+
+  test("streamingAssign classifies each event against the fixed model") {
+    val model = Seq(Centroid2(0, 0.0, 0.0), Centroid2(1, 100.0, 0.0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0),   // near centroid 0
+      Ev(2, ts("2024-01-01 00:00:00"), "click", 99.0))  // near centroid 1
+    val q = StreamOps.streamingAssign(mem.toDF(), model)
+      .writeStream.format("memory").queryName("assigned").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("assigned").select($"pid", $"cid")
+        .as[(Long, Int)].collect().toMap
+      assert(got === Map(1L -> 0, 2L -> 1))
+    } finally q.stop()
+  }
+
+  test("incrementalCentroids keeps running means across micro-batches") {
+    val model = Seq(Centroid2(0, 0.0, 0.0), Centroid2(1, 100.0, 0.0))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamOps.incrementalCentroidStream(mem.toDF(), model)
+      .writeStream.format("memory").queryName("inc_centroids")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 00:00:00"), "c", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(2, ts("2024-01-01 00:00:00"), "c", 4.0))
+      q.processAllAvailable()
+      val updates = spark.table("inc_centroids")
+        .select($"cid", $"x", $"n").as[(Int, Double, Long)].collect().toSeq
+      // batch 1: mean 2.0 over 1 point; batch 2: mean 3.0 over 2 points —
+      // state carried the first batch's sum across micro-batches
+      assert(updates.contains((0, 2.0, 1L)))
+      assert(updates.contains((0, 3.0, 2L)))
+    } finally q.stop()
+  }
+}
