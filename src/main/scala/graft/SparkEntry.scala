@@ -148,8 +148,10 @@ object SparkEntry {
       val p = points(s, dir)
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
+      // one pass for step1, then a single further update — not two
+      // independent unrollings (saves a full assign+update at bench)
       val step1 = Lloyd.iterate(p, 8, 1)
-      val step2 = Lloyd.iterate(p, 8, 2)
+      val step2 = Ops.collectCentroids(Ops.update(Ops.assign(p, step1)))
       val schema = StructType(Seq(
         StructField("cid", IntegerType, nullable = false),
         StructField("x", DoubleType, nullable = false),
@@ -449,14 +451,26 @@ object SparkEntry {
         |  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) r
         |  GROUP BY doc_id
         |),
+        |keyed AS (
+        |  SELECT doc_id,
+        |         list_transform(shingles,
+        |           s -> struct_pack(
+        |             u := CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647,
+        |             v := CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) % 2147483647)) AS keys
+        |  FROM shl
+        |),
         |sig AS (
         |  SELECT doc_id,
         |         list_transform(range(0, 12),
-        |           h -> list_min(list_transform(shingles, s -> md5(h::VARCHAR || '|' || s)))) AS sig
-        |  FROM shl
+        |           h -> list_min(list_transform(keys,
+        |                  k -> ((2654435761 * (h + 1)) % 2147483647 * k.u % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * k.v % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM keyed
         |),
         |bands AS (
-        |  SELECT doc_id, b, md5(sig[b*3+1] || sig[b*3+2] || sig[b*3+3]) AS bucket
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
         |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
         |)
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2

@@ -75,13 +75,15 @@ object Dedup {
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
     val sh0 = docShingles(docs, n)
-    val sh = maxShingleDf match {
+    val shUnfiltered = maxShingleDf match {
       case Some(limit) =>
         val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= limit).select("shingle")
         sh0.join(rare, Seq("shingle"), "left_semi")
       case None => sh0
     }
+    // cache: consumed three times (sizes + both sides of the self-join)
+    val sh = shUnfiltered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val co = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle"))
@@ -100,26 +102,57 @@ object Dedup {
   // MinHash + LSH
   // ---------------------------------------------------------------------
 
-  /** MinHash signatures: sig[i] = min over shingles of md5(i || '|' || s),
-    * compared lexicographically (hex strings — portable across engines).
-    * Output: (doc_id, sig ARRAY<STRING> of length numHashes). Docs with no
+  /** MinHash hash family: h_i(s) = (a_i·u + b_i·v + c_i) mod P over the
+    * Mersenne prime P = 2³¹−1, where (u, v) are two independent md5-prefix
+    * keys of the shingle (hex digits 1–15 and 16–30, each reduced mod P) —
+    * a 2-universal family over a 120-bit key. ONE md5 per shingle, then
+    * integer arithmetic per hash function (~12× cheaper than hashing per
+    * (i, s)); each product is reduced mod P before summing so nothing
+    * exceeds 2⁶² in any engine; expressible verbatim in DuckDB.
+    */
+  val MinHashP: Long = 2147483647L
+  def minHashA(i: Int): Long = (2654435761L * (i + 1)) % MinHashP
+  def minHashB(i: Int): Long = (2246822519L * (i + 1)) % MinHashP
+  def minHashC(i: Int): Long = (104729L * (i + 1)) % MinHashP
+
+  /** (u, v) keys of a shingle: two md5-prefix ints reduced mod P. */
+  def shingleKeys(s: Column): Column = {
+    val h = md5(s)
+    struct(
+      (conv(h.substr(1, 15), 16, 10).cast("long") % MinHashP).as("u"),
+      (conv(h.substr(16, 15), 16, 10).cast("long") % MinHashP).as("v"))
+  }
+
+  /** MinHash signatures over int hash values.
+    * Output: (doc_id, sig ARRAY<BIGINT> of length numHashes). Docs with no
     * shingles are dropped.
     */
   def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    val shl = docs
+    // the repartition is a projection barrier: without it CollapseProject
+    // inlines the md5 key pass into each of the numHashes min-expressions
+    // (numHashes× recompute of every shingle hash)
+    val keys = docs
       .select(
         col("doc_id"),
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n))
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
+        transform(
+          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)),
+          shingleKeys _).as("keys"))
+      .filter(size(col("keys")) > 0)
+      .repartition(col("doc_id"))
     val sig = transform(
       sequence(lit(0), lit(numHashes - 1)),
-      h =>
+      h => {
+        val a = lit(2654435761L) * (h + 1).cast("long") % MinHashP
+        val b = lit(2246822519L) * (h + 1).cast("long") % MinHashP
+        val c = lit(104729L) * (h + 1).cast("long") % MinHashP
         array_min(
           transform(
-            col("shingles"),
-            s => md5(concat(h.cast("string"), lit("|"), s)))))
-    shl.select(col("doc_id"), sig.as("sig"))
+            col("keys"),
+            k =>
+              (a * k.getField("u") % MinHashP +
+                b * k.getField("v") % MinHashP + c) % MinHashP))
+      })
+    keys.select(col("doc_id"), sig.as("sig"))
   }
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`
@@ -134,7 +167,10 @@ object Dedup {
           transform(
             sequence(lit(0), lit(bands - 1)),
             b =>
-              md5(concat_ws("", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+              md5(concat_ws(",",
+                transform(
+                  slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+                  v => v.cast("string"))))))
           .as(Seq("band", "bucket")))
 
   /** Candidate near-dup pairs: docs sharing any (band, bucket).
@@ -146,7 +182,10 @@ object Dedup {
       numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // cache the buckets: the self-join would otherwise recompute the full
+    // signature pass for each side
     val b = lshBuckets(minHashSignatures(docs, n, numHashes), bands, numHashes / bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     b.as("a")
       .join(b.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -158,34 +197,63 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash over distinct token shingle-1s (unit weights), emitted
-    * as a 64-char '0'/'1' string (portable, lexicographically comparable).
-    *
-    * bit j of a token = bit (3 - j%4) of hex digit j/4 of md5(token);
-    * weight_j = Σ_tokens (2·bit−1); fingerprint bit j = 1 iff weight_j > 0.
+  /** Per-token hash quads: md5(token) hex split into 4 × 16-bit ints
+    * (4 hex digits each). bit j of a token = bit (15 − j%16) of quad j/16 —
+    * identical to "bit (3 − j%4) of hex digit j/4", but integer ops replace
+    * per-bit string probing.
     */
-  def simHashBits(toks: Column): Column = {
-    val hashes = transform(array_distinct(toks), t => md5(t))
-    val hexDigits = lit("0123456789abcdef")
-    val bitOf = (h: Column, j: Int) => {
-      val digit = instr(hexDigits, substring(h, j / 4 + 1, 1)) - 1
-      floor(digit / lit(1 << (3 - j % 4))).cast("int") % 2
-    }
-    val bits = (0 until 64).map { j =>
-      val w = aggregate(
-        hashes,
+  private def tokenHashQuads(toks: Column): Column =
+    transform(
+      array_distinct(toks),
+      t =>
+        transform(
+          sequence(lit(0), lit(3)),
+          q => conv(md5(t).substr(q * 4 + 1, lit(4)), 16, 10).cast("int")))
+
+  /** The 64 SimHash majority weights over a materialized `hs` column
+    * (array of per-token quads): weight_j = Σ_tokens (2·bit_j − 1).
+    */
+  private def simHashWeights(hs: Column): IndexedSeq[Column] =
+    (0 until 64).map { j =>
+      aggregate(
+        hs,
         lit(0),
-        (acc, h) => acc + (bitOf(h, j) * 2 - 1))
-      when(w > 0, lit("1")).otherwise(lit("0"))
+        (acc, h) =>
+          acc + (shiftright(element_at(h, j / 16 + 1), 15 - j % 16)
+            .bitwiseAND(lit(1)) * 2 - 1))
     }
-    concat(bits: _*)
+
+  /** (doc_id, hs) with the per-token md5 quads materialized behind a
+    * shuffle barrier — without it CollapseProject would inline the md5
+    * computation into each of the 64 weight expressions (64× recompute).
+    */
+  private def tokenHashFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokenHashQuads(TextOps.tokens(col("text"))).as("hs"))
+      .repartition(col("doc_id"))
+
+  /** Per-doc SimHash fingerprints as a 64-char '0'/'1' string (portable,
+    * oracle-checkable). (doc_id, simhash).
+    */
+  def simHash(docs: DataFrame): DataFrame = {
+    val weights = simHashWeights(col("hs"))
+    val bits = weights.map(w => when(w > 0, lit("1")).otherwise(lit("0")))
+    tokenHashFrame(docs).select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
-  /** Per-doc SimHash fingerprints: (doc_id, simhash STRING(64)). */
-  def simHash(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      simHashBits(TextOps.tokens(col("text"))).as("simhash"))
+  /** Per-doc SimHash packed as 4 × 16-bit int blocks (the join/hamming
+    * representation). (doc_id, blocks ARRAY<INT> of length 4).
+    */
+  def simHashBlocks(docs: DataFrame): DataFrame = {
+    val weights = simHashWeights(col("hs"))
+    val blocks = (0 until 4).map { b =>
+      (0 until 16).map { r =>
+        when(weights(16 * b + r) > 0, lit(1 << (15 - r))).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    tokenHashFrame(docs)
+      .select(col("doc_id"), array(blocks: _*).as("blocks"))
+  }
 
   /** Hamming distance between two equal-length bit strings. */
   def hammingDist(a: Column, b: Column): Column =
@@ -197,30 +265,31 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance <= maxDist (< 16): by
     * pigeonhole over 4 16-bit blocks, candidates must match at least one
     * block exactly, so the join is equality-based (scales; no all-pairs).
+    * Hamming distance is Σ `bit_count(xor)` over the packed int blocks —
+    * 4 integer ops per pair instead of 64 string probes.
     * Output: (d1, d2, hamming).
     */
   def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
-    require(maxDist < 16, "pigeonhole blocks assume maxDist < blocks count bits")
-    val fp = simHash(docs)
-    val blocks = fp.select(
+    require(maxDist < 4, "pigeonhole over 4 blocks guarantees recall only for maxDist < 4")
+    // cache: the self-join would otherwise run the fingerprint pass twice
+    val fp = simHashBlocks(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = fp.select(
       col("doc_id"),
-      col("simhash"),
-      posexplode(
-        transform(
-          sequence(lit(0), lit(3)),
-          b => col("simhash").substr(b * 16 + 1, lit(16))))
-        .as(Seq("blk", "blkval")))
-    blocks.as("a")
-      .join(blocks.as("b"), Seq("blk", "blkval"))
+      col("blocks"),
+      posexplode(col("blocks")).as(Seq("blk", "blkval")))
+    val hamming = (1 to 4).map { i =>
+      bit_count(
+        element_at(col("a.blocks"), i).bitwiseXOR(element_at(col("b.blocks"), i)))
+    }.reduce(_ + _)
+    exploded.as("a")
+      .join(exploded.as("b"), Seq("blk", "blkval"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("d1"),
         col("b.doc_id").as("d2"),
-        col("a.simhash").as("s1"),
-        col("b.simhash").as("s2"))
-      .distinct()
-      .withColumn("hamming", hammingDist(col("s1"), col("s2")))
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxDist)
-      .select(col("d1"), col("d2"), col("hamming"))
+      .distinct()
   }
 }

@@ -118,22 +118,24 @@ object Ops {
     */
   def assign(points: DataFrame, centroids: Seq[Centroid2]): DataFrame = {
     require(centroids.nonEmpty, "assign: empty centroid set")
-    val best = array_min(
-      transform(
-        centroidLiteral(centroids),
-        c =>
-          struct(
-            dist2(col("x"), col("y"), c.getField("x"), c.getField("y"))
-              .as("dist2"),
-            c.getField("cid").as("cid"))))
-    points
-      .withColumn("best", best)
-      .select(
-        col("pid"),
-        col("x"),
-        col("y"),
-        col("best.cid").as("cid"),
-        col("best.dist2").as("dist2"))
+    // scalar least/when chain instead of array_min(transform(...)):
+    // higher-order functions are CodegenFallback, the scalar chain keeps the
+    // K-way argmin inside whole-stage codegen (subexpression elimination
+    // dedups the repeated distances). First matching `when` in ascending cid
+    // order reproduces the lowest-cid tiebreak (`mapper.py:28`).
+    val sorted = centroids.sortBy(_.cid)
+    val dists = sorted.map(c => dist2(col("x"), col("y"), lit(c.x), lit(c.y)))
+    val best = if (dists.size == 1) dists.head else least(dists: _*)
+    val cid = sorted.zip(dists).tail.foldLeft(
+      when(dists.head === best, lit(sorted.head.cid))) {
+      case (acc, (c, d)) => acc.when(d === best, lit(c.cid))
+    }
+    points.select(
+      col("pid"),
+      col("x"),
+      col("y"),
+      cid.cast("int").as("cid"),
+      best.as("dist2"))
   }
 
   /** J1 variant realized as an explicit broadcast cross join + window argmin
@@ -148,17 +150,22 @@ object Ops {
         col("cid").cast("int").as("cid"),
         col("x").as("cx"),
         col("y").as("cy")))
-    // per-ROW argmin: pid is not guaranteed unique, so window over a
-    // generated row id, not over pid
-    val withRid = points.withColumn("rid", monotonically_increasing_id())
-    val joined = withRid
+    // per-ROW argmin: pid is not guaranteed unique, so group by a generated
+    // row id. Hash-aggregate min over struct(dist2, cid) beats a window
+    // (no sort, partial agg before the exchange) and encodes the lowest-cid
+    // tiebreak via lexicographic struct ordering.
+    points
+      .withColumn("rid", monotonically_increasing_id())
       .crossJoin(c)
       .withColumn("dist2", dist2(col("x"), col("y"), col("cx"), col("cy")))
-    val w = Window.partitionBy(col("rid")).orderBy(col("dist2"), col("cid"))
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("pid"), col("x"), col("y"), col("cid"), col("dist2"))
+      .groupBy(col("rid"))
+      .agg(
+        first(col("pid")).as("pid"),
+        first(col("x")).as("x"),
+        first(col("y")).as("y"),
+        min(struct(col("dist2"), col("cid"))).as("best"))
+      .select(col("pid"), col("x"), col("y"),
+        col("best.cid").as("cid"), col("best.dist2").as("dist2"))
   }
 
   // ---------------------------------------------------------------------

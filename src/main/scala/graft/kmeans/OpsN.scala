@@ -23,15 +23,14 @@ object OpsN {
       col("vec_id").as("pid"),
       col("embedding").cast("array<double>").as("features"))
 
-  /** Squared Euclidean distance between two ARRAY<DOUBLE> columns —
-    * multiply/add-only left fold, bit-reproducible against DuckDB's
-    * `list_sum(list_transform(...))` over the same element order.
+  /** Squared Euclidean distance between two ARRAY<DOUBLE> columns — the
+    * codegen'd [[graft.expr.ArraySqDist]] expression (same left-to-right
+    * multiply/add fold as `aggregate(zip_with(...))`, so bit-identical to
+    * DuckDB's `list_sum(list_transform(...))`, but inside whole-stage
+    * codegen instead of the interpreted higher-order-function path).
     */
   def dist2N(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.expr.ArrayVector.sqDist(a, b)
 
   /** L1 n-D: first K rows in pid order become centroids 0..K-1. */
   def initFirstKN(points: DataFrame, k: Int): DataFrame = {
@@ -69,20 +68,23 @@ object OpsN {
     require(
       centroids.forall(_.features.length == d),
       "assignN: ragged centroid dimensions")
-    val best = array_min(
-      transform(
-        centroidLiteralN(centroids),
-        c =>
-          struct(
-            dist2N(col("features"), c.getField("features")).as("dist2"),
-            c.getField("cid").as("cid"))))
-    points
-      .withColumn("best", best)
-      .select(
-        col("pid"),
-        col("features"),
-        col("best.cid").as("cid"),
-        col("best.dist2").as("dist2"))
+    // scalar least/when chain over codegen'd ArraySqDist — the whole K-way
+    // argmin stays inside whole-stage codegen (HOF array_min/transform are
+    // CodegenFallback). First matching `when` in ascending cid order gives
+    // the lowest-cid tiebreak.
+    val sorted = centroids.sortBy(_.cid)
+    val dists = sorted.map(c =>
+      dist2N(col("features"), array(c.features.map(lit(_)): _*)))
+    val best = if (dists.size == 1) dists.head else least(dists: _*)
+    val cid = sorted.zip(dists).tail.foldLeft(
+      when(dists.head === best, lit(sorted.head.cid))) {
+      case (acc, (c, dd)) => acc.when(dd === best, lit(c.cid))
+    }
+    points.select(
+      col("pid"),
+      col("features"),
+      cid.cast("int").as("cid"),
+      best.as("dist2"))
   }
 
   /** Broadcast-join formulation for centroid sets too large to inline as a

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two ARRAY<DOUBLE> columns (left-fold, order-stable). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two ARRAY<DOUBLE> columns — codegen'd
+    * [[graft.expr.ArrayDot]] (left fold, order-stable, bit-identical to
+    * DuckDB's `list_sum(list_transform(...))`).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.ArrayVector.dot(a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -38,11 +40,18 @@ object Similarity {
     * Input frames: (id, vec). Output: (qid, cid, sim, rank).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("qid"), col("vec").as("qv")))
-    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"))
+    // norms computed once per row BEFORE the join (bit-identical to
+    // computing them per pair — same expression, evaluated once)
+    val q = broadcast(
+      queries.select(col("id").as("qid"), col("vec").as("qv"),
+        norm(col("vec")).as("qn")))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
     val scored = c.crossJoin(q)
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -92,16 +101,19 @@ object Similarity {
       bits: Int,
       d: Int): DataFrame = {
     val planes = hyperplanes(bits, d)
-    val sig = (df: DataFrame, idName: String, vecName: String) =>
+    val sig = (df: DataFrame, idName: String, vecName: String, normName: String) =>
       df.select(
         col("id").as(idName),
         col("vec").as(vecName),
+        norm(col("vec")).as(normName),
         lshSignature(col("vec"), planes).as("bucket"))
-    val q = broadcast(sig(queries, "qid", "qv"))
-    val c = sig(corpus, "cid", "cv")
+    val q = broadcast(sig(queries, "qid", "qv", "qn"))
+    val c = sig(corpus, "cid", "cv", "cn")
     val scored = c.join(q, Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .withColumn("sim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -115,11 +127,14 @@ object Similarity {
     * Output: (d1, d2, sim).
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("id").as("d1"), col("vec").as("v1"))
-    val b = vectors.select(col("id").as("d2"), col("vec").as("v2"))
+    val withNorm = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nn"))
+    val a = withNorm.select(col("id").as("d1"), col("vec").as("v1"), col("nn").as("n1"))
+    val b = withNorm.select(col("id").as("d2"), col("vec").as("v2"), col("nn").as("n2"))
     a.crossJoin(b)
       .filter(col("d1") < col("d2"))
-      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .withColumn("sim",
+        when(col("n1") * col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
       .filter(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
