@@ -202,12 +202,33 @@ object SparkEntry {
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     },
 
+    // P3: float32 wire-precision emulation (protobuf float funnel)
+    "p3_f32_cast" -> { (s, dir) =>
+      Ops.castF32(points(s, dir))
+    },
+
+    // S3: contiguous input split (chunk sizes; last chunk takes remainder)
+    "s3_split_sizes" -> { (s, dir) =>
+      val p = points(s, dir)
+      Ops.splitContiguous(p, 5, p.count())
+        .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
+    },
+
     // ---- training-data pipeline: text analysis --------------------------
     // Tokenize + language-ID + quality score + fingerprint per document
     "tx_analyze" -> { (s, dir) =>
       TextOps.analyze(Graft.table(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
           col("lang_pred"), col("quality"), col("fp"))
+    },
+
+    // BPE-ish regex token counting + rolling-hash fingerprint
+    "tx_token_fp" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextOps.bpeTokenCount(col("text")).cast("long").as("bpe_tokens"),
+        TextOps.rollingFingerprint(col("text"), 4).as("roll_fp"))
     },
 
     // ---- training-data pipeline: deduplication --------------------------
@@ -382,6 +403,36 @@ object SparkEntry {
 
     "an_ndim_sizes" ->
       s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid",
+
+    "p3_f32_cast" ->
+      s"""WITH $PTS
+         |SELECT pid, CAST(CAST(x AS REAL) AS DOUBLE) AS x,
+         |       CAST(CAST(y AS REAL) AS DOUBLE) AS y
+         |FROM pts""".stripMargin,
+
+    "s3_split_sizes" ->
+      s"""WITH $PTS,
+         |ranked AS (
+         |  SELECT CAST(least(
+         |           floor((ROW_NUMBER() OVER (ORDER BY pid, x, y) - 1)
+         |                 / greatest((SELECT COUNT(*) FROM pts) // 5, 1)),
+         |           4) AS INT) AS chunk
+         |  FROM pts
+         |)
+         |SELECT chunk, COUNT(*) AS n FROM ranked GROUP BY chunk""".stripMargin,
+
+    "tx_token_fp" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        |    AS bpe_tokens,
+        |  list_min(list_transform(
+        |    CASE WHEN length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) >= 4
+        |         THEN list_transform(
+        |                range(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2),
+        |                i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), CAST(i AS INT), 4))
+        |         ELSE [regexp_replace(lower(trim(text)), '\s+', ' ', 'g')] END,
+        |    g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))) AS roll_fp
+        |FROM documents""".stripMargin,
 
     "tx_analyze" ->
       s"""WITH toks AS (

@@ -242,4 +242,56 @@ object Ops {
     assigned
       .repartition(numPartitions, col("cid"))
       .withColumn("spark_partition", spark_partition_id())
+
+  // ---------------------------------------------------------------------
+  // P3: float32 wire-precision emulation
+  // ---------------------------------------------------------------------
+
+  /** P3: the reference's float32 precision funnel (protobuf `float` wire
+    * format, `comm.proto:41,51-52`) as an explicit projection: round each
+    * coordinate through FLOAT and back to DOUBLE. Engine default stays f64
+    * (SURVEY.md §7.5); this is the bit-faithful emulation mode.
+    */
+  def castF32(points: DataFrame): DataFrame =
+    points.select(
+      col("pid"),
+      col("x").cast("float").cast("double").as("x"),
+      col("y").cast("float").cast("double").as("y"))
+
+  // ---------------------------------------------------------------------
+  // S3: contiguous input split
+  // ---------------------------------------------------------------------
+
+  /** S3: the reference's contiguous chunking (`master.py:44-62`): chunk
+    * size = N div M, every chunk gets `size` consecutive rows in scan
+    * order, the LAST chunk absorbs the remainder. Exposed as a `chunk`
+    * column over the deterministic (pid, x, y) order; Spark's own
+    * file-split planning replaces this at scale (SURVEY.md §2.1 S3).
+    */
+  def splitContiguous(points: DataFrame, m: Int, totalRows: Long): DataFrame = {
+    require(m > 0, "m must be positive")
+    val size = math.max(totalRows / m, 1L)
+    val w = Window.orderBy(col("pid"), col("x"), col("y"))
+    points
+      .withColumn("rn", row_number().over(w))
+      .withColumn(
+        "chunk",
+        least(floor((col("rn") - 1) / size), lit(m - 1L)).cast("int"))
+      .drop("rn")
+  }
+
+  // ---------------------------------------------------------------------
+  // S9: final centroid sink
+  // ---------------------------------------------------------------------
+
+  /** S9: final sink — centroids at fixed 4-decimal formatting, one line
+    * `x,y` per centroid, ordered by cid (the reference's `centroids.txt`
+    * shape, `master.py:264-266`, with the nondeterministic order fixed).
+    */
+  def writeCentroids(centroids: Seq[Centroid2], path: String): Unit = {
+    val lines = centroids.sortBy(_.cid).map(c => f"${c.x}%.4f,${c.y}%.4f")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes("UTF-8"))
+  }
 }

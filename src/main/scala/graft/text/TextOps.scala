@@ -107,6 +107,30 @@ object TextOps {
       (lit(1.0) - least(f("punct_ratio") * 4.0, lit(1.0))) * 0.2
   }
 
+  /** BPE-ish token count: alpha runs, digit runs, and single punctuation
+    * marks each count as one token (the shape a byte-pair-style tokenizer
+    * produces for ASCII text, without a merges table). Same regex semantics
+    * in Java and RE2, so DuckDB's `regexp_extract_all` is an exact oracle.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Rolling-hash document fingerprint: the minimum md5-prefix integer over
+    * all character n-grams — a 1-hash MinHash over character shingles
+    * (winnowing's global-min special case). Near-identical documents agree
+    * with high probability; portable to DuckDB verbatim.
+    */
+  def rollingFingerprint(text: Column, n: Int): Column = {
+    require(n >= 1, "ngram size must be >= 1")
+    val t = normalize(text)
+    val grams = when(
+      length(t) >= n,
+      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
+      .otherwise(array(t))
+    array_min(
+      transform(grams, g => conv(md5(g).substr(1, 15), 16, 10).cast("long")))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -122,6 +122,34 @@ class KMeansOpsSpec extends AnyFunSuite {
     assert(got === Set((1.0, 2.0), (4.0, 5.0)))
   }
 
+  test("P3: f32 cast emulation rounds through float precision") {
+    val pts = pointsDf((1, 0.825, 9.7))
+    val got = Ops.castF32(pts).select("x").as[Double].head()
+    assert(got === 0.824999988079071) // the reference's logged f32 artifact
+  }
+
+  test("S3: contiguous split gives N div M per chunk, remainder to last") {
+    val pts = (1L to 11L).map(i => (i, i.toDouble, 0.0))
+    val df = pts.toDF("pid", "x", "y")
+    val sizes = Ops.splitContiguous(df, 3, 11)
+      .groupBy("chunk").count().as[(Int, Long)].collect().toMap
+    // 11 rows, M=3: size 3 -> chunks 0,1 get 3, chunk 2 takes 5 (remainder)
+    assert(sizes === Map(0 -> 3L, 1 -> 3L, 2 -> 5L))
+    // contiguity: chunk of pid 4 is 1 (rows 4,5,6)
+    val byPid = Ops.splitContiguous(df, 3, 11)
+      .select("pid", "chunk").as[(Long, Int)].collect().toMap
+    assert(byPid(1L) === 0 && byPid(4L) === 1 && byPid(7L) === 2 && byPid(11L) === 2)
+  }
+
+  test("S9: writeCentroids emits 4-decimal x,y lines in cid order") {
+    val f = java.nio.file.Files.createTempFile("graft-centroids", ".txt")
+    Ops.writeCentroids(
+      Seq(Centroid2(1, 2.0, 3.00005), Centroid2(0, 0.825, 9.7)),
+      f.toString)
+    val lines = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+    assert(lines === "0.8250,9.7000\n2.0000,3.0001")
+  }
+
   test("objective is non-increasing across Lloyd iterations") {
     val pts = Ops.pointsFromLineitem(
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))

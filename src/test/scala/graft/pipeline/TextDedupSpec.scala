@@ -106,6 +106,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("bpeTokenCount: alpha runs, digit runs, single punctuation") {
+    val got = docs((1L, "Hello, world42! x9"))
+      .select(TextOps.bpeTokenCount($"text")).as[Int].head()
+    // hello / , / world / 42 / ! / x / 9
+    assert(got === 7)
+  }
+
+  test("rollingFingerprint: identical normalized docs agree; short docs safe") {
+    val d = docs((1L, "The  Quick Fox"), (2L, "the quick fox"), (3L, "ab"))
+    val fps = d.select($"doc_id", TextOps.rollingFingerprint($"text", 4))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(3L) > 0L)
+  }
+
   test("quality score is in [0,1] and favors stopword-rich prose") {
     val d = docs(
       (1L, "the cat is in the hat and it is a good cat today really"),
