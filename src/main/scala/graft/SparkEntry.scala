@@ -475,17 +475,28 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd_jaccard_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
         |),
         |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-        |  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) r
+        |  SELECT DISTINCT doc_id,
+        |    ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |      * 2147483647
+        |    + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647 AS shash
+        |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - 1)) AS i) r
         |),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-        |  FROM sh a JOIN sh b USING (shingle)
+        |  FROM sh a JOIN sh b USING (shash)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
@@ -494,30 +505,32 @@ object SparkEntry {
         |WHERE c / (s1.sz + s2.sz - c) >= 0.4""".stripMargin,
 
     "dd_minhash_pairs" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
         |),
-        |shl AS (
-        |  SELECT doc_id, list(DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
-        |  FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 1)) AS i) r
-        |  GROUP BY doc_id
-        |),
-        |keyed AS (
-        |  SELECT doc_id,
-        |         list_transform(shingles,
-        |           s -> struct_pack(
-        |             u := CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647,
-        |             v := CAST(('0x' || substr(md5(s), 16, 15)) AS BIGINT) % 2147483647)) AS keys
-        |  FROM shl
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
         |),
         |sig AS (
         |  SELECT doc_id,
         |         list_transform(range(0, 12),
         |           h -> list_min(list_transform(keys,
-        |                  k -> ((2654435761 * (h + 1)) % 2147483647 * k.u % 2147483647
-        |                      + (2246822519 * (h + 1)) % 2147483647 * k.v % 2147483647
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
         |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
-        |  FROM keyed
+        |  FROM skeys WHERE len(keys) > 0
         |),
         |bands AS (
         |  SELECT doc_id, b,

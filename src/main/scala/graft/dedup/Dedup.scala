@@ -62,7 +62,11 @@ object Dedup {
         explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
       .distinct()
 
-  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index.
+  /** Exact n-gram Jaccard near-dup pairs via inverted shingle index over
+    * HASHED shingle identities (`shash` = u·P + v from [[docShingleKeys]] —
+    * a 62-bit key; collisions are negligible and, since both engines use
+    * the same formula, consistent). Joining on longs instead of shingle
+    * strings keeps the index compact and the exchange cheap.
     *
     * @param maxShingleDf if set, shingles appearing in more than this many
     *   docs are dropped before the self-join (bounds fan-out at scale;
@@ -74,19 +78,25 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh0 = docShingles(docs, n)
+    val sh0 = docShingleKeys(docs, n)
+      .select(
+        col("doc_id"),
+        explode(col("keys")).as("k"))
+      .select(
+        col("doc_id"),
+        (col("k.u") * MinHashP + col("k.v")).as("shash"))
     val shUnfiltered = maxShingleDf match {
       case Some(limit) =>
-        val rare = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= limit).select("shingle")
-        sh0.join(rare, Seq("shingle"), "left_semi")
+        val rare = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= limit).select("shash")
+        sh0.join(rare, Seq("shash"), "left_semi")
       case None => sh0
     }
     // cache: consumed three times (sizes + both sides of the self-join)
     val sh = shUnfiltered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val co = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle"))
+      .join(sh.as("b"), col("a.shash") === col("b.shash"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("c"))
@@ -115,45 +125,61 @@ object Dedup {
   def minHashB(i: Int): Long = (2246822519L * (i + 1)) % MinHashP
   def minHashC(i: Int): Long = (104729L * (i + 1)) % MinHashP
 
-  /** (u, v) keys of a shingle: two md5-prefix ints reduced mod P. */
-  def shingleKeys(s: Column): Column = {
-    val h = md5(s)
-    struct(
-      (conv(h.substr(1, 15), 16, 10).cast("long") % MinHashP).as("u"),
-      (conv(h.substr(16, 15), 16, 10).cast("long") % MinHashP).as("v"))
+  /** Per-token (u, v) keys: two md5-prefix ints reduced mod P — ONE md5
+    * per token occurrence, from which every shingle key derives
+    * arithmetically (no shingle strings are ever built).
+    */
+  def tokenKeys(toks: Column): Column =
+    transform(toks, t => {
+      val h = md5(t)
+      struct(
+        (conv(h.substr(1, 15), 16, 10).cast("long") % MinHashP).as("u"),
+        (conv(h.substr(16, 15), 16, 10).cast("long") % MinHashP).as("v"))
+    })
+
+  /** n-gram shingle keys by positional combination of token keys:
+    * key.u = Σ_j γ_j·u_{i+j} mod P with γ_j = 3266489917·(j+1) mod P
+    * (likewise for v). Position-sensitive, overflow-free, identical
+    * arithmetic in DuckDB.
+    */
+  def shingleKeyArr(tkeys: Column, n: Int): Column = {
+    require(n >= 1, "shingle size must be >= 1")
+    def combine(f: String, i: Column): Column =
+      (0 until n).map { j =>
+        lit((3266489917L * (j + 1)) % MinHashP) *
+          element_at(tkeys, (i + lit(j + 1)).cast("int")).getField(f) % MinHashP
+      }.reduce(_ + _) % MinHashP
+    when(
+      size(tkeys) >= n,
+      transform(
+        sequence(lit(0), size(tkeys) - n),
+        i => struct(combine("u", i).as("u"), combine("v", i).as("v"))))
+      .otherwise(array().cast("array<struct<u:bigint,v:bigint>>"))
   }
 
-  /** MinHash signatures over int hash values.
-    * Output: (doc_id, sig ARRAY<BIGINT> of length numHashes). Docs with no
+  /** Distinct shingle keys per doc: (doc_id, keys ARRAY<STRUCT<u,v>>),
+    * via the single compiled [[graft.expr.ShingleKeys]] expression — one
+    * md5 per token occurrence, arithmetic combination, dedup, all in one
+    * pass. (The composed-column formulation [[tokenKeys]]+[[shingleKeyArr]]
+    * is kept for documentation/tests but is a Catalyst inlining trap —
+    * see the expression's scaladoc.)
+    */
+  def docShingleKeys(docs: DataFrame, n: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.expr.ShingleKeys(TextOps.tokens(col("text")), n).as("keys"))
+
+  /** MinHash signatures via the codegen'd [[graft.expr.MinHashSignature]]
+    * expression — all `numHashes` minima in one compiled loop over the
+    * shingle keys. Output: (doc_id, sig ARRAY<BIGINT>). Docs with no
     * shingles are dropped.
     */
-  def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame = {
-    // the repartition is a projection barrier: without it CollapseProject
-    // inlines the md5 key pass into each of the numHashes min-expressions
-    // (numHashes× recompute of every shingle hash)
-    val keys = docs
+  def minHashSignatures(docs: DataFrame, n: Int, numHashes: Int): DataFrame =
+    docShingleKeys(docs, n)
+      .filter(size(col("keys")) > 0)
       .select(
         col("doc_id"),
-        transform(
-          array_distinct(TextOps.shingles(TextOps.tokens(col("text")), n)),
-          shingleKeys _).as("keys"))
-      .filter(size(col("keys")) > 0)
-      .repartition(col("doc_id"))
-    val sig = transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      h => {
-        val a = lit(2654435761L) * (h + 1).cast("long") % MinHashP
-        val b = lit(2246822519L) * (h + 1).cast("long") % MinHashP
-        val c = lit(104729L) * (h + 1).cast("long") % MinHashP
-        array_min(
-          transform(
-            col("keys"),
-            k =>
-              (a * k.getField("u") % MinHashP +
-                b * k.getField("v") % MinHashP + c) % MinHashP))
-      })
-    keys.select(col("doc_id"), sig.as("sig"))
-  }
+        graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
 
   /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`
     * values; bucket id = md5 of the band's concatenated values.

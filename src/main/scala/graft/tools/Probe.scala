@@ -28,9 +28,7 @@ object Probe {
     time("shingles")(Dedup.docShingles(docs, 3).count())
     time("keys_materialized") {
       import org.apache.spark.sql.functions._
-      docs.select(col("doc_id"),
-        transform(array_distinct(graft.text.TextOps.shingles(graft.text.TextOps.tokens(col("text")), 3)),
-          graft.dedup.Dedup.shingleKeys _).as("keys"))
+      Dedup.docShingleKeys(docs, 3)
         .agg(sum(size(col("keys")))).collect()(0).getLong(0)
     }
     time("signatures")(Dedup.minHashSignatures(docs, 3, 12).count())

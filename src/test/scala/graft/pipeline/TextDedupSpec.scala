@@ -82,9 +82,13 @@ class TextDedupSpec extends AnyFunSuite {
   }
 
   test("minHash candidates find near-identical docs and skip unrelated") {
+    // capture probability at J is 1-(1-J^3)^4 — keep the near-dup pair's
+    // Jaccard high (~0.87: 30 tokens, one changed) so the fixed hash
+    // family catches it deterministically
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val d = docs(
-      (1L, "one two three four five six seven eight nine ten"),
-      (2L, "one two three four five six seven eight nine eleven"),
+      (1L, base),
+      (2L, base.replace("tok17", "changed")),
       (3L, "alpha beta gamma delta epsilon zeta eta theta"))
     val cands = Dedup.minHashCandidates(d, n = 3, numHashes = 12, bands = 4)
       .as[(Long, Long)].collect().toSet
