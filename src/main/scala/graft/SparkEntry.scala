@@ -260,6 +260,14 @@ object SparkEntry {
         .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
     },
 
+    // End-to-end near-dedup: LSH candidates -> exact-Jaccard verify ->
+    // greedy keep-lowest-id
+    "dd_near_dedup" -> { (s, dir) =>
+      Dedup.nearDedup(Graft.table(s, dir, "documents"),
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("doc_id"))
+    },
+
     // ---- training-data pipeline: similarity search ----------------------
     // Embedding-cosine near-duplicate pairs (exact all-pairs baseline)
     "sm_cosine_neardup" -> { (s, dir) =>
@@ -286,6 +294,18 @@ object SparkEntry {
         .select(col("pid").as("id"), col("features").as("vec"))
       val queries = all.filter(col("id") < 10)
       Similarity.lshTopK(queries, all, k = 5, bits = 8, d = 64)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
+    // IVF approximate top-k: corpus coarse-quantized by the engine's own
+    // k-means, queries probe the 2 nearest of 8 cells (rows-only; recall
+    // asserted in SimilaritySpec)
+    "sm_ann_ivf_topk" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val queries = all.filter(col("id") < 10)
+      Similarity.ivfTopK(queries, all, k = 5, nlist = 8, nprobe = 2)
         .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rank"))
     },
@@ -540,6 +560,53 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b USING (b, bucket)
         |WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "dd_near_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
 
     "dd_simhash" ->
       """WITH toks AS (

@@ -219,6 +219,48 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end near-dedup: MinHash+LSH candidates, verified against exact
+    * Jaccard, then greedy keep-lowest-id — a doc is dropped iff some
+    * SMALLER-id doc is near-identical to it. (One-step transitive closure:
+    * the standard single-pass policy; full connected components would need
+    * an iterative join.) Output: the surviving docs.
+    */
+  def nearDedup(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    val cands = minHashCandidates(docs, n, numHashes, bands)
+    val verified = verifyJaccard(docs, cands, n, threshold)
+    val dropped = verified.select(col("d2").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** Exact Jaccard for a given candidate-pair set (cheap: computes
+    * similarity only for candidates, not all pairs).
+    * Input pairs: (d1, d2). Output: (d1, d2, jac) with jac >= threshold.
+    */
+  def verifyJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      n: Int,
+      threshold: Double): DataFrame = {
+    val keys = docShingleKeys(docs, n)
+      .select(col("doc_id"), col("keys"))
+    val left = keys.select(col("doc_id").as("d1"), col("keys").as("k1"))
+    val right = keys.select(col("doc_id").as("d2"), col("keys").as("k2"))
+    pairs
+      .join(left, "d1")
+      .join(right, "d2")
+      .withColumn("inter", size(array_intersect(col("k1"), col("k2"))))
+      .withColumn(
+        "jac",
+        col("inter") / (size(col("k1")) + size(col("k2")) - col("inter")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), col("jac"))
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

@@ -121,6 +121,59 @@ object Similarity {
       .select(col("qid"), col("cid"), col("sim"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    * with the engine's own k-means ([[graft.kmeans.LloydN]], `nlist`
+    * centroids), then search each query only against the `nprobe` nearest
+    * cells. The standard billion-scale ANN layout: the corpus is
+    * partitioned by cell once; each query touches nprobe/nlist of the
+    * data. Recall degrades gracefully as nprobe shrinks.
+    * Output: (qid, cid, sim, rank).
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      maxIter: Int = 5): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    import graft.kmeans.{KMeansConfig, LloydN, OpsN}
+    val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
+    val model =
+      LloydN.fit(pts, KMeansConfig(k = nlist, maxIter = maxIter)).centroids
+    // corpus side: cell assignment (shuffle-free projection)
+    val cells = OpsN.assignN(pts, model)
+      .select(col("pid").as("cid_id"), col("features").as("cv"),
+        col("cid").as("cell"))
+    // query side: nprobe nearest cells per query, exploded
+    val probeCells = (q: Column) =>
+      slice(
+        array_sort(
+          array(model.map(c =>
+            struct(
+              graft.expr.ArrayVector
+                .sqDist(q, array(c.features.map(lit(_)): _*)).as("d2"),
+              lit(c.cid).as("cell"))): _*)),
+        1, nprobe)
+    val q = broadcast(
+      queries
+        .select(col("id").as("qid"), col("vec").as("qv"),
+          norm(col("vec")).as("qn"),
+          explode(probeCells(col("vec"))).as("probe"))
+        .select(col("qid"), col("qv"), col("qn"), col("probe.cell").as("cell")))
+    val scored = cells.join(q, Seq("cell"))
+      .filter(col("qid") =!= col("cid_id"))
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("sim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid_id").as("cid"), col("sim"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with
     * cosine >= threshold. Exact all-pairs — the small-corpus baseline; at
     * scale route through [[lshTopK]] buckets or ANN first.

@@ -38,6 +38,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.map(_._1).toSeq === Seq(1L, 2L))
   }
 
+  test("IVF top-k: coarse k-means cells + nprobe search reach good recall") {
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val queries = pts.filter($"id" < 10)
+    val brute = Similarity.bruteForceTopK(queries, pts, k = 5)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, pts, k = 5, nlist = 8, nprobe = 4)
+      .select($"qid", $"cid").as[(Long, Long)].collect().toSet
+    // embeddings carry 10 planted clusters; probing half the cells should
+    // recover most true neighbors (same-cluster vectors land together)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.forall { case (q, c) => q != c })
+  }
+
   test("LSH signature is deterministic and bucket-joins find neighbors") {
     val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
