@@ -231,6 +231,12 @@ object SparkEntry {
         TextOps.rollingFingerprint(col("text"), 4).as("roll_fp"))
     },
 
+    // Winnowing fingerprints (k=5 char-grams, window 8): the
+    // position-robust sketch — exploded (doc_id, fp) rows
+    "tx_winnow_fp" -> { (s, dir) =>
+      TextOps.winnowFingerprints(Graft.table(s, dir, "documents"), k = 5, w = 8)
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -266,6 +272,17 @@ object SparkEntry {
       Dedup.nearDedup(Graft.table(s, dir, "documents"),
           n = 3, numHashes = 12, bands = 4, threshold = 0.5)
         .select(col("doc_id"))
+    },
+
+    // Duplicate groups: connected components over verified near-dup pairs
+    // (iterative min-label propagation; oracle via recursive CTE)
+    "dd_dup_groups" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = Dedup.verifyJaccard(
+        docs,
+        Dedup.minHashCandidates(docs, n = 3, numHashes = 12, bands = 4),
+        n = 3, threshold = 0.5)
+      Dedup.dupGroups(pairs)
     },
 
     // ---- training-data pipeline: similarity search ----------------------
@@ -318,6 +335,16 @@ object SparkEntry {
         .select(
           unix_timestamp(col("window_start")).as("ws"),
           col("event_type"), col("n"), col("total_value"))
+    },
+
+    // Session-window aggregation (30-min gap per user; batch form of the
+    // same transform, streaming adds only a watermark)
+    "st_session_counts" -> { (s, dir) =>
+      StreamOps.sessionCounts(Graft.events(s, dir), "30 minutes")
+        .select(
+          col("user_id"),
+          unix_timestamp(col("session_start")).as("ss"),
+          col("n"), col("total_value"))
     },
 
     // Streaming assignment fixture: events as 2-D points classified
@@ -607,6 +634,95 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
+
+    "tx_winnow_fp" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+        |      i -> CAST(('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 15)) AS BIGINT)) AS hashes
+        |  FROM norm
+        |)
+        |SELECT DISTINCT doc_id, fp FROM (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(1, greatest(len(hashes) - 7, 1) + 1),
+        |           i -> list_min(hashes[CAST(i AS INT):CAST(i + 7 AS INT)]))) AS fp
+        |  FROM hs
+        |)""".stripMargin,
+
+    "dd_dup_groups" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM ver UNION SELECT d2, d1 FROM ver),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+        |)
+        |SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a""".stripMargin,
+
+    "st_session_counts" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |             >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ss,
+        |       COUNT(*) AS n, ROUND(SUM(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "dd_simhash" ->
       """WITH toks AS (

@@ -261,6 +261,49 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Duplicate GROUPS: connected components over the verified near-dup
+    * pair graph, labeled by the minimum doc_id in each component.
+    * Iterative min-label propagation on DataFrames (each round: take the
+    * min of a node's label and its neighbors' labels) — converges in
+    * O(component diameter) rounds; near-dup components are tiny chains in
+    * practice, and `maxRounds` bounds the worst case. Only docs that are in
+    * some pair appear. Output: (doc_id, gid).
+    */
+  def dupGroups(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("doc_id"))
+      .distinct()
+      .withColumn("gid", col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // min-label propagation only ever DECREASES labels, so the label sum is
+    // a strictly decreasing convergence witness (and avoids the ambiguous
+    // self-join a row-wise old-vs-new compare would need)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("gid"))).collect()(0).getLong(0)
+    var round = 0
+    var prevSum = labelSum(labels)
+    var changed = true
+    while (round < maxRounds && changed) {
+      round += 1
+      val propagated = edges
+        .join(labels.withColumnRenamed("doc_id", "a"), "a")
+        .select(col("b").as("doc_id"), col("gid"))
+      val next = labels.union(propagated)
+        .groupBy(col("doc_id")).agg(min(col("gid")).as("gid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nextSum = labelSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

@@ -25,13 +25,21 @@ object Lloyd {
     */
   def fit(points: DataFrame, cfg: KMeansConfig): KMeansResult2 = {
     require(cfg.k > 0, "k must be positive")
-    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    val input = if (cfg.f32Wire) Ops.castF32(points) else points
+    val cached = input.persist(StorageLevel.MEMORY_AND_DISK)
     try fitCached(cached, cfg)
     finally cached.unpersist(blocking = false)
   }
 
+  /** Round a model through float32 — the reference's protobuf wire funnel
+    * applied to the centroid list sent to every mapper (`master.py:64-66`).
+    */
+  private def roundF32(cs: Seq[Centroid2]): Seq[Centroid2] =
+    cs.map(c => Centroid2(c.cid, c.x.toFloat.toDouble, c.y.toFloat.toDouble))
+
   private def fitCached(points: DataFrame, cfg: KMeansConfig): KMeansResult2 = {
-    var centroids = Ops.collectCentroids(Ops.initFirstK(points, cfg.k))
+    def wire(cs: Seq[Centroid2]) = if (cfg.f32Wire) roundF32(cs) else cs
+    var centroids = wire(Ops.collectCentroids(Ops.initFirstK(points, cfg.k)))
     require(
       centroids.nonEmpty,
       s"fewer than 1 point available for k=${cfg.k} init")
@@ -39,7 +47,8 @@ object Lloyd {
     var done = false
     while (iter < cfg.maxIter && !done) {
       iter += 1
-      val updated = Ops.collectCentroids(Ops.update(Ops.assign(points, centroids)))
+      val updated =
+        wire(Ops.collectCentroids(Ops.update(Ops.assign(points, centroids))))
       val next = cfg.emptyClusters match {
         case EmptyClusterPolicy.Drop => updated
         case EmptyClusterPolicy.Keep =>

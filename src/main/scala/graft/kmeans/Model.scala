@@ -50,12 +50,19 @@ final case class CentroidN(cid: Int, features: Array[Double]) {
   * @param emptyClusters `Drop` reproduces the reference (a cluster with no
   *   assigned points vanishes — `reducer.py:116-122`); `Keep` carries the
   *   previous center forward (MLlib-style). SURVEY.md §7.5.
+  * @param f32Wire emulates the reference's float32 wire funnel (protobuf
+  *   `float` coordinates, `comm.proto:41,51-52`): points are rounded
+  *   through f32 once and the model state is rounded through f32 after
+  *   every update, reproducing artifacts like the logged
+  *   (0.824999988079071, 9.7) centroid. Default off (engine is f64,
+  *   SURVEY.md §7.5).
   */
 final case class KMeansConfig(
     k: Int,
     maxIter: Int = 20,
     tol: Double = 0.001,
-    emptyClusters: EmptyClusterPolicy = EmptyClusterPolicy.Drop
+    emptyClusters: EmptyClusterPolicy = EmptyClusterPolicy.Drop,
+    f32Wire: Boolean = false
 )
 
 sealed trait EmptyClusterPolicy

@@ -42,6 +42,30 @@ object StreamOps {
       lateness: String): DataFrame =
     windowedEventCounts(stream.withWatermark("ts", lateness), windowDur)
 
+  /** Session-window aggregation: events from one user within `gap` of each
+    * other merge into one session (Spark `session_window`; works on batch
+    * and streaming frames — streaming requires a watermark, see
+    * [[streamingSessionCounts]]). Output: (user_id, session_start,
+    * session_end, n, total_value).
+    */
+  def sessionCounts(events: DataFrame, gap: String): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n"),
+        col("total_value"))
+
+  /** Streaming variant (session windows require a watermark to finalize). */
+  def streamingSessionCounts(
+      stream: DataFrame,
+      gap: String,
+      lateness: String): DataFrame =
+    sessionCounts(stream.withWatermark("ts", lateness), gap)
+
   /** Map events to the canonical 2-D point view: x = value, y = hour of
     * day. (The events table has no natural 2-D embedding; this is the
     * fixture mapping used by the streaming-assignment demo.)

@@ -131,6 +131,16 @@ object TextOps {
       transform(grams, g => conv(md5(g).substr(1, 15), 16, 10).cast("long")))
   }
 
+  /** Winnowing fingerprints over normalized text (see
+    * [[graft.expr.Winnow]]): the position-robust sketch — any shared
+    * substring of length >= w+k-1 yields a common fingerprint. Output:
+    * exploded (doc_id, fp BIGINT) — order-independent for comparison.
+    */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame =
+    docs.select(
+      col("doc_id"),
+      explode(graft.expr.Winnow(normalize(col("text")), k, w)).as("fp"))
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

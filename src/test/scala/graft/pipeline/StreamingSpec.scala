@@ -48,6 +48,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionCounts merges events within the gap, splits beyond it") {
+    val rows = Seq(
+      Ev(1, ts("2024-01-01 00:00:00"), "c", 1.0),
+      Ev(2, ts("2024-01-01 00:20:00"), "c", 2.0),  // same session (gap 30m)
+      Ev(3, ts("2024-01-01 01:00:00"), "c", 3.0))  // 40m later -> new session
+      .map(e => (e.event_id, e.ts, 7L, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.streaming.StreamOps.sessionCounts(rows, "30 minutes")
+      .select($"session_start", $"n", $"total_value")
+      .as[(Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(got.toSeq === Seq(
+      (ts("2024-01-01 00:00:00"), 2L, 3.0),
+      (ts("2024-01-01 01:00:00"), 1L, 3.0)))
+  }
+
+  test("f32Wire Lloyd reproduces the reference's float funnel artifacts") {
+    import graft.kmeans.{KMeansConfig, Lloyd, Ops}
+    val pts = Ops.readPointsCsv(spark, "/root/reference/Input/points1.txt")
+    assume(pts.count() > 0)
+    val r = Lloyd.fit(pts, KMeansConfig(k = 3, maxIter = 20, f32Wire = true))
+    // the f32-rounded x of the (0.825, 9.75) cluster is the reference's
+    // logged 0.824999988079071 (dump_master.txt)
+    val xs = r.centroids.map(_.x)
+    assert(xs.exists(x => math.abs(x - 0.824999988079071) < 1e-12), s"$xs")
+  }
+
   test("streamingAssign classifies each event against the fixed model") {
     val model = Seq(Centroid2(0, 0.0, 0.0), Centroid2(1, 100.0, 0.0))
     implicit val sqlCtx = spark.sqlContext

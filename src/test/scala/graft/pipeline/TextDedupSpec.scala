@@ -125,6 +125,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fps(3L) > 0L)
   }
 
+  test("winnowing: shared substrings of length >= w+k-1 share a fingerprint") {
+    val shared = "the quick brown fox jumps over the lazy dog repeatedly"
+    val d = docs(
+      (1L, s"PREFIX AAA $shared SUFFIX BBB"),
+      (2L, s"other start $shared different end"),
+      (3L, "completely unrelated content with zero overlap here"))
+    val fps = TextOps.winnowFingerprints(d, k = 5, w = 8)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
+  test("dupGroups: connected components label by min doc id") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("d1", "d2")
+    val groups = Dedup.dupGroups(pairs)
+      .as[(Long, Long)].collect().toMap
+    // chain 1-2-5 collapses to gid 1; pair 7-9 to gid 7
+    assert(groups === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("quality score is in [0,1] and favors stopword-rich prose") {
     val d = docs(
       (1L, "the cat is in the hat and it is a good cat today really"),
