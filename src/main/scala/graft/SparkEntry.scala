@@ -83,6 +83,55 @@ object SparkEntry {
       |  ) a
       |)""".stripMargin
 
+  /** MinHash near-dedup CTE chain (token keys -> shingle keys ->
+    * signatures -> bands -> candidates -> Jaccard-verified pairs), shared
+    * by the composed pipeline oracles.
+    */
+  private val DEDUP_VER =
+    """tk AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    tok -> struct_pack(
+      |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+      |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+      |  FROM documents
+      |),
+      |skeys AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+      |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+      |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+      |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+      |          * 2147483647
+      |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+      |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+      |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+      |  FROM tk
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(range(0, 12),
+      |           h -> list_min(list_transform(keys,
+      |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+      |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+      |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+      |  FROM skeys WHERE len(keys) > 0
+      |),
+      |bands AS (
+      |  SELECT doc_id, b,
+      |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+      |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+      |),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bands a JOIN bands b USING (b, bucket)
+      |  WHERE a.doc_id < b.doc_id
+      |),
+      |ver AS (
+      |  SELECT c.d1, c.d2
+      |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+      |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+      |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+      |)""".stripMargin
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * a full Lloyd fit (K=4, ≤7 iterations — the reference's logged K=4 run
     * shape, BASELINE.md) returning the final model.
@@ -355,6 +404,31 @@ object SparkEntry {
         KMeansConfig(k = 4, maxIter = 3))
       Ops.assign(StreamOps.eventPoints(Graft.events(s, dir)), model.centroids)
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    },
+
+    // Stream-static enrichment: events joined (broadcast) to the customer
+    // dim by user id -> spend per nation/event_type
+    "st_enrich_join" -> { (s, dir) =>
+      val dim = Graft.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      StreamOps.enrichWithDim(Graft.events(s, dir), dim, "user_id")
+        .groupBy(col("c_nationkey"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+    },
+
+    // Corpus-cleaning pipeline composition: language + quality filter,
+    // then near-dedup survivors -> per-language corpus stats
+    "tx_corpus_clean" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val analyzed = TextOps.analyze(docs)
+        .filter(col("quality") >= 0.5)
+      val survivors = Dedup.nearDedup(docs,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("doc_id"))
+      analyzed.join(survivors, Seq("doc_id"), "left_semi")
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("quality")), 6).as("avg_quality"))
     },
 
     // ---- multimodal binary columns --------------------------------------
@@ -704,6 +778,56 @@ object SparkEntry {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
         |)
         |SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a""".stripMargin,
+
+    "st_enrich_join" ->
+      """SELECT c.c_nationkey, e.event_type, COUNT(*) AS n,
+        |       ROUND(SUM(e.value), 6) AS total_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "tx_corpus_clean" ->
+      s"""WITH $DEDUP_VER,
+         |survivors AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id NOT IN (SELECT d2 FROM ver)
+         |),
+         |toks2 AS (
+         |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t
+         |  FROM documents
+         |),
+         |scored2 AS (
+         |  SELECT doc_id,
+         |    len(t) AS n_tokens,
+         |    len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it'], x))) AS s_en,
+         |    len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS s_es,
+         |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','ein','zu','den'], x))) AS s_de,
+         |    len(list_filter(t, x -> list_contains(['le','les','des','et','un','est','dans','que'], x))) AS s_fr,
+         |    len(list_filter(t, x -> list_contains(['shi','bu','wo','ni','ta','zhe','ge','men'], x))) AS s_zh,
+         |    length(text) AS n_chars,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS no_space,
+         |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS punct
+         |  FROM toks2
+         |),
+         |an AS (
+         |  SELECT doc_id,
+         |    CASE
+         |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |      WHEN s_fr >= s_zh THEN 'fr'
+         |      ELSE 'zh'
+         |    END AS lang_pred,
+         |    ROUND(
+         |      least(n_tokens / 100.0, 1.0) * 0.3 +
+         |      (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
+         |      least(s_en * 5.0 / n_tokens, 1.0) * 0.2 +
+         |      (1.0 - least(punct * 4.0 / n_chars, 1.0)) * 0.2, 6) AS quality
+         |  FROM scored2
+         |)
+         |SELECT lang_pred, COUNT(*) AS n, ROUND(AVG(quality), 6) AS avg_quality
+         |FROM an JOIN survivors USING (doc_id)
+         |WHERE quality >= 0.5
+         |GROUP BY lang_pred""".stripMargin,
 
     "st_session_counts" ->
       """WITH o AS (

@@ -140,4 +140,16 @@ object StreamOps {
   def foreachBatchScorer(
       centroids: Seq[Centroid2]): (DataFrame, Long) => DataFrame =
     (batch: DataFrame, _: Long) => Ops.assign(eventPoints(batch), centroids)
+
+  /** Stream–static enrichment join: events joined to a (small, broadcast)
+    * static dimension table keyed by user id — the standard streaming
+    * enrichment pattern; the static side is re-read per micro-batch by
+    * Structured Streaming, so the same code serves batch and stream.
+    * Output: events + the dimension's columns.
+    */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }
