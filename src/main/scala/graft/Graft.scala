@@ -48,7 +48,10 @@ object Graft {
     val raw = table(spark, sfDir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer division — `/` is double division and long→double loses
+        // precision above 2^53, shifting ~12% of nanos timestamps by 1µs
+        // vs DuckDB's integer truncation
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

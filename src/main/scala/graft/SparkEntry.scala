@@ -925,6 +925,9 @@ object SparkEntry {
         |       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
 
+    // NOTE: the oracle slices TEXT by characters while the engine slices
+    // the encoded payload by bytes — equivalent only because the fixture
+    // corpus is all-ASCII (verified: octet_length == length for all docs)
     "mm_frames" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb FROM documents

@@ -28,6 +28,12 @@ import graft.text.TextOps
   *
   * All operators are pure column expressions (no UDFs) so they stay inside
   * whole-stage codegen and remain expressible as DuckDB oracle SQL.
+  *
+  * Caching: the self-join operators persist their shared inputs
+  * (MEMORY_AND_DISK) and cannot unpersist them before the caller consumes
+  * the lazily-evaluated result — long-lived sessions running many dedup
+  * pipelines should `spark.catalog.clearCache()` between them or rely on
+  * LRU eviction.
   */
 object Dedup {
 
@@ -281,11 +287,13 @@ object Dedup {
     // min-label propagation only ever DECREASES labels, so the label sum is
     // a strictly decreasing convergence witness (and avoids the ambiguous
     // self-join a row-wise old-vs-new compare would need)
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("gid"))).collect()(0).getLong(0)
+    def labelSum(df: DataFrame): Long = {
+      val row = df.agg(sum(col("gid"))).collect()(0)
+      if (row.isNullAt(0)) 0L else row.getLong(0) // sum over empty = null
+    }
     var round = 0
     var prevSum = labelSum(labels)
-    var changed = true
+    var changed = prevSum != 0L // empty pair set: nothing to propagate
     while (round < maxRounds && changed) {
       round += 1
       val propagated = edges
@@ -301,6 +309,11 @@ object Dedup {
       labels = next
     }
     edges.unpersist(blocking = false)
+    if (changed)
+      throw new IllegalStateException(
+        s"dupGroups did not converge within $maxRounds rounds — a component's " +
+          "diameter exceeds the bound; raise maxRounds (silent truncation " +
+          "would mislabel groups)")
     labels
   }
 

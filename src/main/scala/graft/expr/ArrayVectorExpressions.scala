@@ -74,15 +74,16 @@ case class ArrayDot(left: Expression, right: Expression) extends ArrayFoldExpres
 case class ArraySqDist(left: Expression, right: Expression) extends ArrayFoldExpression {
   override def prettyName: String = "array_sqdist"
 
-  override protected def foldJava(a: String, b: String, n: String, acc: String): String = {
-    val d = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+  override protected def foldJava(a: String, b: String, n: String, acc: String): String =
+    // a UUID here would make the generated source nondeterministic and
+    // defeat the whole-stage-codegen source cache; the loop body is its own
+    // scope so a fixed local name cannot collide
     s"""
        |for (int i = 0; i < $n; i++) {
-       |  double diff_$d = $a.getDouble(i) - $b.getDouble(i);
-       |  $acc += diff_$d * diff_$d;
+       |  double graft_sqdist_diff = $a.getDouble(i) - $b.getDouble(i);
+       |  $acc += graft_sqdist_diff * graft_sqdist_diff;
        |}
      """.stripMargin
-  }
 
   override protected def foldScala(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

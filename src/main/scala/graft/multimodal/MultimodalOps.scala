@@ -98,14 +98,19 @@ object MultimodalOps {
   def frameSample(media: DataFrame, frameSize: Int, stride: Int): DataFrame = {
     require(frameSize > 0 && stride > 0, "frameSize and stride must be positive")
     val nFrames = floor((octet_length(col("media")) + frameSize - 1) / frameSize)
+    // empty payload -> no frames (sequence(0, -1) is not expressible, so
+    // guard explicitly rather than clamping to a phantom zero-length frame)
+    val frameIdxs = when(nFrames > 0,
+      filter(
+        sequence(lit(0), greatest(nFrames - 1, lit(0)).cast("int")),
+        i => i % stride === 0))
+      .otherwise(array().cast("array<int>"))
     media
       .select(
         col("media_id"),
         posexplode(
           transform(
-            filter(
-              sequence(lit(0), greatest(nFrames - 1, lit(0)).cast("int")),
-              i => i % stride === 0),
+            frameIdxs,
             i => col("media").substr((i * frameSize + 1).cast("int"), lit(frameSize))))
           .as(Seq("frame_idx", "frame")))
   }

@@ -100,6 +100,14 @@ object Similarity {
       k: Int,
       bits: Int,
       d: Int): DataFrame = {
+    // a wrong d silently zeroes every signature (zip_with null-pads, the
+    // fold goes null, every bit renders '0') and the bucket join degrades
+    // to all-pairs — validate against the data up front
+    corpus.select(size(col("vec"))).limit(1).collect().headOption.foreach { r =>
+      require(
+        r.getInt(0) == d,
+        s"lshTopK: d=$d but corpus vectors have ${r.getInt(0)} dimensions")
+    }
     val planes = hyperplanes(bits, d)
     val sig = (df: DataFrame, idName: String, vecName: String, normName: String) =>
       df.select(

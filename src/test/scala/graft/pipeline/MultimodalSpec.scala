@@ -38,6 +38,11 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L)(2) === 1.0f)
   }
 
+  test("frameSample: empty payload yields zero frames (no phantom row)") {
+    val m = media((1L, ""))
+    assert(MultimodalOps.frameSample(m, frameSize = 32, stride = 1).count() === 0L)
+  }
+
   test("frameSample: fixed-size frames, stride skip, short tail") {
     val m = media((1L, "a" * 70)) // 70 bytes, frameSize 32 -> 3 frames (32,32,6)
     val frames = MultimodalOps.frameSample(m, frameSize = 32, stride = 2)

@@ -48,6 +48,19 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Graft.events truncates nanos to micros by integer division") {
+    val sf = "/root/testdata/sf0.001"
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("event_id", "ts AS raw_ns")
+    val norm = graft.Graft.events(spark, sf)
+      .selectExpr("event_id", "unix_micros(ts) AS us")
+    val joined = norm.join(raw, "event_id")
+      .selectExpr("count(*) AS total",
+        "sum(CASE WHEN us = raw_ns div 1000 THEN 0 ELSE 1 END) AS bad")
+      .collect().head
+    assert(joined.getLong(1) === 0L, s"off-by-1us rows: ${joined.getLong(1)}")
+  }
+
   test("sessionCounts merges events within the gap, splits beyond it") {
     val rows = Seq(
       Ev(1, ts("2024-01-01 00:00:00"), "c", 1.0),

@@ -145,6 +145,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(groups === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dupGroups: empty pair set yields empty labels, not an NPE") {
+    val pairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(Dedup.dupGroups(pairs).count() === 0L)
+  }
+
+  test("dupGroups: fails loudly when a chain exceeds maxRounds") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupGroups(chain, maxRounds = 2).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and converges fine with enough rounds
+    val ok = Dedup.dupGroups(chain, maxRounds = 10).as[(Long, Long)].collect()
+    assert(ok.forall(_._2 == 1L))
+  }
+
   test("quality score is in [0,1] and favors stopword-rich prose") {
     val d = docs(
       (1L, "the cat is in the hat and it is a good cat today really"),
