@@ -431,6 +431,24 @@ object SparkEntry {
           round(avg(col("quality")), 6).as("avg_quality"))
     },
 
+    // OLAP rollup: doc counts / avg length by (source, lang) with
+    // subtotals and grand total (capability absent from the reference)
+    "tx_rollup_stats" -> { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 6).as("avg_chars"))
+    },
+
+    // Distinct aggregation: per-source distinct-token vocabulary size
+    "tx_distinct_vocab" -> { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("vocab"))
+    },
+
     // ---- multimodal binary columns --------------------------------------
     // Metadata-only stats (column pruning: payload never read)
     "mm_media_stats" -> { (s, dir) =>
@@ -778,6 +796,17 @@ object SparkEntry {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
         |)
         |SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a""".stripMargin,
+
+    "tx_rollup_stats" ->
+      """SELECT source, lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    "tx_distinct_vocab" ->
+      """WITH t AS (
+        |  SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(DISTINCT tok) AS vocab FROM t GROUP BY source""".stripMargin,
 
     "st_enrich_join" ->
       """SELECT c.c_nationkey, e.event_type, COUNT(*) AS n,
