@@ -449,6 +449,37 @@ object SparkEntry {
         .agg(countDistinct(col("tok")).as("vocab"))
     },
 
+    // Time-bounded event join (the batch form of a stream-stream inner
+    // join): every click within 30 minutes after a view by the same user
+    "j2_timebound_join" -> { (s, dir) =>
+      val ev = Graft.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      graft.joins.Joins
+        .timeBoundJoin(views, clicks, "v_user", "c_user", "vts", "cts", "30 minutes")
+        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    },
+
+    // As-of join: each click's most recent preceding view (same user)
+    "j3_asof_join" -> { (s, dir) =>
+      val ev = Graft.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+      graft.joins.Joins
+        .asofJoin(clicks, views.withColumnRenamed("v_user", "user_id"),
+          "user_id", "ts", "vts", "view_id")
+        .select(col("user_id"), col("click_id"),
+          unix_timestamp(col("asof_ts")).as("view_ts"),
+          col("asof_value").as("view_id"))
+    },
+
     // ---- multimodal binary columns --------------------------------------
     // Metadata-only stats (column pruning: payload never read)
     "mm_media_stats" -> { (s, dir) =>
@@ -807,6 +838,30 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT source, COUNT(DISTINCT tok) AS vocab FROM t GROUP BY source""".stripMargin,
+
+    "j2_timebound_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM ev v JOIN ev c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin,
+
+    "j3_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS vts
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT c.user_id, c.click_id,
+        |       CAST(floor(epoch(a.vts)) AS BIGINT) AS view_ts, a.view_id
+        |FROM c LEFT JOIN LATERAL (
+        |  SELECT vts, view_id FROM v
+        |  WHERE v.user_id = c.user_id AND v.vts <= c.ts
+        |  ORDER BY vts DESC, view_id DESC LIMIT 1
+        |) a ON true""".stripMargin,
 
     "st_enrich_join" ->
       """SELECT c.c_nationkey, e.event_type, COUNT(*) AS n,

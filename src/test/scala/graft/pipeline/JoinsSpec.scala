@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.joins.Joins
+import graft.kmeans.SparkTestSession
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest preceding right row; no match -> nulls") {
+    val clicks = Seq(
+      (7L, 1L, ts("2024-01-01 10:00:00")),
+      (7L, 2L, ts("2024-01-01 12:00:00")),
+      (9L, 3L, ts("2024-01-01 10:00:00"))) // user 9 has no views
+      .toDF("user_id", "click_id", "ts")
+    val views = Seq(
+      (7L, ts("2024-01-01 09:00:00"), 100L),
+      (7L, ts("2024-01-01 11:00:00"), 101L),
+      (7L, ts("2024-01-01 13:00:00"), 102L)) // after both clicks
+      .toDF("user_id", "vts", "view_id")
+    val got = Joins.asofJoin(clicks, views, "user_id", "ts", "vts", "view_id")
+      .select($"click_id", $"asof_value")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got === Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None))
+  }
+
+  test("asofJoin ties on timestamp break to the larger value") {
+    val l = Seq((1L, 10L, ts("2024-01-01 10:00:00"))).toDF("k", "lid", "ts")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5L),
+      (1L, ts("2024-01-01 10:00:00"), 9L)).toDF("k", "vts", "v")
+    val got = Joins.asofJoin(l, r, "k", "ts", "vts", "v")
+      .select($"asof_value").as[Long].head()
+    assert(got === 9L)
+  }
+
+  test("timeBoundJoin keeps only right events inside [lts, lts+window]") {
+    val v = Seq((7L, 100L, ts("2024-01-01 00:00:00")))
+      .toDF("v_user", "view_id", "vts")
+    val c = Seq(
+      (7L, 200L, ts("2024-01-01 00:10:00")),
+      (7L, 201L, ts("2024-01-01 00:30:00")), // boundary: included
+      (7L, 202L, ts("2024-01-01 00:31:00")),
+      (8L, 203L, ts("2024-01-01 00:10:00"))) // other user
+      .toDF("c_user", "click_id", "cts")
+    val got = Joins.timeBoundJoin(v, c, "v_user", "c_user", "vts", "cts", "30 minutes")
+      .select($"click_id").as[Long].collect().toSet
+    assert(got === Set(200L, 201L))
+  }
+}

@@ -10,6 +10,7 @@ import graft.kmeans.{Centroid2, SparkTestSession}
 import graft.streaming.StreamOps
 
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
+final case class EvU(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 /** Structured Streaming extensions: windowed aggregation with watermark,
   * stateless streaming assignment, and stateful incremental centroids via
@@ -101,6 +102,30 @@ class StreamingSpec extends AnyFunSuite {
       val got = spark.table("assigned").select($"pid", $"cid")
         .as[(Long, Int)].collect().toMap
       assert(got === Map(1L -> 0, 2L -> 1))
+    } finally q.stop()
+  }
+
+  test("stream-stream time-bounded join works with watermarks on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EvU]
+    val clicks = MemoryStream[EvU]
+    val v = views.toDF().withWatermark("ts", "1 hour")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("vts"))
+    val c = clicks.toDF().withWatermark("ts", "1 hour")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("cts"))
+    val q = graft.joins.Joins
+      .timeBoundJoin(v, c, "v_user", "c_user", "vts", "cts", "30 minutes")
+      .select($"view_id", $"click_id")
+      .writeStream.format("memory").queryName("vc_join").start()
+    try {
+      // user 7: view at 00:00 + clicks at 00:10 (in window) / 01:00 (out)
+      views.addData(EvU(100, ts("2024-01-01 00:00:00"), 7L, "view", 0.0))
+      clicks.addData(
+        EvU(200, ts("2024-01-01 00:10:00"), 7L, "click", 0.0),
+        EvU(201, ts("2024-01-01 01:00:00"), 7L, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("vc_join").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 200L)))
     } finally q.stop()
   }
 
