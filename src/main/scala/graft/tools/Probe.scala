@@ -45,6 +45,20 @@ object Probe {
         .distinct().count()
     }
     time("full_candidates")(Dedup.minHashCandidates(docs, 3, 12, 4).count())
+
+    // bucketed co-located join drive: write, join, inspect plan
+    import org.apache.spark.sql.functions._
+    import graft.storage.Bucketing
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_extendedprice").as("price"),
+        col("l_discount").as("disc"))
+    Bucketing.writeBucketed(li.select(col("k"), col("price")), "probe_bkt_a", "k", 8)
+    Bucketing.writeBucketed(li.select(col("k"), col("disc")), "probe_bkt_b", "k", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val j = Bucketing.coLocatedJoin(spark, "probe_bkt_a", "probe_bkt_b", "k")
+    val plan = j.queryExecution.executedPlan.toString
+    println(s"PROBE bucketed_join_rows=${j.count()} exchange_free=${!plan.contains("Exchange")}")
+    spark.sql("DROP TABLE probe_bkt_a"); spark.sql("DROP TABLE probe_bkt_b")
     spark.stop()
   }
 }

@@ -58,6 +58,46 @@ class PlanShapeSpec extends AnyFunSuite {
       s"interpreted Project present:\n${plan.take(1200)}")
   }
 
+  test("bucketed tables join with no shuffle exchange") {
+    import graft.storage.Bucketing
+    val p = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
+    val assigned = Ops.assign(p, Ops.collectCentroids(Ops.initFirstK(p, 4)))
+    Bucketing.writeBucketed(
+      assigned.select(col("cid"), col("x")), "graft_bkt_a", "cid", 4)
+    Bucketing.writeBucketed(
+      assigned.select(col("cid"), col("y")), "graft_bkt_b", "cid", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so a missing bucket layout would show as a
+      // shuffle exchange (a broadcast join would hide it)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.coLocatedJoin(spark, "graft_bkt_a", "graft_bkt_b", "cid")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n${plan.take(1000)}")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
+
+  test("saltedEquiJoin equals the plain join (skew mitigation is transparent)") {
+    import graft.storage.Bucketing
+    import spark.implicits._
+    // skewed big side: one hot key
+    val big = (Seq.fill(500)((1, "hot")) ++ Seq((2, "cold"), (3, "cool")))
+      .toDF("k", "payload")
+    val small = Seq((1, "a"), (2, "b"), (4, "d")).toDF("k", "dim")
+    val plain = big.join(small, Seq("k"))
+      .select($"k", $"payload", $"dim").as[(Int, String, String)]
+      .collect().sorted
+    val salted = Bucketing.saltedEquiJoin(big, small, "k", factor = 8)
+      .select($"k", $"payload", $"dim").as[(Int, String, String)]
+      .collect().sorted
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("mean update is a partial+final hash aggregate (map-side combine)") {
     val p = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
     val centroids = Ops.collectCentroids(Ops.initFirstK(p, 4))
