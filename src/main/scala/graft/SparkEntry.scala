@@ -428,7 +428,7 @@ object SparkEntry {
       analyzed.join(survivors, Seq("doc_id"), "left_semi")
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("quality")), 6).as("avg_quality"))
+          (floor(avg(col("quality")) * 1e6) / 1e6).as("avg_quality"))
     },
 
     // OLAP rollup: doc counts / avg length by (source, lang) with
@@ -631,11 +631,11 @@ object SparkEntry {
          |    WHEN s_fr >= s_zh THEN 'fr'
          |    ELSE 'zh'
          |  END AS lang_pred,
-         |  ROUND(
+         |  floor((
          |    least(n_tokens / 100.0, 1.0) * 0.3 +
          |    (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
-         |    least(s_en * 5.0 / n_tokens, 1.0) * 0.2 +
-         |    (1.0 - least(punct * 4.0 / n_chars, 1.0)) * 0.2, 6) AS quality,
+         |    least(s_en * 1.0 / n_tokens * 5.0, 1.0) * 0.2 +
+         |    (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0) / 1000000.0 AS quality,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |FROM scored""".stripMargin,
 
@@ -901,14 +901,14 @@ object SparkEntry {
          |      WHEN s_fr >= s_zh THEN 'fr'
          |      ELSE 'zh'
          |    END AS lang_pred,
-         |    ROUND(
+         |    floor((
          |      least(n_tokens / 100.0, 1.0) * 0.3 +
          |      (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
-         |      least(s_en * 5.0 / n_tokens, 1.0) * 0.2 +
-         |      (1.0 - least(punct * 4.0 / n_chars, 1.0)) * 0.2, 6) AS quality
+         |      least(s_en * 1.0 / n_tokens * 5.0, 1.0) * 0.2 +
+         |      (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0) / 1000000.0 AS quality
          |  FROM scored2
          |)
-         |SELECT lang_pred, COUNT(*) AS n, ROUND(AVG(quality), 6) AS avg_quality
+         |SELECT lang_pred, COUNT(*) AS n, floor(AVG(quality) * 1000000.0) / 1000000.0 AS avg_quality
          |FROM an JOIN survivors USING (doc_id)
          |WHERE quality >= 0.5
          |GROUP BY lang_pred""".stripMargin,

@@ -149,6 +149,10 @@ object TextOps {
       (Seq(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         langId(col("text")).as("lang_pred"),
-        round(qualityScore(col("text")), 6).as("quality"),
+        // truncate, don't round: the quality formula produces exact decimal
+        // fractions that land ON the .5 boundary of the 6th digit, where
+        // Spark (binary HALF_UP) and DuckDB (decimal-rendered round)
+        // disagree; floor(x*1e6)/1e6 is bit-deterministic in both
+        (floor(qualityScore(col("text")) * 1e6) / 1e6).as("quality"),
         fingerprint(col("text")).as("fp")) ): _*)
 }
