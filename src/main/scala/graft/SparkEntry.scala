@@ -376,6 +376,16 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
+    // MLlib MinHashLSH production path (rows-only: MLlib hash seeds have
+    // no SQL oracle; recall vs exact Jaccard asserted in MLlibLSHSpec)
+    "mllib_minhash_pairs" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val vecs = graft.sim.MLlibLSH.shingleVectors(docs, n = 3, dim = 1 << 16)
+      graft.sim.MLlibLSH
+        .minHashSimilarityJoin(vecs, numHashTables = 6, maxDistance = 0.5)
+        .select(col("d1"), col("d2"), round(col("distance"), 6).as("distance"))
+    },
+
     // ---- streaming (batch form of the same transform; the streaming
     // path adds only a watermark — StreamingSpec covers it) -------------
     // Tumbling 1-hour window aggregation over events
