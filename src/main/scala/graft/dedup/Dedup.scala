@@ -365,6 +365,29 @@ object Dedup {
     tokenHashFrame(docs).select(col("doc_id"), concat(bits: _*).as("simhash"))
   }
 
+  /** TF-weighted SimHash: like [[simHash]] but each distinct token's ±1
+    * vote is weighted by its occurrence count (term frequency), so a
+    * token repeated ten times dominates a hapax — the standard weighted
+    * variant (Charikar'02 with tf weights). Emitted as the 64-char bit
+    * string. (doc_id, simhash).
+    */
+  def simHashWeighted(docs: DataFrame): DataFrame = {
+    // hs carries one quad per token OCCURRENCE (no distinct): summing the
+    // per-occurrence ±1 votes IS the tf weighting
+    val hs = transform(
+      TextOps.tokens(col("text")),
+      t =>
+        transform(
+          sequence(lit(0), lit(3)),
+          q => conv(md5(t).substr(q * 4 + 1, lit(4)), 16, 10).cast("int")))
+    val framed = docs
+      .select(col("doc_id"), hs.as("hs"))
+      .repartition(col("doc_id")) // projection barrier (see tokenHashFrame)
+    val weights = simHashWeights(col("hs"))
+    val bits = weights.map(w => when(w > 0, lit("1")).otherwise(lit("0")))
+    framed.select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
   /** Per-doc SimHash packed as 4 × 16-bit int blocks (the join/hamming
     * representation). (doc_id, blocks ARRAY<INT> of length 4).
     */

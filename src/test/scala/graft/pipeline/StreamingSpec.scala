@@ -129,6 +129,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatchScorer applies the batch-trained model per micro-batch") {
+    import graft.kmeans.Centroid2
+    implicit val sqlCtx = spark.sqlContext
+    val model = Seq(Centroid2(0, 0.0, 0.0), Centroid2(1, 100.0, 0.0))
+    val scorer = graft.streaming.StreamOps.foreachBatchScorer(model)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts("2024-01-01 00:00:00"), "c", 5.0),
+      Ev(2, ts("2024-01-01 00:00:00"), "c", 98.0))
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized {
+          seen ++= scorer(batch, id)
+            .select($"pid", $"cid").as[(Long, Int)].collect()
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.toSet === Set((1L, 0), (2L, 1)))
+    } finally q.stop()
+  }
+
   test("incrementalCentroids keeps running means across micro-batches") {
     val model = Seq(Centroid2(0, 0.0, 0.0), Centroid2(1, 100.0, 0.0))
     implicit val sqlCtx = spark.sqlContext

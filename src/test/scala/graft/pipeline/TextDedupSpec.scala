@@ -161,6 +161,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ok.forall(_._2 == 1L))
   }
 
+  test("simHashWeighted: repetition shifts the fingerprint toward the heavy token") {
+    val d = docs(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha alpha alpha alpha alpha alpha alpha beta"),
+      (3L, "alpha"))
+    val fp = Dedup.simHashWeighted(d).as[(Long, String)].collect().toMap
+    val unweighted = Dedup.simHash(d).as[(Long, String)].collect().toMap
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    // tf-weighting pulls doc 2 to (almost) pure-alpha's fingerprint
+    assert(ham(fp(2L), fp(3L)) <= ham(unweighted(2L), fp(3L)))
+    assert(fp(2L) === fp(3L)) // 8:1 majority: alpha wins every bit
+    // unweighted treats docs 1 and 2 identically (same distinct set)
+    assert(unweighted(1L) === unweighted(2L))
+  }
+
   test("quality score is in [0,1] and favors stopword-rich prose") {
     val d = docs(
       (1L, "the cat is in the hat and it is a good cat today really"),
