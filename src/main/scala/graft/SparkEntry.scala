@@ -263,6 +263,43 @@ object SparkEntry {
         .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
     },
 
+    // L3: sort + limit — top-10 orders by total price (deterministic
+    // tiebreak on key)
+    "l3_topk_orders" -> { (s, dir) =>
+      Graft.table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    // L4: set operations — customers with orders minus customers in
+    // nation 0 (EXCEPT), and their intersection (INTERSECT)
+    "l4_setops" -> { (s, dir) =>
+      val withOrders = Graft.table(s, dir, "orders")
+        .select(col("o_custkey").as("c")).distinct()
+      val nation0 = Graft.table(s, dir, "customer")
+        .filter(col("c_nationkey") === 0).select(col("c_custkey").as("c"))
+      withOrders.except(nation0).withColumn("op", lit("except"))
+        .union(withOrders.intersect(nation0).withColumn("op", lit("intersect")))
+        .groupBy(col("op")).agg(count(lit(1)).as("n"))
+    },
+
+    // P4: JSON parsing — extract props.k per event, histogram
+    "p4_json_parse" -> { (s, dir) =>
+      Graft.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    },
+
+    // W1: window functions — 3-event moving average of value per user
+    "w1_moving_avg" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts")).rowsBetween(-2, 0)
+      Graft.events(s, dir)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
+          round(avg(col("value")).over(w), 6).as("mv"))
+    },
+
     // ---- training-data pipeline: text analysis --------------------------
     // Tokenize + language-ID + quality score + fingerprint per document
     "tx_analyze" -> { (s, dir) =>
@@ -767,6 +804,30 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
+
+    "l3_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "l4_setops" ->
+      """WITH wo AS (SELECT DISTINCT o_custkey AS c FROM orders),
+        |n0 AS (SELECT c_custkey AS c FROM customer WHERE c_nationkey = 0)
+        |SELECT op, COUNT(*) AS n FROM (
+        |  SELECT c, 'except' AS op FROM (SELECT c FROM wo EXCEPT SELECT c FROM n0)
+        |  UNION ALL
+        |  SELECT c, 'intersect' AS op FROM (SELECT c FROM wo INTERSECT SELECT c FROM n0)
+        |) GROUP BY op""".stripMargin,
+
+    "p4_json_parse" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "w1_moving_avg" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mv
+        |FROM events""".stripMargin,
 
     "tx_winnow_fp" ->
       """WITH norm AS (
