@@ -141,6 +141,21 @@ object StreamOps {
       centroids: Seq[Centroid2]): (DataFrame, Long) => DataFrame =
     (batch: DataFrame, _: Long) => Ops.assign(eventPoints(batch), centroids)
 
+  /** Streaming deduplication: drop events whose `idCols` were already seen,
+    * with state bounded by the watermark (`dropDuplicatesWithinWatermark` —
+    * duplicates arriving within `lateness` of each other are suppressed,
+    * state for older keys is reclaimed). The streaming form of
+    * [[graft.dedup.Dedup.exactDedup]]; works only on streams (batch frames
+    * should use `dropDuplicates`).
+    */
+  def streamingDedup(
+      stream: DataFrame,
+      lateness: String,
+      idCols: Seq[String]): DataFrame =
+    stream
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Stream–static enrichment join: events joined to a (small, broadcast)
     * static dimension table keyed by user id — the standard streaming
     * enrichment pattern; the static side is re-read per micro-batch by

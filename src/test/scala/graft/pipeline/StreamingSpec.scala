@@ -129,6 +129,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup suppresses duplicate event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = graft.streaming.StreamOps
+      .streamingDedup(mem.toDF(), "1 hour", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream").start()
+    try {
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), "c", 1.0),
+        Ev(1, ts("2024-01-01 00:00:01"), "c", 1.0), // dup in same batch
+        Ev(2, ts("2024-01-01 00:01:00"), "c", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(1, ts("2024-01-01 00:02:00"), "c", 1.0)) // dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select($"event_id").as[Long].collect()
+      assert(ids.sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("foreachBatchScorer applies the batch-trained model per micro-batch") {
     import graft.kmeans.Centroid2
     implicit val sqlCtx = spark.sqlContext
