@@ -263,6 +263,15 @@ object SparkEntry {
         .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
     },
 
+    // A5: exact percentiles — median and p90 price per line number
+    "a5_percentiles" -> { (s, dir) =>
+      Graft.table(s, dir, "lineitem")
+        .groupBy(col("l_linenumber"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+    },
+
     // L3: sort + limit — top-10 orders by total price (deterministic
     // tiebreak on key)
     "l3_topk_orders" -> { (s, dir) =>
@@ -804,6 +813,12 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
+
+    "a5_percentiles" ->
+      """SELECT l_linenumber,
+        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
 
     "l3_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
