@@ -1,32 +1,71 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement discipline (round-2 finding: single-pass timings of a JVM
+  * Spark suite swing ±45% run-over-run):
+  *   - one UNTIMED warm-up pass (JIT, codegen cache, parquet footers),
+  *     then `SPARK_GRAFT_BENCH_RUNS` (default 3) timed passes; the
+  *     per-query number is the MEDIAN, and per-pass totals + spread are
+  *     reported so noise is visible instead of silently eaten;
+  *   - results materialize through the `noop` sink — every output column
+  *     is computed with zero driver/collect cost. (`count()` lets Catalyst
+  *     prune the very expressions under test — the repo's documented
+  *     10×-undermeasure pitfall.)
+  *   - `clearCache()` before every run: the dedup/similarity operators
+  *     persist shared sub-plans, and Spark's CacheManager matches by
+  *     canonicalized plan, so without it run N>1 would silently re-read
+  *     run 1's cache and measure only the tail of each pipeline.
+  *
+  * Emits ONE JSON line to stdout AND to BENCH.json in the working
+  * directory (sbt log prefixes make stdout unparseable on its own).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm up the JVM/codegen/parquet-footer caches so the first timed
-    // query doesn't absorb session startup costs
-    try {
-      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      spark.read.parquet(s"$sfDir/documents.parquet").count()
-      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def runOnce(name: String): Double = {
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    names.foreach(runOnce) // warm-up, untimed
+    val passes: Seq[Map[String, Double]] =
+      (1 to runs).map(_ => names.map(n => n -> runOnce(n)).toMap)
+
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    val med = names.map(n => n -> median(passes.map(_(n)))).toMap
+    val total = med.values.sum
+    val passTotals = passes.map(_.values.sum)
+    val spread = passTotals.max - passTotals.min
+
+    val qs = names.map(n => s"\"$n\":${med(n)}").mkString("{", ",", "}")
+    val totalsJson = passTotals.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","runs":$runs,"pass_totals":$totalsJson,""" +
+        s""""spread_sec":$spread,"materialize":"noop"}"""
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -258,18 +258,19 @@ object SparkEntry {
 
     // S3: contiguous input split (chunk sizes; last chunk takes remainder)
     "s3_split_sizes" -> { (s, dir) =>
-      val p = points(s, dir)
-      Ops.splitContiguous(p, 5, p.count())
+      Ops.splitContiguous(points(s, dir), 5)
         .groupBy(col("chunk")).agg(count(lit(1)).as("n"))
     },
 
     // A5: exact percentiles — median and p90 price per line number
+    // (floor-truncated, not rounded: Spark HALF_UP and DuckDB decimal
+    // rounding diverge on .5 boundaries — the repo-wide convention)
     "a5_percentiles" -> { (s, dir) =>
       Graft.table(s, dir, "lineitem")
         .groupBy(col("l_linenumber"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
+          (floor(expr("percentile(l_extendedprice, 0.5)") * 1e6) / 1e6).as("p50"),
+          (floor(expr("percentile(l_extendedprice, 0.9)") * 1e6) / 1e6).as("p90"))
     },
 
     // L3: sort + limit — top-10 orders by total price (deterministic
@@ -301,9 +302,12 @@ object SparkEntry {
     },
 
     // W1: window functions — 3-event moving average of value per user
+    // (event_id tiebreak keeps the ROWS frame deterministic under
+    // duplicate (user_id, ts))
     "w1_moving_avg" -> { (s, dir) =>
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts")).rowsBetween(-2, 0)
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, 0)
       Graft.events(s, dir)
         .select(col("user_id"), unix_timestamp(col("ts")).as("t"),
           round(avg(col("value")).over(w), 6).as("mv"))
@@ -338,9 +342,13 @@ object SparkEntry {
       Dedup.exactGroups(Graft.table(s, dir, "documents"))
     },
 
-    // Exact 3-gram Jaccard near-dup pairs (inverted shingle index)
+    // Exact 3-gram Jaccard near-dup pairs (inverted shingle index) with
+    // the stop-shingle cap active: shingles in > 50 docs are dropped
+    // before the self-join, bounding fan-out on ubiquitous shingles
+    // (similarity becomes a lower bound; the oracle mirrors the cap)
     "dd_jaccard_pairs" -> { (s, dir) =>
-      Dedup.jaccardPairs(Graft.table(s, dir, "documents"), n = 3, threshold = 0.4)
+      Dedup.jaccardPairs(Graft.table(s, dir, "documents"), n = 3,
+          threshold = 0.4, maxShingleDf = Some(50L))
         .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
     },
 
@@ -386,6 +394,18 @@ object SparkEntry {
       val vecs = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
       Similarity.cosineNearDupPairs(vecs, threshold = 0.45)
+        .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+    },
+
+    // Embedding-cosine near-dup pairs, LSH-bucketed + exact verify — the
+    // scale path (banded sign-LSH: 4 bands × 4 bits, candidates only
+    // within equal buckets, never all-pairs); precision 1.0 vs
+    // sm_cosine_neardup, recall asserted in SimilaritySpec
+    "sm_cosine_lsh_neardup" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.cosineLshNearDupPairs(vecs, threshold = 0.45,
+          bands = 4, bitsPerBand = 4, d = 64)
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
     },
 
@@ -552,13 +572,18 @@ object SparkEntry {
           octet_length(col("frame")).cast("long").as("n"))
     },
 
-    // Batched STUB decode -> features (rows-only; plumbing under test in
-    // MultimodalSpec)
+    // Batched STUB decode -> features. The stub's 16-bin byte histogram IS
+    // plain SQL over the (all-ASCII) text payload, so three informative
+    // bins — 0x20-2F space/punct, 0x60-6F a-o, 0x70-7F p-DEL — are
+    // oracle-checked bit-exactly (the float32 division is mirrored via
+    // CAST AS REAL on the DuckDB side; floor-truncated per convention)
     "mm_features" -> { (s, dir) =>
       MultimodalOps.extractFeatures(
           MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")))
         .select(col("media_id"),
-          round(element_at(col("features"), 1).cast("double"), 6).as("f0"),
+          (floor(element_at(col("features"), 3).cast("double") * 1e6) / 1e6).as("f2"),
+          (floor(element_at(col("features"), 7).cast("double") * 1e6) / 1e6).as("f6"),
+          (floor(element_at(col("features"), 8).cast("double") * 1e6) / 1e6).as("f7"),
           size(col("features")).cast("long").as("d"))
     }
   )
@@ -719,10 +744,15 @@ object SparkEntry {
         |     + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647 AS shash
         |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - 1)) AS i) r
         |),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |shf AS (
+        |  SELECT sh.doc_id, sh.shash FROM sh
+        |  JOIN (SELECT shash FROM sh GROUP BY shash HAVING COUNT(*) <= 50)
+        |    USING (shash)
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-        |  FROM sh a JOIN sh b USING (shash)
+        |  FROM shf a JOIN shf b USING (shash)
         |  WHERE a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
@@ -816,8 +846,8 @@ object SparkEntry {
 
     "a5_percentiles" ->
       """SELECT l_linenumber,
-        |       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-        |       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+        |       floor(quantile_cont(l_extendedprice, 0.5) * 1000000.0) / 1000000.0 AS p50,
+        |       floor(quantile_cont(l_extendedprice, 0.9) * 1000000.0) / 1000000.0 AS p90
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
 
     "l3_topk_orders" ->
@@ -840,7 +870,7 @@ object SparkEntry {
     "w1_moving_avg" ->
       """SELECT user_id,
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
-        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts
+        |  ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS mv
         |FROM events""".stripMargin,
 
@@ -1066,6 +1096,37 @@ object SparkEntry {
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |) WHERE sim >= 0.45""".stripMargin,
 
+    // signature mirrors Similarity.planeComponent exactly: plane(p,i) =
+    // first-15-hex-digits of md5("p,i") as BIGINT / 2⁵⁹ − 1.0 (identical
+    // double ops ⇒ identical sign bits ⇒ identical band buckets)
+    "sm_cosine_lsh_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform(range(0, 16), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CAST(('0x' || substr(md5(p || ',' || (i - 1)), 1, 15)) AS BIGINT)
+        |                / 576460752303423488.0 - 1.0))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS s
+        |  FROM e
+        |),
+        |bands AS (
+        |  SELECT vec_id, b, substr(s, CAST(b * 4 + 1 AS INT), 4) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT d1, d2, ROUND(sim, 6) AS sim FROM (
+        |  SELECT c.d1, c.d2,
+        |    list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*x.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])))) AS sim
+        |  FROM cand c JOIN e x ON c.d1 = x.vec_id JOIN e y ON c.d2 = y.vec_id
+        |) WHERE sim >= 0.45""".stripMargin,
+
     "sm_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
@@ -1094,6 +1155,28 @@ object SparkEntry {
         |       CAST(MIN(octet_length(encode(text))) AS BIGINT) AS min_bytes,
         |       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // NOTE: the oracle counts TEXT characters while the engine bins the
+    // encoded payload's bytes — equivalent only because the fixture corpus
+    // is all-ASCII (verified: octet_length == length for all docs). The
+    // REAL casts reproduce the stub's float32 bin normalization bit-exactly.
+    "mm_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, length(text) AS nc,
+        |         length(regexp_replace(text, '[\x20-\x2f]', '', 'g')) AS r2,
+        |         length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS r6,
+        |         length(regexp_replace(text, '[\x70-\x7f]', '', 'g')) AS r7
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE WHEN nc = 0 THEN 0.0 ELSE
+        |    floor(CAST(CAST(nc - r2 AS REAL) / CAST(nc AS REAL) AS DOUBLE) * 1000000.0) / 1000000.0 END AS f2,
+        |  CASE WHEN nc = 0 THEN 0.0 ELSE
+        |    floor(CAST(CAST(nc - r6 AS REAL) / CAST(nc AS REAL) AS DOUBLE) * 1000000.0) / 1000000.0 END AS f6,
+        |  CASE WHEN nc = 0 THEN 0.0 ELSE
+        |    floor(CAST(CAST(nc - r7 AS REAL) / CAST(nc AS REAL) AS DOUBLE) * 1000000.0) / 1000000.0 END AS f7,
+        |  CAST(16 AS BIGINT) AS d
+        |FROM m""".stripMargin,
 
     // NOTE: the oracle slices TEXT by characters while the engine slices
     // the encoded payload by bytes — equivalent only because the fixture

@@ -269,138 +269,128 @@ object Dedup {
 
   /** Duplicate GROUPS: connected components over the verified near-dup
     * pair graph, labeled by the minimum doc_id in each component.
-    * Iterative min-label propagation on DataFrames (each round: take the
-    * min of a node's label and its neighbors' labels) — converges in
-    * O(component diameter) rounds; near-dup components are tiny chains in
-    * practice, and `maxRounds` bounds the worst case. Only docs that are in
-    * some pair appear. Output: (doc_id, gid).
+    *
+    * Algorithm: alternating large-star / small-star contractions (Kiveris,
+    * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Each round is two shuffled
+    * aggregations + joins; the edge set converges to stars centered at each
+    * component's minimum node in O(log²n) rounds REGARDLESS of component
+    * diameter — a 10⁶-node chain converges in ~20 rounds where per-hop
+    * min-label propagation would need 10⁶. `localCheckpoint` after every
+    * round truncates the lineage so plans stay flat across iterations.
+    *
+    * Only docs that are in some pair appear. Output: (doc_id, gid).
+    *
+    * @param maxRounds safety bound only — log₂²(n) rounds suffice, so 50
+    *   covers any realistic graph; exceeded ⇒ exception, never truncation.
     */
-  def dupGroups(pairs: DataFrame, maxRounds: Int = 10): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+  def dupGroups(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // canonical edges (u > v), no self-loops
+    var e = pairs
+      .select(
+        greatest(col("d1"), col("d2")).as("u"),
+        least(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("doc_id"))
-      .distinct()
-      .withColumn("gid", col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // min-label propagation only ever DECREASES labels, so the label sum is
-    // a strictly decreasing convergence witness (and avoids the ambiguous
-    // self-join a row-wise old-vs-new compare would need)
-    def labelSum(df: DataFrame): Long = {
-      val row = df.agg(sum(col("gid"))).collect()(0)
-      if (row.isNullAt(0)) 0L else row.getLong(0) // sum over empty = null
+      .localCheckpoint(true)
+
+    // large-star: every node connects its strictly-larger neighbors to the
+    // minimum of its neighborhood (incl. itself). Output stays canonical
+    // because emitted edges (w, m) have w > u ≥ m.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
+
+    // small-star: every node connects its smaller neighbors (and itself) to
+    // the minimum of those. On canonical edges all neighbors of u under key
+    // u are < u, so m = min(neighborhood ∪ {u}) = min(v).
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val nbr = edges.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      nbr.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    // convergence witness: (count, ⊕ xxhash64(u,v), ⊕ xxhash64(v,u)) of
+    // the edge set — equal tuples ⇒ identical sets up to a ~2⁻¹²⁸ xor
+    // collision (vs. an exact except() check, which would cost two more
+    // shuffles per round). bit_xor, not sum: ANSI mode makes a sum of
+    // 64-bit hashes overflow-fail, while xor cannot overflow. The
+    // algorithm provably reaches a fixpoint, so this only decides WHEN to
+    // stop.
+    def checksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("v"), col("u"))), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
     var round = 0
-    var prevSum = labelSum(labels)
-    var changed = prevSum != 0L // empty pair set: nothing to propagate
-    while (round < maxRounds && changed) {
+    var prev = checksum(e)
+    var converged = prev._1 == 0L // no edges: nothing to contract
+    while (round < maxRounds && !converged) {
       round += 1
-      val propagated = edges
-        .join(labels.withColumnRenamed("doc_id", "a"), "a")
-        .select(col("b").as("doc_id"), col("gid"))
-      val next = labels.union(propagated)
-        .groupBy(col("doc_id")).agg(min(col("gid")).as("gid"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nextSum = labelSum(next)
-      changed = nextSum != prevSum
-      prevSum = nextSum
-      labels.unpersist(blocking = false)
-      labels = next
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e = next
     }
-    edges.unpersist(blocking = false)
-    if (changed)
+    if (!converged)
       throw new IllegalStateException(
-        s"dupGroups did not converge within $maxRounds rounds — a component's " +
-          "diameter exceeds the bound; raise maxRounds (silent truncation " +
-          "would mislabel groups)")
-    labels
+        s"dupGroups did not converge within $maxRounds rounds (needs " +
+          "~log²(nodes)); raise maxRounds (silent truncation would " +
+          "mislabel groups)")
+    // fixpoint = disjoint stars (u → component-min v): non-roots point at
+    // their root; roots label themselves
+    e.select(col("u").as("doc_id"), col("v").as("gid"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("gid")).distinct())
   }
 
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** Per-token hash quads: md5(token) hex split into 4 × 16-bit ints
-    * (4 hex digits each). bit j of a token = bit (15 − j%16) of quad j/16 —
-    * identical to "bit (3 − j%4) of hex digit j/4", but integer ops replace
-    * per-bit string probing.
-    */
-  private def tokenHashQuads(toks: Column): Column =
-    transform(
-      array_distinct(toks),
-      t =>
-        transform(
-          sequence(lit(0), lit(3)),
-          q => conv(md5(t).substr(q * 4 + 1, lit(4)), 16, 10).cast("int")))
-
-  /** The 64 SimHash majority weights over a materialized `hs` column
-    * (array of per-token quads): weight_j = Σ_tokens (2·bit_j − 1).
-    */
-  private def simHashWeights(hs: Column): IndexedSeq[Column] =
-    (0 until 64).map { j =>
-      aggregate(
-        hs,
-        lit(0),
-        (acc, h) =>
-          acc + (shiftright(element_at(h, j / 16 + 1), 15 - j % 16)
-            .bitwiseAND(lit(1)) * 2 - 1))
-    }
-
-  /** (doc_id, hs) with the per-token md5 quads materialized behind a
-    * shuffle barrier — without it CollapseProject would inline the md5
-    * computation into each of the 64 weight expressions (64× recompute).
-    */
-  private def tokenHashFrame(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), tokenHashQuads(TextOps.tokens(col("text"))).as("hs"))
-      .repartition(col("doc_id"))
-
   /** Per-doc SimHash fingerprints as a 64-char '0'/'1' string (portable,
-    * oracle-checkable). (doc_id, simhash).
+    * oracle-checkable), via the single compiled [[graft.expr.SimHashPack]]
+    * pass (distinct tokens ⇒ unweighted votes). (doc_id, simhash).
     */
-  def simHash(docs: DataFrame): DataFrame = {
-    val weights = simHashWeights(col("hs"))
-    val bits = weights.map(w => when(w > 0, lit("1")).otherwise(lit("0")))
-    tokenHashFrame(docs).select(col("doc_id"), concat(bits: _*).as("simhash"))
-  }
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.expr.SimHashPack
+        .bits(array_distinct(TextOps.tokens(col("text"))))
+        .as("simhash"))
 
   /** TF-weighted SimHash: like [[simHash]] but each distinct token's ±1
     * vote is weighted by its occurrence count (term frequency), so a
     * token repeated ten times dominates a hapax — the standard weighted
-    * variant (Charikar'02 with tf weights). Emitted as the 64-char bit
-    * string. (doc_id, simhash).
+    * variant (Charikar'02 with tf weights). Same compiled pass over the
+    * RAW token array (one vote per occurrence). (doc_id, simhash).
     */
-  def simHashWeighted(docs: DataFrame): DataFrame = {
-    // hs carries one quad per token OCCURRENCE (no distinct): summing the
-    // per-occurrence ±1 votes IS the tf weighting
-    val hs = transform(
-      TextOps.tokens(col("text")),
-      t =>
-        transform(
-          sequence(lit(0), lit(3)),
-          q => conv(md5(t).substr(q * 4 + 1, lit(4)), 16, 10).cast("int")))
-    val framed = docs
-      .select(col("doc_id"), hs.as("hs"))
-      .repartition(col("doc_id")) // projection barrier (see tokenHashFrame)
-    val weights = simHashWeights(col("hs"))
-    val bits = weights.map(w => when(w > 0, lit("1")).otherwise(lit("0")))
-    framed.select(col("doc_id"), concat(bits: _*).as("simhash"))
-  }
+  def simHashWeighted(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.expr.SimHashPack.bits(TextOps.tokens(col("text"))).as("simhash"))
 
   /** Per-doc SimHash packed as 4 × 16-bit int blocks (the join/hamming
     * representation). (doc_id, blocks ARRAY<INT> of length 4).
     */
-  def simHashBlocks(docs: DataFrame): DataFrame = {
-    val weights = simHashWeights(col("hs"))
-    val blocks = (0 until 4).map { b =>
-      (0 until 16).map { r =>
-        when(weights(16 * b + r) > 0, lit(1 << (15 - r))).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    tokenHashFrame(docs)
-      .select(col("doc_id"), array(blocks: _*).as("blocks"))
-  }
+  def simHashBlocks(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      graft.expr.SimHashPack
+        .blocks(array_distinct(TextOps.tokens(col("text"))))
+        .as("blocks"))
 
   /** Hamming distance between two equal-length bit strings. */
   def hammingDist(a: Column, b: Column): Column =

@@ -26,7 +26,7 @@ abstract class ArrayFoldExpression extends BinaryExpression {
   // (ExpectsInputTypes lives behind private[sql], so no declared coercion)
   override def dataType: DataType = DoubleType
 
-  protected def foldJava(a: String, b: String, n: String, acc: String): String
+  protected def foldJava(a: String, b: String, n: String, acc: String, i: String): String
 
   protected def foldScala(a: ArrayData, b: ArrayData): Double
 
@@ -35,12 +35,20 @@ abstract class ArrayFoldExpression extends BinaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // EVERY local, including the loop variable, must go through
+      // freshName: Janino hoists for-init declarations into the enclosing
+      // block scope, so two instances of this expression in one generated
+      // method would collide on a fixed name ("Redefinition of local
+      // variable"), kicking the whole projection back to the interpreted
+      // path. freshName is deterministic per context (i_0, i_1, …), so the
+      // codegen source cache stays effective.
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
-         |${foldJava(a, b, n, acc)}
+         |${foldJava(a, b, n, acc, i)}
          |${ev.value} = $acc;
        """.stripMargin
     })
@@ -50,10 +58,11 @@ abstract class ArrayFoldExpression extends BinaryExpression {
 case class ArrayDot(left: Expression, right: Expression) extends ArrayFoldExpression {
   override def prettyName: String = "array_dot"
 
-  override protected def foldJava(a: String, b: String, n: String, acc: String): String =
+  override protected def foldJava(
+      a: String, b: String, n: String, acc: String, i: String): String =
     s"""
-       |for (int i = 0; i < $n; i++) {
-       |  $acc += $a.getDouble(i) * $b.getDouble(i);
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += $a.getDouble($i) * $b.getDouble($i);
        |}
      """.stripMargin
 
@@ -74,16 +83,16 @@ case class ArrayDot(left: Expression, right: Expression) extends ArrayFoldExpres
 case class ArraySqDist(left: Expression, right: Expression) extends ArrayFoldExpression {
   override def prettyName: String = "array_sqdist"
 
-  override protected def foldJava(a: String, b: String, n: String, acc: String): String =
-    // a UUID here would make the generated source nondeterministic and
-    // defeat the whole-stage-codegen source cache; the loop body is its own
-    // scope so a fixed local name cannot collide
+  override protected def foldJava(
+      a: String, b: String, n: String, acc: String, i: String): String = {
+    val diff = s"${i}_diff"
     s"""
-       |for (int i = 0; i < $n; i++) {
-       |  double graft_sqdist_diff = $a.getDouble(i) - $b.getDouble(i);
-       |  $acc += graft_sqdist_diff * graft_sqdist_diff;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $diff = $a.getDouble($i) - $b.getDouble($i);
+       |  $acc += $diff * $diff;
        |}
      """.stripMargin
+  }
 
   override protected def foldScala(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())

@@ -41,15 +41,16 @@ object Joins {
   /** As-of join: for each left row, the single LATEST right row (same key)
     * with `r.ts <= l.ts` — the standard point-in-time lookup (prices,
     * model versions, most recent preceding event). Rows with no preceding
-    * match are kept with nulls (left as-of).
+    * match are kept with nulls (left as-of). Ties on `r.ts` break by the
+    * larger `rightVal` (max-by-(ts, value)).
     *
-    * Implementation: equi-join on key + range filter, then per-left-row
-    * argmax over (r.ts, tiebreak) via a hash-aggregate min/max-by struct —
-    * partial aggregation bounds the shuffle; no window sort. For sorted
-    * co-partitioned inputs a merge-scan `mapPartitions` would be cheaper
-    * still; this formulation keeps Catalyst in control.
+    * Implementation: tag + union + per-key running `last(ignoreNulls)`
+    * window — both sides shuffle ONCE on the key and sort by (ts, side,
+    * value); each left row reads the latest preceding right struct off the
+    * running window. Linear in |L| + |R| per key: no join, so a hot key
+    * with many left and many right rows costs |L|+|R| log(|L|+|R|) (sort),
+    * never the |L|·|R| fan-out a pre-aggregation range join materializes.
     *
-    * @param leftCols  columns of `left` to carry (must include `key`)
     * @param rightVal  the right-side value column to fetch
     * @return left rows + (asof_ts, asof_value nullable)
     */
@@ -60,24 +61,41 @@ object Joins {
       leftTs: String,
       rightTs: String,
       rightVal: String): DataFrame = {
-    val lid = monotonically_increasing_id()
-    val l = left.withColumn("_lrow", lid)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rStructType = StructType(Seq(
+      StructField("_rts", right.schema(rightTs).dataType),
+      StructField("_rval", right.schema(rightVal).dataType)))
+    // identical schemas: (_k, _ts, _side, _r, <left columns>); the right
+    // side carries nulls for the left payload, the left side a null _r
+    val l = left.select(
+      Seq(
+        col(key).as("_k"),
+        col(leftTs).as("_ts"),
+        lit(1).as("_side"),
+        lit(null).cast(rStructType).as("_r")) ++
+        left.columns.map(col): _*)
     val r = right.select(
-      col(key).as("_rkey"),
-      col(rightTs).as("_rts"),
-      col(rightVal).as("_rval"))
-    val joined = l.join(
-      r,
-      l(key) === col("_rkey") && col("_rts") <= l(leftTs),
-      "left")
-    val best = max(struct(col("_rts"), col("_rval"))).as("_best")
-    val lCols = left.columns.map(c => first(col(c)).as(c))
-    joined
-      .groupBy(col("_lrow"))
-      .agg(lCols.head, (lCols.tail :+ best): _*)
+      Seq(
+        col(key).as("_k"),
+        col(rightTs).as("_ts"),
+        lit(0).as("_side"),
+        struct(col(rightTs).as("_rts"), col(rightVal).as("_rval")).as("_r")) ++
+        left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    // order: ts, then side (right=0 before left=1 so r.ts == l.ts counts as
+    // preceding), then the right struct ascending so the running `last` is
+    // the max-by-(ts, value). Left rows tie on (ts, 1, null) but contribute
+    // nothing to the running last, so their relative order is immaterial.
+    val w = Window
+      .partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("_b", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
       .select(
         left.columns.map(col) :+
-          col("_best._rts").as("asof_ts") :+
-          col("_best._rval").as("asof_value"): _*)
+          col("_b._rts").as("asof_ts") :+
+          col("_b._rval").as("asof_value"): _*)
   }
 }

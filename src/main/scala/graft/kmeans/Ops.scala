@@ -68,7 +68,14 @@ object Ops {
     * identical points, for which any order yields the same model.
     */
   def initFirstK(points: DataFrame, k: Int): DataFrame = {
-    val w = Window.orderBy(col("pid"), col("x"), col("y"))
+    // the rank below runs AFTER limit(k), so it only ever sees K rows. The
+    // partition key is constant-zero but NON-FOLDABLE (pmod over a data
+    // column) — a literal key would be constant-folded out of the window
+    // spec, putting WindowExec back on its unpartitioned warning path;
+    // this keeps the same single-task K-row plan, declared partitioned.
+    val w = Window
+      .partitionBy(pmod(col("pid"), lit(1)))
+      .orderBy(col("pid"), col("x"), col("y"))
     points
       .orderBy(col("pid"), col("x"), col("y"))
       .limit(k)
@@ -267,17 +274,44 @@ object Ops {
     * order, the LAST chunk absorbs the remainder. Exposed as a `chunk`
     * column over the deterministic (pid, x, y) order; Spark's own
     * file-split planning replaces this at scale (SURVEY.md §2.1 S3).
+    *
+    * Scale: a global rank without a global window. The input is
+    * range-partitioned on the sort key; per-partition row counts (one tiny
+    * aggregate, ≤ one row per partition collected driver-side) give each
+    * partition's cumulative start offset, and the global rank is that
+    * offset plus a PER-PARTITION `row_number` — every task ranks only its
+    * own slice, versus `Window.orderBy` with no partition spec, which
+    * drags the entire dataset through one task. The total row count falls
+    * out of the same aggregate, so callers don't pre-count.
     */
-  def splitContiguous(points: DataFrame, m: Int, totalRows: Long): DataFrame = {
+  def splitContiguous(points: DataFrame, m: Int): DataFrame = {
     require(m > 0, "m must be positive")
-    val size = math.max(totalRows / m, 1L)
-    val w = Window.orderBy(col("pid"), col("x"), col("y"))
-    points
-      .withColumn("rn", row_number().over(w))
+    val ranged = points
+      .repartitionByRange(col("pid"), col("x"), col("y"))
+      .withColumn("_pidx", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = ranged.groupBy(col("_pidx")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty)
+      return points.withColumn("chunk", lit(0).cast("int"))
+    val total = counts.map(_._2).sum
+    val size = math.max(total / m, 1L)
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
+    val offsetCol = element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }.toIndexedSeq: _*),
+      col("_pidx"))
+    // partitionBy keeps the rank local to each range partition (parallel);
+    // range disjointness makes offset + local rank the global rank
+    val w = Window.partitionBy(col("_pidx")).orderBy(col("pid"), col("x"), col("y"))
+    ranged
+      .withColumn("rn", row_number().over(w).cast("long") + offsetCol)
       .withColumn(
         "chunk",
         least(floor((col("rn") - 1) / size), lit(m - 1L)).cast("int"))
-      .drop("rn")
+      .drop("rn", "_pidx")
   }
 
   // ---------------------------------------------------------------------

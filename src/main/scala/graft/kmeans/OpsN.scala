@@ -32,9 +32,14 @@ object OpsN {
   def dist2N(a: Column, b: Column): Column =
     graft.expr.ArrayVector.sqDist(a, b)
 
-  /** L1 n-D: first K rows in pid order become centroids 0..K-1. */
+  /** L1 n-D: first K rows in pid order become centroids 0..K-1.
+    * (Rank after limit(k) touches only K rows; the non-foldable
+    * constant-zero partition key avoids WindowExec's unpartitioned-window
+    * path — see [[Ops.initFirstK]].)
+    */
   def initFirstKN(points: DataFrame, k: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("pid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("pid"), lit(1))).orderBy(col("pid"))
     points
       .orderBy(col("pid"))
       .limit(k)

@@ -52,8 +52,10 @@ object MultimodalOps {
         max(col("n_bytes")).as("max_bytes"))
 
   /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
-    * Replace with a real codec (???) for production; the signature —
-    * bytes in, fixed-width Float features out — is the contract.
+    * Used for formats with no JVM codec (audio/video — no codecs in this
+    * container); images route through [[decodeImageFeatures]] instead.
+    * The signature — bytes in, fixed-width Float features out — is the
+    * contract either way.
     */
   def fakeDecodeFeatures(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
@@ -68,9 +70,53 @@ object MultimodalOps {
     bins
   }
 
+  /** REAL decoder for image formats with a pure-JVM codec (PNG, BMP, GIF
+    * via `javax.imageio` — no native libraries): decode pixels, compute a
+    * 16-bin LUMINANCE histogram (mean of R,G,B, bucketed by high nibble),
+    * L1-normalized — same fixed-width contract as the stub. Returns the
+    * byte-histogram fallback when the payload doesn't decode (truncated /
+    * mislabeled), so a bad record degrades instead of failing the task.
+    */
+  def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (payload == null || payload.isEmpty) return bins
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return fakeDecodeFeatures(payload)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val n = w * h
+    if (n == 0) return bins
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        bins(lum >> 4) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    var j = 0
+    while (j < 16) { bins(j) /= n.toFloat; j += 1 }
+    bins
+  }
+
+  /** Format-dispatched decode: JVM-decodable image formats get the real
+    * pixel path; everything else the deterministic stub histogram.
+    */
+  def decodeFeatures(format: String, payload: Array[Byte]): Array[Float] =
+    format match {
+      case "image/png" | "image/bmp" | "image/gif" =>
+        decodeImageFeatures(payload)
+      case _ => fakeDecodeFeatures(payload)
+    }
+
   /** Batched feature extraction over the media table. Runs the decoder
     * per partition (codec init amortized across the batch, mirroring a
-    * `mapInPandas` batch UDF). Output: (media_id, features ARRAY<FLOAT>).
+    * `mapInPandas` batch UDF); dispatch is per-row on the `format`
+    * column. Output: (media_id, features ARRAY<FLOAT>).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -79,13 +125,15 @@ object MultimodalOps {
       StructField("features", ArrayType(FloatType), nullable = false)))
     val enc = Encoders.row(outSchema)
     media
-      .select(col("media_id"), col("media"))
+      .select(col("media_id"), col("media"), col("format"))
       .mapPartitions { rows =>
-        // per-partition init point for a real codec goes here
+        // per-partition init point for stateful codecs goes here
+        // (ImageIO readers are static; nothing to initialize for images)
         rows.map { r =>
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
-          Row(id, fakeDecodeFeatures(payload))
+          val format = r.getString(2)
+          Row(id, decodeFeatures(format, payload))
         }
       }(enc)
   }

@@ -100,14 +100,16 @@ object Similarity {
       k: Int,
       bits: Int,
       d: Int): DataFrame = {
-    // a wrong d silently zeroes every signature (zip_with null-pads, the
-    // fold goes null, every bit renders '0') and the bucket join degrades
-    // to all-pairs — validate against the data up front
-    corpus.select(size(col("vec"))).limit(1).collect().headOption.foreach { r =>
-      require(
-        r.getInt(0) == d,
-        s"lshTopK: d=$d but corpus vectors have ${r.getInt(0)} dimensions")
-    }
+    // a wrong or ragged d silently zeroes signatures (zip_with null-pads,
+    // the fold goes null, every bit renders '0') and the bucket join
+    // degrades toward all-pairs — validate EVERY row via one min/max
+    // aggregate (a cheap metadata-only scan, vs the first-row-only probe
+    // that let ragged corpora through)
+    val dims = corpus.agg(min(size(col("vec"))), max(size(col("vec")))).collect()(0)
+    require(
+      dims.isNullAt(0) || (dims.getInt(0) == d && dims.getInt(1) == d),
+      s"lshTopK: d=$d but corpus vectors span " +
+        s"[${dims.get(0)}, ${dims.get(1)}] dimensions")
     val planes = hyperplanes(bits, d)
     val sig = (df: DataFrame, idName: String, vecName: String, normName: String) =>
       df.select(
@@ -193,6 +195,65 @@ object Similarity {
     val b = withNorm.select(col("id").as("d2"), col("vec").as("v2"), col("nn").as("n2"))
     a.crossJoin(b)
       .filter(col("d1") < col("d2"))
+      .withColumn("sim",
+        when(col("n1") * col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+      .filter(col("sim") >= threshold)
+      .select(col("d1"), col("d2"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-BUCKETED — the scale path.
+    * Banded OR-construction over sign-LSH (the random-hyperplane analogue
+    * of MinHash banding): one `bands`·`bitsPerBand`-bit signature per
+    * vector under deterministic md5 hyperplanes ([[lshSignature]]), split
+    * into `bands` buckets of `bitsPerBand` bits; vectors are CANDIDATES if
+    * any band matches, and every candidate is verified with the EXACT
+    * cosine. Precision 1.0 vs the exact [[cosineNearDupPairs]]; per-pair
+    * recall = 1 − (1 − p^bitsPerBand)^bands with p = 1 − θ/π, tunable by
+    * adding bands.
+    *
+    * Scale: candidates come from `bands` equality joins-by-bucket
+    * (Σ_buckets |bucket|², never |corpus|²), the standard LSH trade; the
+    * deterministic hyperplanes keep every stage reproducible and
+    * oracle-expressible (md5 exists in any engine).
+    * Output: (d1, d2, sim) with d1 < d2 and sim >= threshold.
+    */
+  def cosineLshNearDupPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int,
+      bitsPerBand: Int,
+      d: Int): DataFrame = {
+    val dims = vectors
+      .agg(min(size(col("vec"))), max(size(col("vec")))).collect()(0)
+    require(
+      dims.isNullAt(0) || (dims.getInt(0) == d && dims.getInt(1) == d),
+      s"cosineLshNearDupPairs: d=$d but corpus vectors span " +
+        s"[${dims.get(0)}, ${dims.get(1)}] dimensions")
+    val planes = hyperplanes(bands * bitsPerBand, d)
+    // cache: consumed by both sides of the band join AND the verify joins
+    // (else the signature pass runs four times)
+    val sig = vectors
+      .select(col("id"), col("vec"), norm(col("vec")).as("nn"),
+        lshSignature(col("vec"), planes).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(
+      col("id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => col("s").substr(b * bitsPerBand + 1, lit(bitsPerBand)))))
+      .toDF("id", "band", "bucket")
+    val cands = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    cands
+      .join(sig.select(col("id").as("d1"), col("vec").as("v1"),
+        col("nn").as("n1")), "d1")
+      .join(sig.select(col("id").as("d2"), col("vec").as("v2"),
+        col("nn").as("n2")), "d2")
       .withColumn("sim",
         when(col("n1") * col("n2") === 0.0, lit(0.0))
           .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))

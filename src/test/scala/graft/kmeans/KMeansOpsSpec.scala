@@ -131,12 +131,12 @@ class KMeansOpsSpec extends AnyFunSuite {
   test("S3: contiguous split gives N div M per chunk, remainder to last") {
     val pts = (1L to 11L).map(i => (i, i.toDouble, 0.0))
     val df = pts.toDF("pid", "x", "y")
-    val sizes = Ops.splitContiguous(df, 3, 11)
+    val sizes = Ops.splitContiguous(df, 3)
       .groupBy("chunk").count().as[(Int, Long)].collect().toMap
     // 11 rows, M=3: size 3 -> chunks 0,1 get 3, chunk 2 takes 5 (remainder)
     assert(sizes === Map(0 -> 3L, 1 -> 3L, 2 -> 5L))
     // contiguity: chunk of pid 4 is 1 (rows 4,5,6)
-    val byPid = Ops.splitContiguous(df, 3, 11)
+    val byPid = Ops.splitContiguous(df, 3)
       .select("pid", "chunk").as[(Long, Int)].collect().toMap
     assert(byPid(1L) === 0 && byPid(4L) === 1 && byPid(7L) === 2 && byPid(11L) === 2)
   }

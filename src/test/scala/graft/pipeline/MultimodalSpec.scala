@@ -38,6 +38,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(2L)(2) === 1.0f)
   }
 
+  test("decodeImageFeatures: real PNG decodes through javax.imageio") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    // left half black (lum 0 -> bin 0), right half white (lum 255 -> bin 15)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val f = MultimodalOps.decodeImageFeatures(png)
+    assert(f(0) === 0.5f && f(15) === 0.5f)
+    assert(f.sum === 1.0f)
+    // end-to-end: extractFeatures dispatches on the format column
+    val df = Seq((1L, png, "image/png", png.length.toLong))
+      .toDF("media_id", "media", "format", "n_bytes")
+    val got = MultimodalOps.extractFeatures(df)
+      .select($"features").as[Array[Float]].head()
+    assert(got(0) === 0.5f && got(15) === 0.5f)
+  }
+
+  test("decodeFeatures: non-image formats keep the stub histogram") {
+    val payload = "aaaa".getBytes("UTF-8")
+    assert(
+      MultimodalOps.decodeFeatures("application/octet-stream", payload).toSeq
+        === MultimodalOps.fakeDecodeFeatures(payload).toSeq)
+    // undecodable bytes under an image format degrade to the stub, not a crash
+    assert(
+      MultimodalOps.decodeFeatures("image/png", payload).toSeq
+        === MultimodalOps.fakeDecodeFeatures(payload).toSeq)
+  }
+
   test("frameSample: empty payload yields zero frames (no phantom row)") {
     val m = media((1L, ""))
     assert(MultimodalOps.frameSample(m, frameSize = 32, stride = 1).count() === 0L)

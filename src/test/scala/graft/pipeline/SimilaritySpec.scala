@@ -54,6 +54,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.forall { case (q, c) => q != c })
   }
 
+  test("cosineLshNearDupPairs: precision 1.0 subset of exact, full recall on clones") {
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val exact = Similarity.cosineNearDupPairs(pts, threshold = 0.45)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineLshNearDupPairs(pts, threshold = 0.45,
+        bands = 4, bitsPerBand = 4, d = 64)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    // exact verify after bucketing => every emitted pair is a true pair
+    assert(lsh.subsetOf(exact))
+    // banded OR-construction: P(candidate) = 1-(1-p^4)^4 ~ 0.54 at the
+    // 0.45-cosine angle, higher for the planted near-identical clusters
+    assert(exact.isEmpty || (lsh.size.toDouble / exact.size) > 0.2,
+      s"LSH near-dup recall too low: ${lsh.size}/${exact.size}")
+    // identical vectors always share every sign bit => always recovered
+    val clones = vecs(
+      (1L, Seq.fill(64)(0.5)),
+      (2L, Seq.fill(64)(0.5)),
+      (3L, (1 to 64).map(i => math.sin(i.toDouble))))
+    val got = Similarity.cosineLshNearDupPairs(clones, 0.99,
+        bands = 4, bitsPerBand = 4, d = 64)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("cosineLshNearDupPairs rejects ragged corpora") {
+    val ragged = vecs((1L, Seq.fill(64)(1.0)), (2L, Seq.fill(63)(1.0)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineLshNearDupPairs(ragged, 0.5, bands = 4, bitsPerBand = 4, d = 64)
+    }
+    assert(e.getMessage.contains("dimensions"))
+  }
+
   test("LSH signature is deterministic and bucket-joins find neighbors") {
     val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))

@@ -161,6 +161,37 @@ class TextDedupSpec extends AnyFunSuite {
     assert(ok.forall(_._2 == 1L))
   }
 
+  test("dupGroups: 50-node chain converges in O(log²n) star rounds") {
+    // diameter 49 — the old per-hop min-label propagation threw at its
+    // maxRounds=10 bound here; large-star/small-star contracts it in ~6
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.dupGroups(chain).as[(Long, Long)].collect()
+    assert(got.length === 50)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("dupGroups matches a union-find oracle on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(60)(
+        (rnd.nextInt(40).toLong + 1L, rnd.nextInt(40).toLong + 1L))
+      .filter(p => p._1 != p._2)
+    val got = Dedup.dupGroups(pairs.toDF("d1", "d2"))
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).distinct.length === got.length) // one label per node
+    // driver-side union-find keeping the smaller root ⇒ root = component min
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(got.toMap === nodes.map(n => n -> find(n)).toMap)
+  }
+
   test("simHashWeighted: repetition shifts the fingerprint toward the heavy token") {
     val d = docs(
       (1L, "alpha beta"),
