@@ -419,8 +419,9 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
-    // Sign-LSH bucketed approximate top-k (rows-only; recall vs brute
-    // force is asserted in SimilaritySpec)
+    // Sign-LSH bucketed approximate top-k (deterministic md5 hyperplanes
+    // make the buckets oracle-expressible; recall vs brute force is
+    // asserted in SimilaritySpec)
     "sm_ann_lsh_topk" -> { (s, dir) =>
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
@@ -1126,6 +1127,35 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])))) AS sim
         |  FROM cand c JOIN e x ON c.d1 = x.vec_id JOIN e y ON c.d2 = y.vec_id
         |) WHERE sim >= 0.45""".stripMargin,
+
+    // same plane formula as sm_cosine_lsh_neardup, 8 planes; the bucket is
+    // the FULL 8-bit signature (lshTopK searches only the query's bucket)
+    "sm_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform(range(0, 8), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CAST(('0x' || substr(md5(p || ',' || (i - 1)), 1, 15)) AS BIGINT)
+        |                / 576460752303423488.0 - 1.0))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e
+        |),
+        |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))) AS sim
+        |  FROM q JOIN sig c USING (bucket)
+        |  WHERE c.vec_id != q.qid
+        |),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     "sm_ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -78,3 +78,53 @@ object Winnow {
   def apply(text: Column, k: Int, w: Int): Column =
     Bridge.column(Winnow(Bridge.expression(text), k, w))
 }
+
+/** Rolling-hash document fingerprint: the MINIMUM gram hash over all
+  * character n-grams — a 1-hash MinHash over character shingles
+  * (winnowing's global-min special case; same gram hash as [[Winnow]]:
+  * md5 hex digits 1–15 as a long, so the DuckDB
+  * `list_min(list_transform(...))` oracle is bit-exact). One compiled
+  * pass; texts shorter than n hash as a single gram. Replaces a
+  * 3-deep interpreted higher-order-function stack whose normalize
+  * regex was CollapseProject-inlined into every gram.
+  */
+case class RollingMinHash(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1, "ngram size must be >= 1")
+
+  override def dataType: DataType = LongType
+
+  private def gramHash(md: MessageDigest, s: String): Long = {
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    var u = 0L
+    var i = 0
+    while (i < 15) {
+      val nib = (bytes(i >> 1) >> (if ((i & 1) == 0) 4 else 0)) & 0xf
+      u = (u << 4) | nib
+      i += 1
+    }
+    u
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val md = MessageDigest.getInstance("MD5")
+    val nGrams = math.max(text.length - n + 1, 1)
+    var min = Long.MaxValue
+    var i = 0
+    while (i < nGrams) {
+      val h = gramHash(md, text.substring(i, math.min(i + n, text.length)))
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingMinHash {
+  def apply(text: Column, n: Int): Column =
+    Bridge.column(RollingMinHash(Bridge.expression(text), n))
+}

@@ -77,17 +77,17 @@ object Similarity {
     Array.tabulate(bits, d)(planeComponent)
 
   /** B-bit sign-LSH signature of a vector: bit p = sign of <v, plane_p>.
-    * The hyperplane rides in the plan as a literal array (K·d doubles).
+    * The hyperplane rides in the plan as a literal array (K·d doubles);
+    * each projection is the codegen'd [[graft.expr.ArrayDot]] left fold —
+    * same evaluation order as `aggregate(zip_with(...))` (bit-identical
+    * signs, so DuckDB-oracle-compatible) without B interpreted
+    * higher-order functions per row.
     */
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     concat(
       planes.map { plane =>
         val planeLit = array(plane.map(lit(_)): _*)
-        val proj = aggregate(
-          zip_with(vec, planeLit, (x, h) => x * h),
-          lit(0.0),
-          (acc, v) => acc + v)
-        when(proj >= 0, lit("1")).otherwise(lit("0"))
+        when(dot(vec, planeLit) >= 0, lit("1")).otherwise(lit("0"))
       }.toSeq: _*)
 
   /** LSH-bucketed approximate top-k: search only within the query's bucket.

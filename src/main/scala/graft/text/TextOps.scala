@@ -120,16 +120,11 @@ object TextOps {
     * (winnowing's global-min special case). Near-identical documents agree
     * with high probability; portable to DuckDB verbatim.
     */
-  def rollingFingerprint(text: Column, n: Int): Column = {
-    require(n >= 1, "ngram size must be >= 1")
-    val t = normalize(text)
-    val grams = when(
-      length(t) >= n,
-      transform(sequence(lit(1), length(t) - (n - 1)), i => t.substr(i, lit(n))))
-      .otherwise(array(t))
-    array_min(
-      transform(grams, g => conv(md5(g).substr(1, 15), 16, 10).cast("long")))
-  }
+  def rollingFingerprint(text: Column, n: Int): Column =
+    // one compiled pass ([[graft.expr.RollingMinHash]]); the composed
+    // higher-order formulation (transform grams → md5 → array_min) was a
+    // 3-deep interpreted stack with the normalize regex inlined per gram
+    graft.expr.RollingMinHash(normalize(text), n)
 
   /** Winnowing fingerprints over normalized text (see
     * [[graft.expr.Winnow]]): the position-robust sketch — any shared

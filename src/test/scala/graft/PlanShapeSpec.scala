@@ -98,6 +98,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(salted.toSeq === plain.toSeq)
   }
 
+  test("asofJoin plan: one exchange, no join operator (union+window)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    val l = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "lid", "ts")
+    val r = Seq((1L, Timestamp.valueOf("2024-01-01 09:00:00"), 7L))
+      .toDF("k", "vts", "v")
+    val plan = executed(graft.joins.Joins.asofJoin(l, r, "k", "ts", "vts", "v"))
+      .toString
+    // the rewrite's whole point: a hot key can never fan out |L|x|R|
+    assert(!plan.contains("Join"), s"join operator present:\n${plan.take(1000)}")
+    assert(
+      plan.linesIterator.count(_.contains("Exchange")) === 1,
+      s"expected exactly one exchange:\n${plan.take(1000)}")
+    assert(plan.contains("Window"), s"no window operator:\n${plan.take(600)}")
+  }
+
   test("mean update is a partial+final hash aggregate (map-side combine)") {
     val p = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
     val centroids = Ops.collectCentroids(Ops.initFirstK(p, 4))

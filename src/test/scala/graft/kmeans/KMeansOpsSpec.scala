@@ -7,7 +7,10 @@ object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession
       .builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, task maxFailures 2 — the reference's C2
+      // retry concern surfaces as scheduler config; FaultToleranceSpec
+      // demonstrates a task surviving an injected first-attempt failure
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
