@@ -94,7 +94,7 @@ object Joins {
       .withColumn("_b", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(
-        left.columns.map(col) :+
+        left.columns.map(col).toIndexedSeq :+
           col("_b._rts").as("asof_ts") :+
           col("_b._rval").as("asof_value"): _*)
   }

@@ -61,7 +61,7 @@ object OpsN {
     array(centroids.sortBy(_.cid).map { c =>
       struct(
         lit(c.cid).as("cid"),
-        array(c.features.map(lit(_)): _*).as("features"))
+        array(c.features.toIndexedSeq.map(lit(_)): _*).as("features"))
     }: _*)
 
   /** J1+A3 n-D: nearest-centroid assignment, lowest-cid tiebreak.
@@ -79,7 +79,7 @@ object OpsN {
     // the lowest-cid tiebreak.
     val sorted = centroids.sortBy(_.cid)
     val dists = sorted.map(c =>
-      dist2N(col("features"), array(c.features.map(lit(_)): _*)))
+      dist2N(col("features"), array(c.features.toIndexedSeq.map(lit(_)): _*)))
     val best = if (dists.size == 1) dists.head else least(dists: _*)
     val cid = sorted.zip(dists).tail.foldLeft(
       when(dists.head === best, lit(sorted.head.cid))) {
