@@ -474,12 +474,12 @@ object SparkEntry {
     },
 
     // Streaming assignment fixture: events as 2-D points classified
-    // against a batch-trained model
+    // against a batch-trained model. FIXED 3 Lloyd iterations (no early
+    // stop) so the whole fit unrolls into an exact 3-round SQL oracle.
     "st_event_assign" -> { (s, dir) =>
-      val model = Lloyd.fit(
-        StreamOps.eventPoints(Graft.events(s, dir)),
-        KMeansConfig(k = 4, maxIter = 3))
-      Ops.assign(StreamOps.eventPoints(Graft.events(s, dir)), model.centroids)
+      val pts = StreamOps.eventPoints(Graft.events(s, dir))
+      val model = Lloyd.iterate(pts, 4, 3)
+      Ops.assign(pts, model)
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     },
 
@@ -979,6 +979,44 @@ object SparkEntry {
         |  WHERE v.user_id = c.user_id AND v.vts <= c.ts
         |  ORDER BY vts DESC, view_id DESC LIMIT 1
         |) a ON true""".stripMargin,
+
+    // the query's fixed-3-iteration Lloyd unrolled: init -> 3×(assign,
+    // mean) -> final assign -> counts. Full-precision AVG centroids feed
+    // each round's LATERAL argmin, same as the c4 oracle's 2-round chain.
+    "st_event_assign" ->
+      """WITH epts AS (
+        |  SELECT event_id AS pid, CAST(value AS DOUBLE) AS x,
+        |         CAST(hour(CAST(ts AS TIMESTAMP)) AS DOUBLE) AS y
+        |  FROM events
+        |),
+        |ec0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid, x, y) - 1 AS INT) AS cid, x, y
+        |  FROM (SELECT pid, x, y FROM epts ORDER BY pid, x, y LIMIT 4)
+        |),
+        |ea1 AS (
+        |  SELECT p.pid, p.x, p.y, a.cid FROM epts p, LATERAL (
+        |    SELECT c.cid, (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist2
+        |    FROM ec0 c ORDER BY dist2, c.cid LIMIT 1) a
+        |),
+        |ec1 AS (SELECT cid, AVG(x) AS x, AVG(y) AS y FROM ea1 GROUP BY cid),
+        |ea2 AS (
+        |  SELECT p.pid, p.x, p.y, a.cid FROM epts p, LATERAL (
+        |    SELECT c.cid, (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist2
+        |    FROM ec1 c ORDER BY dist2, c.cid LIMIT 1) a
+        |),
+        |ec2 AS (SELECT cid, AVG(x) AS x, AVG(y) AS y FROM ea2 GROUP BY cid),
+        |ea3 AS (
+        |  SELECT p.pid, p.x, p.y, a.cid FROM epts p, LATERAL (
+        |    SELECT c.cid, (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist2
+        |    FROM ec2 c ORDER BY dist2, c.cid LIMIT 1) a
+        |),
+        |ec3 AS (SELECT cid, AVG(x) AS x, AVG(y) AS y FROM ea3 GROUP BY cid),
+        |eaf AS (
+        |  SELECT p.pid, a.cid FROM epts p, LATERAL (
+        |    SELECT c.cid, (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist2
+        |    FROM ec3 c ORDER BY dist2, c.cid LIMIT 1) a
+        |)
+        |SELECT cid, COUNT(*) AS n FROM eaf GROUP BY cid""".stripMargin,
 
     "st_enrich_join" ->
       """SELECT c.c_nationkey, e.event_type, COUNT(*) AS n,
