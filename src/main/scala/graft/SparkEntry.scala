@@ -83,6 +83,38 @@ object SparkEntry {
       |  ) a
       |)""".stripMargin
 
+  /** Fixed-iteration n-D Lloyd as a generated CTE chain: init (first-4 by
+    * pid) then `iters` rounds of LATERAL argmin assignment + per-dimension
+    * AVG re-assembled into a centroid list — the SQL mirror of
+    * [[graft.kmeans.LloydN.iterateN]].
+    */
+  private def nLloydCtes(iters: Int): String = {
+    val base =
+      """emb AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |nc0 AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid, v
+        |  FROM (SELECT pid, v FROM emb ORDER BY pid LIMIT 4)
+        |)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""na$r AS (
+         |  SELECT e.pid, e.v, a.cid FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc${r - 1} c ORDER BY d2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |nc$r AS (
+         |  SELECT cid, list(m ORDER BY i) AS v FROM (
+         |    SELECT cid, i, AVG(v[CAST(i AS INT)]) AS m
+         |    FROM na$r, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
+         |    GROUP BY cid, i
+         |  ) GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
   /** MinHash near-dedup CTE chain (token keys -> shingle keys ->
     * signatures -> bands -> candidates -> Jaccard-verified pairs), shared
     * by the composed pipeline oracles.
@@ -233,13 +265,16 @@ object SparkEntry {
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     },
 
-    // Full n-D Lloyd fit via VectorMean (rows-only check: the iterative
-    // fixpoint is not expressible as one ANSI query)
+    // Full n-D Lloyd via VectorMean — FIXED 5 iterations (no early stop),
+    // so the fit unrolls into an exact 5-round SQL oracle; centroid values
+    // floor-truncated to 6 decimals per the cross-engine convention
     "an_lloydn_fit" -> { (s, dir) =>
       import s.implicits._
-      val r = LloydN.fit(npoints(s, dir), KMeansConfig(k = 4, maxIter = 5))
-      r.centroids.flatMap(c =>
-          c.features.zipWithIndex.map { case (v, d) => (c.cid, d, v) })
+      val cs = LloydN.iterateN(npoints(s, dir), k = 4, iters = 5)
+      cs.flatMap(c =>
+          c.features.zipWithIndex.map { case (v, d) =>
+            (c.cid, d.toLong, math.floor(v * 1e6) / 1e6)
+          })
         .toDF("cid", "dim", "v")
     },
 
@@ -655,6 +690,11 @@ object SparkEntry {
 
     "an_ndim_sizes" ->
       s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid",
+
+    "an_lloydn_fit" ->
+      s"""WITH ${nLloydCtes(5)}
+         |SELECT cid, i - 1 AS dim, floor(v[CAST(i AS INT)] * 1000000.0) / 1000000.0 AS v
+         |FROM nc5, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t""".stripMargin,
 
     "p3_f32_cast" ->
       s"""WITH $PTS

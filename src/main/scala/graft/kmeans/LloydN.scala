@@ -38,6 +38,26 @@ object LloydN {
     KMeansResultN(centroids, iter, done)
   }
 
+  /** Fixed-iteration n-D Lloyd (NO early stop): exactly `iters` rounds of
+    * assign → mean. Unlike [[fit]] this unrolls into an exact SQL oracle
+    * (cf. [[Lloyd.iterate]]); empty clusters drop, matching the SQL's
+    * group-by-assigned semantics.
+    */
+  def iterateN(points: DataFrame, k: Int, iters: Int): Seq[CentroidN] = {
+    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = OpsN.collectCentroidsN(OpsN.initFirstKN(cached, k))
+      require(centroids.nonEmpty, s"fewer than 1 point available for k=$k init")
+      var i = 0
+      while (i < iters) {
+        centroids = OpsN.collectCentroidsN(
+          OpsN.updateN(OpsN.assignN(cached, centroids)).drop("n"))
+        i += 1
+      }
+      centroids
+    } finally cached.unpersist(blocking = false)
+  }
+
   def transform(points: DataFrame, result: KMeansResultN): DataFrame =
     OpsN.assignN(points, result.centroids)
 }
