@@ -88,13 +88,13 @@ object SparkEntry {
     * AVG re-assembled into a centroid list — the SQL mirror of
     * [[graft.kmeans.LloydN.iterateN]].
     */
-  private def nLloydCtes(iters: Int): String = {
+  private def nLloydCtes(iters: Int, k: Int): String = {
     val base =
-      """emb AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |nc0 AS (
-        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid, v
-        |  FROM (SELECT pid, v FROM emb ORDER BY pid LIMIT 4)
-        |)""".stripMargin
+      s"""emb AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nc0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid, v
+         |  FROM (SELECT pid, v FROM emb ORDER BY pid LIMIT $k)
+         |)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""na$r AS (
          |  SELECT e.pid, e.v, a.cid FROM emb e, LATERAL (
@@ -467,8 +467,9 @@ object SparkEntry {
     },
 
     // IVF approximate top-k: corpus coarse-quantized by the engine's own
-    // k-means, queries probe the 2 nearest of 8 cells (rows-only; recall
-    // asserted in SimilaritySpec)
+    // k-means (fixed 5 iterations, so the quantizer unrolls into the SQL
+    // oracle), queries probe the 2 nearest of 8 cells; recall asserted in
+    // SimilaritySpec
     "sm_ann_ivf_topk" -> { (s, dir) =>
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
@@ -692,7 +693,7 @@ object SparkEntry {
       s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid",
 
     "an_lloydn_fit" ->
-      s"""WITH ${nLloydCtes(5)}
+      s"""WITH ${nLloydCtes(5, 4)}
          |SELECT cid, i - 1 AS dim, floor(v[CAST(i AS INT)] * 1000000.0) / 1000000.0 AS v
          |FROM nc5, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t""".stripMargin,
 
@@ -1205,6 +1206,47 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])))) AS sim
         |  FROM cand c JOIN e x ON c.d1 = x.vec_id JOIN e y ON c.d2 = y.vec_id
         |) WHERE sim >= 0.45""".stripMargin,
+
+    // the quantizer is the same generated 5-round Lloyd chain as
+    // an_lloydn_fit at k=8 (nc5 = final cells); corpus rows assign to
+    // their nearest cell, each query probes its 2 nearest cells, and the
+    // per-query rank runs over the probed cells only — the exact mirror
+    // of Similarity.ivfTopK
+    "sm_ann_ivf_topk" ->
+      s"""WITH ${nLloydCtes(5, 8)},
+         |cells AS (
+         |  SELECT e.pid AS cid_id, e.v AS cv, a.cid AS cell FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |q AS (
+         |  SELECT e.pid AS qid, e.v AS qv, p.cell
+         |  FROM emb e, LATERAL (
+         |    SELECT c.cid AS cell,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 2
+         |  ) p
+         |  WHERE e.pid < 10
+         |),
+         |ivfscored AS (
+         |  SELECT q.qid, c.cid_id AS cid,
+         |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.cv[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
+         |     * sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i])))) AS sim
+         |  FROM q JOIN cells c USING (cell)
+         |  WHERE c.cid_id != q.qid
+         |),
+         |ivfranked AS (
+         |  SELECT qid, cid, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+         |  FROM ivfscored
+         |)
+         |SELECT qid, cid, ROUND(sim, 6) AS sim, rank
+         |FROM ivfranked WHERE rank <= 5""".stripMargin,
 
     // same plane formula as sm_cosine_lsh_neardup, 8 planes; the bucket is
     // the FULL 8-bit signature (lshTopK searches only the query's bucket)

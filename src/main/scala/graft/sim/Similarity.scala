@@ -147,10 +147,11 @@ object Similarity {
       nprobe: Int,
       maxIter: Int = 5): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
-    import graft.kmeans.{KMeansConfig, LloydN, OpsN}
+    import graft.kmeans.{LloydN, OpsN}
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
-    val model =
-      LloydN.fit(pts, KMeansConfig(k = nlist, maxIter = maxIter)).centroids
+    // fixed-iteration quantizer (no early stop): deterministic AND
+    // unrollable into an exact SQL oracle, cf. LloydN.iterateN
+    val model = LloydN.iterateN(pts, nlist, maxIter)
     // corpus side: cell assignment (shuffle-free projection)
     val cells = OpsN.assignN(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
