@@ -144,6 +144,28 @@ class KMeansOpsSpec extends AnyFunSuite {
     assert(byPid(1L) === 0 && byPid(4L) === 1 && byPid(7L) === 2 && byPid(11L) === 2)
   }
 
+  test("S3: chunk sizes follow N div M with remainder-to-last for random N, M") {
+    val rnd = new scala.util.Random(3)
+    for (_ <- 1 to 5) {
+      val n = 1 + rnd.nextInt(500)
+      val m = 1 + rnd.nextInt(7)
+      val df = (1L to n.toLong).map(i => (i, i.toDouble, 0.0)).toDF("pid", "x", "y")
+      val sizes = Ops.splitContiguous(df, m)
+        .groupBy("chunk").count().as[(Int, Long)].collect().toMap
+      if (n >= m) {
+        val base = n / m
+        val expected = (0 until m).map(c =>
+          c -> (if (c == m - 1) (n - base * (m - 1)).toLong else base.toLong)).toMap
+        assert(sizes === expected, s"n=$n m=$m")
+      } else {
+        // degenerate n < m: chunk size clamps to 1 (reference semantics:
+        // size = max(N div M, 1)); every chunk that exists has 1 row
+        assert(sizes.values.sum === n.toLong, s"n=$n m=$m total")
+        assert(sizes.forall(_._2 == 1L), s"n=$n m=$m per-chunk")
+      }
+    }
+  }
+
   test("S9: writeCentroids emits 4-decimal x,y lines in cid order") {
     val f = java.nio.file.Files.createTempFile("graft-centroids", ".txt")
     Ops.writeCentroids(

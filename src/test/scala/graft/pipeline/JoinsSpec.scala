@@ -42,6 +42,28 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === 9L)
   }
 
+  test("asofJoin matches driver-side brute force on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val left = (1L to 120L).map(i =>
+      (rnd.nextInt(6).toLong, i, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00")))
+    val right = (1L to 80L).map(i =>
+      (rnd.nextInt(6).toLong, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), 1000L + i))
+    val got = Joins.asofJoin(
+        left.toDF("k", "lid", "ts"), right.toDF("k", "vts", "v"),
+        "k", "ts", "vts", "v")
+      .select($"lid", $"asof_value")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    left.foreach { case (k, lid, lts) =>
+      // latest preceding right row for the key; ties on ts -> max value
+      val want = right.filter(r => r._1 == k && !r._2.after(lts))
+        .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+      assert(got(lid) === want, s"left row $lid (k=$k, ts=$lts)")
+    }
+  }
+
   test("timeBoundJoin keeps only right events inside [lts, lts+window]") {
     val v = Seq((7L, 100L, ts("2024-01-01 00:00:00")))
       .toDF("v_user", "view_id", "vts")

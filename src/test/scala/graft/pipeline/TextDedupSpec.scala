@@ -207,6 +207,47 @@ class TextDedupSpec extends AnyFunSuite {
     assert(unweighted(1L) === unweighted(2L))
   }
 
+  test("SimHashPack matches a plain-Scala reference on random corpora") {
+    // independent reference: md5 per token, first 16 hex digits = 64 bits
+    // (bit j = bit (3 - j%4) of hex digit j/4), ±1 votes, majority
+    def refSimHash(tokens: Seq[String]): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val w = new Array[Int](64)
+      tokens.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 16)
+        for (j <- 0 until 64) {
+          val digit = Integer.parseInt(hex(j / 4).toString, 16)
+          val bit = (digit >> (3 - j % 4)) & 1
+          w(j) += bit * 2 - 1
+        }
+      }
+      w.map(x => if (x > 0) '1' else '0').mkString
+    }
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      (id, Seq.fill(n)(s"w${rnd.nextInt(50)}").mkString(" "))
+    }
+    val got = Dedup.simHashWeighted(corpus.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    corpus.foreach { case (id, text) =>
+      assert(got(id) === refSimHash(text.split("\\s+").toSeq),
+        s"doc $id mismatch")
+    }
+    // blocks render to the same bit string the bits mode emits
+    val bits = Dedup.simHash(corpus.toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    val blocks = Dedup.simHashBlocks(corpus.toDF("doc_id", "text"))
+      .as[(Long, Seq[Int])].collect().toMap
+    corpus.foreach { case (id, _) =>
+      val rendered = blocks(id)
+        .map(b => String.format("%16s", Integer.toBinaryString(b)).replace(' ', '0'))
+        .mkString
+      assert(rendered === bits(id), s"doc $id blocks/bits disagree")
+    }
+  }
+
   test("quality score is in [0,1] and favors stopword-rich prose") {
     val d = docs(
       (1L, "the cat is in the hat and it is a good cat today really"),
