@@ -444,6 +444,17 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
     },
 
+    // End-to-end embedding near-dedup: banded-LSH candidates -> exact
+    // verify -> greedy keep-lowest-id (the embedding mirror of
+    // dd_near_dedup)
+    "sm_cosine_neardedup" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.cosineNearDedup(vecs, threshold = 0.45,
+          bands = 4, bitsPerBand = 4, d = 64)
+        .select(col("id"))
+    },
+
     // Brute-force cosine top-k ANN (first 10 vectors as queries, k=5)
     "sm_ann_topk" -> { (s, dir) =>
       val all = npoints(s, dir)
@@ -1175,6 +1186,38 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |) WHERE sim >= 0.45""".stripMargin,
+
+    // same banded-signature chain as sm_cosine_lsh_neardup; survivors are
+    // vectors never appearing as the LARGER id of a verified pair
+    "sm_cosine_neardedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform(range(0, 16), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CAST(('0x' || substr(md5(p || ',' || (i - 1)), 1, 15)) AS BIGINT)
+        |                / 576460752303423488.0 - 1.0))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS s
+        |  FROM e
+        |),
+        |bands AS (
+        |  SELECT vec_id, b, substr(s, CAST(b * 4 + 1 AS INT), 4) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.vec_id < b.vec_id
+        |),
+        |verpairs AS (
+        |  SELECT c.d1, c.d2,
+        |    list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*x.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])))) AS sim
+        |  FROM cand c JOIN e x ON c.d1 = x.vec_id JOIN e y ON c.d2 = y.vec_id
+        |)
+        |SELECT vec_id AS id FROM e
+        |WHERE vec_id NOT IN (SELECT d2 FROM verpairs WHERE sim >= 0.45)""".stripMargin,
 
     // signature mirrors Similarity.planeComponent exactly: plane(p,i) =
     // first-15-hex-digits of md5("p,i") as BIGINT / 2⁵⁹ − 1.0 (identical

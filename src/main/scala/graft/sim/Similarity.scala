@@ -219,6 +219,23 @@ object Similarity {
     * oracle-expressible (md5 exists in any engine).
     * Output: (d1, d2, sim) with d1 < d2 and sim >= threshold.
     */
+  /** End-to-end embedding near-DEDUP: banded-LSH candidates, exact-cosine
+    * verify, then greedy keep-lowest-id — a vector is dropped iff some
+    * SMALLER-id vector is near-identical to it (the same single-pass
+    * policy as [[graft.dedup.Dedup.nearDedup]] for documents).
+    * Output: the surviving vectors (id, vec).
+    */
+  def cosineNearDedup(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int,
+      bitsPerBand: Int,
+      d: Int): DataFrame = {
+    val dropped = cosineLshNearDupPairs(vectors, threshold, bands, bitsPerBand, d)
+      .select(col("d2").as("id")).distinct()
+    vectors.join(dropped, Seq("id"), "left_anti")
+  }
+
   def cosineLshNearDupPairs(
       vectors: DataFrame,
       threshold: Double,

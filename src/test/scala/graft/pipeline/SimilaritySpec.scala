@@ -80,6 +80,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("cosineNearDedup keeps the lowest id of each near-dup pair") {
+    val clones = vecs(
+      (1L, Seq.fill(64)(0.5)),
+      (2L, Seq.fill(64)(0.5)),      // dup of 1 -> dropped
+      (5L, Seq.fill(64)(0.25)),     // parallel to 1 (cos=1) -> dropped
+      (3L, (1 to 64).map(i => math.sin(i.toDouble))))
+    val kept = Similarity.cosineNearDedup(clones, 0.99, bands = 4, bitsPerBand = 4, d = 64)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+  }
+
   test("cosineLshNearDupPairs rejects ragged corpora") {
     val ragged = vecs((1L, Seq.fill(64)(1.0)), (2L, Seq.fill(63)(1.0)))
     val e = intercept[IllegalArgumentException] {
