@@ -296,7 +296,9 @@ object Dedup {
 
     // large-star: every node connects its strictly-larger neighbors to the
     // minimum of its neighborhood (incl. itself). Output stays canonical
-    // because emitted edges (w, m) have w > u ≥ m.
+    // because emitted edges (w, m) have w > u ≥ m. NO dedup here — the
+    // duplicates are absorbed by small-star's min aggregate and final
+    // distinct, and skipping it saves one exchange per round.
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select(col("u"), col("v"))
         .union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -305,7 +307,6 @@ object Dedup {
       sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
     }
 
     // small-star: every node connects its smaller neighbors (and itself) to
