@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNPREFIXED (default LoggedOutput
+// wraps every line in "[info] ", which breaks the driver's parse of
+// Bench's final JSON line), and drop sbt's trailing "[success] ..." line
+// so Bench's JSON is literally the last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,6 +41,7 @@ object Bench {
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()
+      graft.util.OpCaches.releaseAll(spark) // drain the tracked-cache registry
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -65,7 +66,12 @@ object Bench {
         s""""sf":"$sfDir","runs":$runs,"pass_totals":$totalsJson,""" +
         s""""spread_sec":$spread,"materialize":"noop"}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
-    println(json)
     spark.stop()
+    // LAST stdout line, after spark.stop() so no shutdown logging can
+    // trail it (Spark logs go to stderr; build.sbt's StdoutOutput strategy
+    // keeps this line free of sbt's "[info] " prefix) — the driver parses
+    // the log tail for exactly this.
+    println(json)
+    System.out.flush()
   }
 }

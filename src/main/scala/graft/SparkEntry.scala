@@ -115,6 +115,44 @@ object SparkEntry {
     s"$base,\n$rounds"
   }
 
+  /** Fixed-iteration 2-D Lloyd under the f32 wire funnel as a generated
+    * CTE chain — the SQL mirror of [[graft.kmeans.Lloyd.iterateF32]]:
+    * coordinates rounded through REAL once at parse, and every updated
+    * centroid set rounded through REAL before the next assignment (the
+    * reference's protobuf broadcast, `comm.proto:41,51-52`). The f64
+    * arithmetic between wire points is identical on both engines; the f32
+    * funnel absorbs summation-order noise in AVG long before the final
+    * 4-decimal truncation.
+    */
+  private def f32LloydCtes(iters: Int, k: Int): String = {
+    val base =
+      s"""fpts AS (
+         |  SELECT pid, CAST(CAST(x AS REAL) AS DOUBLE) AS x,
+         |         CAST(CAST(y AS REAL) AS DOUBLE) AS y
+         |  FROM pts
+         |),
+         |fc0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid, x, y) - 1 AS INT) AS cid, x, y
+         |  FROM (SELECT pid, x, y FROM fpts ORDER BY pid, x, y LIMIT $k)
+         |)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""fa$r AS (
+         |  SELECT p.pid, p.x, p.y, a.cid
+         |  FROM fpts p, LATERAL (
+         |    SELECT c.cid,
+         |           (p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y) AS dist2
+         |    FROM fc${r - 1} c ORDER BY dist2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |fc$r AS (
+         |  SELECT cid, CAST(CAST(AVG(x) AS REAL) AS DOUBLE) AS x,
+         |         CAST(CAST(AVG(y) AS REAL) AS DOUBLE) AS y
+         |  FROM fa$r GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
   /** MinHash near-dedup CTE chain (token keys -> shingle keys ->
     * signatures -> bands -> candidates -> Jaccard-verified pairs), shared
     * by the composed pipeline oracles.
@@ -289,6 +327,21 @@ object SparkEntry {
     // P3: float32 wire-precision emulation (protobuf float funnel)
     "p3_f32_cast" -> { (s, dir) =>
       Ops.castF32(points(s, dir))
+    },
+
+    // P3 end-to-end: the FULL f32 wire-parity Lloyd loop (fixed 3
+    // iterations, K=8) — input parsed through f32 once and every centroid
+    // broadcast rounded through f32, like the reference's protobuf funnel
+    // over all iterations; final centroids floor-truncated to the
+    // reference's 4-decimal output precision (truncation, not HALF_UP
+    // round, per the cross-engine convention)
+    "p5_f32_lloyd" -> { (s, dir) =>
+      import s.implicits._
+      Lloyd.iterateF32(points(s, dir), k = 8, iters = 3)
+        .map(c => (c.cid,
+          math.floor(c.x * 1e4) / 1e4,
+          math.floor(c.y * 1e4) / 1e4))
+        .toDF("cid", "x", "y")
     },
 
     // S3: contiguous input split (chunk sizes; last chunk takes remainder)
@@ -713,6 +766,12 @@ object SparkEntry {
          |SELECT pid, CAST(CAST(x AS REAL) AS DOUBLE) AS x,
          |       CAST(CAST(y AS REAL) AS DOUBLE) AS y
          |FROM pts""".stripMargin,
+
+    "p5_f32_lloyd" ->
+      s"""WITH $PTS, ${f32LloydCtes(3, 8)}
+         |SELECT cid, floor(x * 10000.0) / 10000.0 AS x,
+         |       floor(y * 10000.0) / 10000.0 AS y
+         |FROM fc3""".stripMargin,
 
     "s3_split_sizes" ->
       s"""WITH $PTS,

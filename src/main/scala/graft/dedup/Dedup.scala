@@ -31,9 +31,10 @@ import graft.text.TextOps
   *
   * Caching: the self-join operators persist their shared inputs
   * (MEMORY_AND_DISK) and cannot unpersist them before the caller consumes
-  * the lazily-evaluated result — long-lived sessions running many dedup
-  * pipelines should `spark.catalog.clearCache()` between them or rely on
-  * LRU eviction.
+  * the lazily-evaluated result. Every such persist is tracked in
+  * [[graft.util.OpCaches]]; after materializing the result, call
+  * `OpCaches.releaseAll(spark)` to drop them deterministically (Verify and
+  * Bench do this between queries).
   */
 object Dedup {
 
@@ -98,8 +99,9 @@ object Dedup {
         sh0.join(rare, Seq("shash"), "left_semi")
       case None => sh0
     }
-    // cache: consumed three times (sizes + both sides of the self-join)
-    val sh = shUnfiltered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache: consumed three times (sizes + both sides of the self-join);
+    // tracked in OpCaches so the caller can release it post-materialize
+    val sh = graft.util.OpCaches.cache(shUnfiltered)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val co = sh.as("a")
       .join(sh.as("b"), col("a.shash") === col("b.shash"))
@@ -215,9 +217,9 @@ object Dedup {
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // cache the buckets: the self-join would otherwise recompute the full
-    // signature pass for each side
-    val b = lshBuckets(minHashSignatures(docs, n, numHashes), bands, numHashes / bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // signature pass for each side (OpCaches-tracked)
+    val b = graft.util.OpCaches.cache(
+      lshBuckets(minHashSignatures(docs, n, numHashes), bands, numHashes / bands))
     b.as("a")
       .join(b.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -284,7 +286,17 @@ object Dedup {
     * @param maxRounds safety bound only — log₂²(n) rounds suffice, so 50
     *   covers any realistic graph; exceeded ⇒ exception, never truncation.
     */
-  def dupGroups(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
+    dupGroupsWithRounds(pairs, maxRounds)._1
+
+  /** [[dupGroups]] plus the number of large-star/small-star rounds it took
+    * to converge — the observable for the O(log²n) contract (a 50-node
+    * chain must finish in a handful of rounds, not 50; asserted in
+    * `TextDedupSpec`).
+    */
+  def dupGroupsWithRounds(
+      pairs: DataFrame,
+      maxRounds: Int = 50): (DataFrame, Int) = {
     // canonical edges (u > v), no self-loops
     var e = pairs
       .select(
@@ -353,8 +365,9 @@ object Dedup {
           "mislabel groups)")
     // fixpoint = disjoint stars (u → component-min v): non-roots point at
     // their root; roots label themselves
-    e.select(col("u").as("doc_id"), col("v").as("gid"))
+    val groups = e.select(col("u").as("doc_id"), col("v").as("gid"))
       .union(e.select(col("v").as("doc_id"), col("v").as("gid")).distinct())
+    (groups, round)
   }
 
   // ---------------------------------------------------------------------
@@ -410,8 +423,8 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist < 4, "pigeonhole over 4 blocks guarantees recall only for maxDist < 4")
     // cache: the self-join would otherwise run the fingerprint pass twice
-    val fp = simHashBlocks(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (OpCaches-tracked)
+    val fp = graft.util.OpCaches.cache(simHashBlocks(docs))
     val exploded = fp.select(
       col("doc_id"),
       col("blocks"),

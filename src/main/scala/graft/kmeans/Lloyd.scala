@@ -83,4 +83,24 @@ object Lloyd {
     }
     centroids
   }
+
+  /** [[iterate]] under the reference's float32 wire funnel
+    * (`comm.proto:41,51-52`): input coordinates rounded through f32 once
+    * (the mapper's parse), and every centroid list rounded through f32
+    * before it is "sent" to the next assignment (the protobuf broadcast).
+    * Fixed iterations, so it unrolls into an exact SQL oracle via
+    * `CAST(CAST(x AS REAL) AS DOUBLE)` — the `p5_f32_lloyd` registry
+    * entry; the f64 arithmetic BETWEEN wire points is unchanged.
+    */
+  def iterateF32(points: DataFrame, k: Int, iters: Int): Seq[Centroid2] = {
+    val fpts = Ops.castF32(points)
+    var centroids = roundF32(Ops.collectCentroids(Ops.initFirstK(fpts, k)))
+    var i = 0
+    while (i < iters) {
+      centroids =
+        roundF32(Ops.collectCentroids(Ops.update(Ops.assign(fpts, centroids))))
+      i += 1
+    }
+    centroids
+  }
 }

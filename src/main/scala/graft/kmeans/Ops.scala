@@ -286,10 +286,14 @@ object Ops {
     */
   def splitContiguous(points: DataFrame, m: Int): DataFrame = {
     require(m > 0, "m must be positive")
-    val ranged = points
-      .repartitionByRange(col("pid"), col("x"), col("y"))
-      .withColumn("_pidx", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // OpCaches-tracked: consumed eagerly by the count collect below AND by
+    // the returned lazy plan, which must see the SAME (sample-based, hence
+    // nondeterministic across jobs) range partitioning — release this
+    // cache only after the returned frame materializes
+    val ranged = graft.util.OpCaches.cache(
+      points
+        .repartitionByRange(col("pid"), col("x"), col("y"))
+        .withColumn("_pidx", spark_partition_id()))
     val counts = ranged.groupBy(col("_pidx")).agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))

@@ -152,10 +152,13 @@ object Similarity {
     // fixed-iteration quantizer (no early stop): deterministic AND
     // unrollable into an exact SQL oracle, cf. LloydN.iterateN
     val model = LloydN.iterateN(pts, nlist, maxIter)
-    // corpus side: cell assignment (shuffle-free projection)
+    // corpus side: cell assignment (shuffle-free projection). The norm is
+    // computed HERE, below the probe join, so it costs O(d) once per
+    // corpus row — not once per (query-probe × corpus-row) candidate
+    // (same hoist as lshTopK's signature projection).
     val cells = OpsN.assignN(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
-        col("cid").as("cell"))
+        norm(col("features")).as("cn"), col("cid").as("cell"))
     // query side: nprobe nearest cells per query, exploded
     val probeCells = (q: Column) =>
       slice(
@@ -174,7 +177,6 @@ object Similarity {
         .select(col("qid"), col("qv"), col("qn"), col("probe.cell").as("cell")))
     val scored = cells.join(q, Seq("cell"))
       .filter(col("qid") =!= col("cid_id"))
-      .withColumn("cn", norm(col("cv")))
       .withColumn("sim",
         when(col("qn") * col("cn") === 0.0, lit(0.0))
           .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
@@ -250,11 +252,10 @@ object Similarity {
         s"[${dims.get(0)}, ${dims.get(1)}] dimensions")
     val planes = hyperplanes(bands * bitsPerBand, d)
     // cache: consumed by both sides of the band join AND the verify joins
-    // (else the signature pass runs four times)
-    val sig = vectors
-      .select(col("id"), col("vec"), norm(col("vec")).as("nn"),
-        lshSignature(col("vec"), planes).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (else the signature pass runs four times); OpCaches-tracked
+    val sig = graft.util.OpCaches.cache(
+      vectors.select(col("id"), col("vec"), norm(col("vec")).as("nn"),
+        lshSignature(col("vec"), planes).as("s")))
     val banded = sig.select(
       col("id"),
       posexplode(

@@ -22,6 +22,21 @@ class MLlibLSHSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"MLlib MinHashLSH recall $recall over ${truth.size} pairs")
   }
 
+  test("MLlib-seeded queries are run-to-run deterministic (seeds pinned)") {
+    // the two `no_oracle` registry entries: DuckDB can't mirror MLlib's
+    // internal hash/init RNG, so the driver's check degrades to rows-only —
+    // pin it by asserting two consecutive runs produce IDENTICAL results
+    // (row count stability is what the driver can observe across rounds)
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("mllib_kmeans_sizes", "mllib_minhash_pairs")) {
+      def run() = graft.SparkEntry.queries(name)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+      val first = run()
+      assert(first.nonEmpty, s"$name returned no rows")
+      assert(run() === first, s"$name is not deterministic across runs")
+    }
+  }
+
   test("BucketedRandomProjectionLSH ANN returns plausible neighbors") {
     val corpus = graft.kmeans.OpsN.pointsFromEmbeddings(
         spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))

@@ -165,9 +165,13 @@ class TextDedupSpec extends AnyFunSuite {
     // diameter 49 — the old per-hop min-label propagation threw at its
     // maxRounds=10 bound here; large-star/small-star contracts it in ~6
     val chain = (1L until 50L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val got = Dedup.dupGroups(chain).as[(Long, Long)].collect()
+    val (groups, rounds) = Dedup.dupGroupsWithRounds(chain)
+    val got = groups.as[(Long, Long)].collect()
     assert(got.length === 50)
     assert(got.forall(_._2 == 1L))
+    // the O(log²n) contract, locked: per-hop propagation would need ~49
+    // rounds on diameter 49; star contraction must stay logarithmic
+    assert(rounds <= 8, s"star CC took $rounds rounds on a 50-node chain")
   }
 
   test("dupGroups matches a union-find oracle on a random graph") {
