@@ -17,6 +17,9 @@ run / fork := true
 // so Bench's JSON is literally the last stdout line.
 run / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

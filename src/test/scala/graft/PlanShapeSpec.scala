@@ -115,6 +115,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"no window operator:\n${plan.take(600)}")
   }
 
+  test("ivfTopK computes the corpus norm below the probe join") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val corpus = (1L to 64L).map(i => (i, Array(i * 1.0, i * 2.0, 3.0, 1.0)))
+      .toDF("id", "vec")
+    val queries = (1L to 4L).map(i => (i * 100, Array(i * 1.0, 1.0, 2.0, 0.5)))
+      .toDF("id", "vec")
+    val df = graft.sim.Similarity.ivfTopK(queries, corpus, k = 3, nlist = 4, nprobe = 2)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected a probe join in the ivfTopK plan")
+    // `cn` must be produced BY a join input (once per corpus row) — a
+    // withColumn above the join would cost O(d) per candidate pair and
+    // leave the join children without a cn attribute. Checking child
+    // OUTPUT (not for a Project node) keeps the assertion robust when the
+    // optimizer constant-folds a local corpus into a LocalRelation.
+    assert(
+      joins.exists(_.children.exists(_.output.exists(_.name == "cn"))),
+      "corpus norm 'cn' is not computed below the probe join")
+  }
+
   test("mean update is a partial+final hash aggregate (map-side combine)") {
     val p = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
     val centroids = Ops.collectCentroids(Ops.initFirstK(p, 4))
