@@ -207,6 +207,17 @@ object Dedup {
                   v => v.cast("string"))))))
           .as(Seq("band", "bucket")))
 
+  /** Candidate pairs from shared (band, bucket) co-occurrence — the LSH
+    * OR-construction's equality self-join. Input must be cached: both
+    * join sides read it.
+    */
+  private def bucketCandidates(b: DataFrame): DataFrame =
+    b.as("a")
+      .join(b.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
   /** Candidate near-dup pairs: docs sharing any (band, bucket).
     * Output: (d1, d2) distinct, d1 < d2.
     */
@@ -220,11 +231,7 @@ object Dedup {
     // signature pass for each side (OpCaches-tracked)
     val b = graft.util.OpCaches.cache(
       lshBuckets(minHashSignatures(docs, n, numHashes), bands, numHashes / bands))
-    b.as("a")
-      .join(b.as("b"), Seq("band", "bucket"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
+    bucketCandidates(b)
   }
 
   /** End-to-end near-dedup: MinHash+LSH candidates, verified against exact
@@ -239,8 +246,20 @@ object Dedup {
       numHashes: Int,
       bands: Int,
       threshold: Double): DataFrame = {
-    val cands = minHashCandidates(docs, n, numHashes, bands)
-    val verified = verifyJaccard(docs, cands, n, threshold)
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // ONE shingle-key pass (tokenize + md5 + n-gram combine — the
+    // dominant per-doc cost at scale) shared by the signature stage AND
+    // the Jaccard verify stage, which each ran their own docShingleKeys
+    // before; both caches are OpCaches-tracked
+    val keys = graft.util.OpCaches.cache(docShingleKeys(docs, n))
+    val sigs = keys
+      .filter(size(col("keys")) > 0)
+      .select(
+        col("doc_id"),
+        graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
+    val b = graft.util.OpCaches.cache(
+      lshBuckets(sigs, bands, numHashes / bands))
+    val verified = verifyJaccardKeys(keys, bucketCandidates(b), threshold)
     val dropped = verified.select(col("d2").as("doc_id")).distinct()
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
@@ -253,9 +272,16 @@ object Dedup {
       docs: DataFrame,
       pairs: DataFrame,
       n: Int,
+      threshold: Double): DataFrame =
+    verifyJaccardKeys(docShingleKeys(docs, n), pairs, threshold)
+
+  /** [[verifyJaccard]] over an already-computed (doc_id, keys) frame —
+    * lets pipelines reuse one shingle-key pass across stages.
+    */
+  def verifyJaccardKeys(
+      keys: DataFrame,
+      pairs: DataFrame,
       threshold: Double): DataFrame = {
-    val keys = docShingleKeys(docs, n)
-      .select(col("doc_id"), col("keys"))
     val left = keys.select(col("doc_id").as("d1"), col("keys").as("k1"))
     val right = keys.select(col("doc_id").as("d2"), col("keys").as("k2"))
     pairs
@@ -297,6 +323,14 @@ object Dedup {
   def dupGroupsWithRounds(
       pairs: DataFrame,
       maxRounds: Int = 50): (DataFrame, Int) = {
+    // eager-checkpoint blocks are invisible to the CacheManager, so each
+    // SUPERSEDED round is released explicitly the moment the next round
+    // materializes — storage stays bounded at ~2 rounds of edges instead
+    // of every round accumulating until the async ContextCleaner runs
+    def releaserOf(df: DataFrame): () => Unit =
+      org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(df)
+        .map(r => () => { r.unpersist(blocking = false); () })
+        .getOrElse(() => ())
     // canonical edges (u > v), no self-loops
     var e = pairs
       .select(
@@ -305,6 +339,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    var releaseE = releaserOf(e)
 
     // large-star: every node connects its strictly-larger neighbors to the
     // minimum of its neighborhood (incl. itself). Output stays canonical
@@ -356,7 +391,9 @@ object Dedup {
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
+      releaseE() // `next` is materialized; the old round is unreachable
       e = next
+      releaseE = releaserOf(next)
     }
     if (!converged)
       throw new IllegalStateException(
@@ -367,6 +404,9 @@ object Dedup {
     // their root; roots label themselves
     val groups = e.select(col("u").as("doc_id"), col("v").as("gid"))
       .union(e.select(col("v").as("doc_id"), col("v").as("gid")).distinct())
+    // the FINAL round's blocks back the (lazy) result — release them via
+    // OpCaches after the caller materializes, like the persisted caches
+    graft.util.OpCaches.track(pairs.sparkSession, releaseE)
     (groups, round)
   }
 

@@ -1,14 +1,31 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, Dataset}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.execution.LogicalRDD
 
-/** Minimal bridge into Spark's `private[sql]` Column↔Expression converters
-  * (Spark 4 removed the public `Column(expr)` constructor). This is the
+/** Minimal bridge into Spark's `private[sql]` internals: the
+  * Column↔Expression converters (Spark 4 removed the public
+  * `Column(expr)` constructor) and the materialized RDD behind a
+  * checkpointed Dataset (needed to release a superseded
+  * `localCheckpoint`'s blocks eagerly — `Dataset.unpersist` only talks to
+  * the CacheManager, which never sees checkpoint storage). This is the
   * only file outside the `graft` namespace; it contains no logic.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The persisted RDD backing an (eager) `df.localCheckpoint()` result —
+    * None for any other plan shape. Unpersisting it frees the checkpoint
+    * blocks immediately; the frame is unrecomputable afterwards, so only
+    * release frames that are never used again.
+    */
+  def checkpointedRdd(df: Dataset[_]): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

@@ -83,6 +83,28 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assertReleased("splitContiguous")(Ops.splitContiguous(points, 5))
   }
 
+  test("dupGroups releases superseded rounds inline and the final round via releaseAll") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (6L, 7L), (7L, 8L))
+      .toDF("d1", "d2")
+    val groups = Dedup.dupGroups(pairs)
+    groups.write.mode("overwrite").format("noop").save()
+    // only the FINAL checkpoint round may still hold blocks here —
+    // superseded rounds were released inside the loop, not left to the
+    // async ContextCleaner
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.size <= 1, s"superseded CC rounds leaked: $during")
+    OpCaches.releaseAll(spark)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"dupGroups leaked persistent RDD ids: $leaked")
+  }
+
+  test("nearDedup shares one shingle-key pass and releases both caches") {
+    assertReleased("nearDedup") {
+      Dedup.nearDedup(docs, n = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }
+  }
+
   test("releaseAll on a session with nothing tracked is a no-op") {
     OpCaches.releaseAll(spark)
     assert(OpCaches.trackedCount(spark) === 0)
