@@ -424,6 +424,31 @@ object SparkEntry {
       TextOps.winnowFingerprints(Graft.table(s, dir, "documents"), k = 5, w = 8)
     },
 
+    // PII scrubbing (URL -> email -> phone redaction, fixed order). The
+    // PII is synthesized deterministically from doc_id so every row
+    // exercises all three redaction paths (the synthetic corpus itself
+    // carries none); the identical concat runs on the DuckDB side.
+    "tx_scrub" -> { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com via https://ex.com/p/"),
+            col("doc_id").cast("string"), lit(" tel +1 (555) 010-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("aug"))
+        .select(col("doc_id"), TextOps.scrub(col("aug")).as("clean"))
+    },
+
+    // Gopher-style repetition quality signals: top-token dominance and
+    // distinct-token ratio, computed distributed (explode + aggregate,
+    // never a per-row O(n²) scan)
+    "tx_repetition" -> { (s, dir) =>
+      TextOps.repetitionSignals(Graft.table(s, dir, "documents"))
+        .select(col("doc_id"),
+          (floor(col("top_tok_ratio") * 1e6) / 1e6).as("top_tok_ratio"),
+          (floor(col("distinct_ratio") * 1e6) / 1e6).as("distinct_ratio"))
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -831,6 +856,33 @@ object SparkEntry {
          |    (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0) / 1000000.0 AS quality,
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |FROM scored""".stripMargin,
+
+    "tx_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com via https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+        |           || ' tel +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS aug
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(aug, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |FROM aug""".stripMargin,
+
+    "tx_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+        |SELECT doc_id,
+        |  floor(MAX(c) / SUM(c) * 1000000.0) / 1000000.0 AS top_tok_ratio,
+        |  floor(COUNT(*) / SUM(c) * 1000000.0) / 1000000.0 AS distinct_ratio
+        |FROM cnt GROUP BY doc_id""".stripMargin,
 
     "dd_exact_groups" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -136,6 +136,42 @@ object TextOps {
       col("doc_id"),
       explode(graft.expr.Winnow(normalize(col("text")), k, w)).as("fp"))
 
+  /** PII scrubbing: redact URLs, then emails, then phone-shaped digit
+    * runs, in that fixed order (a URL is consumed whole before the email
+    * pattern can bite its path). Every training-data pipeline runs a pass
+    * like this before publishing a corpus. Patterns use no
+    * backreferences, lookarounds, or shorthand that differs between
+    * engines, so Java regex (Spark) and RE2 (DuckDB) match
+    * byte-identically and the oracle is `regexp_replace(..., 'g')`.
+    */
+  def scrub(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noEmail = regexp_replace(
+      noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    regexp_replace(noEmail, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+  }
+
+  /** Gopher-style repetition signals per document: `top_tok_ratio` (the
+    * fraction of all tokens taken by the single most frequent token) and
+    * `distinct_ratio` (distinct/total tokens) — the standard cheap
+    * repetition filters for corpus quality.
+    *
+    * Computed DISTRIBUTED (explode → per-token count → one aggregate),
+    * not as per-row higher-order functions: a pathological 10⁶-token
+    * document costs a shuffle of its token counts, not an O(n²)
+    * in-row scan pinned to one task. Output: (doc_id, top_tok_ratio,
+    * distinct_ratio).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (max(col("c")) / sum(col("c"))).as("top_tok_ratio"),
+        (count(lit(1)) / sum(col("c"))).as("distinct_ratio"))
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -51,6 +51,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) === "en") // all scores 0 -> preference order picks en
   }
 
+  test("scrub redacts urls, emails, and phone numbers in fixed order") {
+    val d = docs(
+      (1L, "mail a.b@x.io or http://x.io/p?q=1 call +1 (555) 010-1234 ok"),
+      (2L, "no pii here at all"))
+    val got = d.select($"doc_id", TextOps.scrub($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "mail <EMAIL> or <URL> call <PHONE> ok")
+    assert(got(2L) === "no pii here at all")
+  }
+
+  test("repetitionSignals: top-token dominance and distinct ratio") {
+    val d = docs((1L, "a a a b"), (2L, "w x y z"))
+    val got = TextOps.repetitionSignals(d)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((0.75, 0.5)))  // 3-of-4 'a'; 2 distinct of 4
+    assert(got(2L) === ((0.25, 1.0)))  // uniform; all distinct
+  }
+
   test("exact dedup groups duplicates under normalization") {
     val d = docs((1L, "A  b"), (2L, "a b"), (3L, "c"))
     val groups = Dedup.exactGroups(d)
