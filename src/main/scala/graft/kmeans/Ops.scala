@@ -217,12 +217,15 @@ object Ops {
       maxMovement(oldC, newC) <= tol
 
   /** C4 as a DataFrame operator (oracle-expressible form): join old/new by
-    * cid, emit per-cluster movement and the global max.
+    * cid, emit per-cluster movement and the global max. Both sides are
+    * ≤K-row model frames, so the join side is broadcast EXPLICITLY —
+    * driver-built frames carry no size statistics, and without the hint
+    * Catalyst plans a sort-merge join with two exchanges for K rows.
     */
   def movementDf(oldC: DataFrame, newC: DataFrame): DataFrame = {
     val o = oldC.select(col("cid"), col("x").as("ox"), col("y").as("oy"))
     val n = newC.select(col("cid"), col("x").as("nx"), col("y").as("ny"))
-    o.join(n, Seq("cid"))
+    o.join(broadcast(n), Seq("cid"))
       .select(
         col("cid"),
         sqrt(dist2(col("ox"), col("oy"), col("nx"), col("ny"))).as("movement"))
