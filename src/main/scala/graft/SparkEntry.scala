@@ -449,6 +449,17 @@ object SparkEntry {
           (floor(col("distinct_ratio") * 1e6) / 1e6).as("distinct_ratio"))
     },
 
+    // Reproducible 80/10/10 train/val/test split: hash-of-id buckets, so
+    // the assignment is a pure function of doc_id — stable across runs,
+    // shuffles, and engines (vs rand(seed), which is row-order-dependent)
+    "tx_split_counts" -> { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.assignSplit(col("doc_id")).as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -883,6 +894,16 @@ object SparkEntry {
         |  floor(MAX(c) / SUM(c) * 1000000.0) / 1000000.0 AS top_tok_ratio,
         |  floor(COUNT(*) / SUM(c) * 1000000.0) / 1000000.0 AS distinct_ratio
         |FROM cnt GROUP BY doc_id""".stripMargin,
+
+    "tx_split_counts" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS bkt
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN bkt < 8 THEN 'train' WHEN bkt = 8 THEN 'val' ELSE 'test' END AS split,
+        |       lang, COUNT(*) AS n
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "dd_exact_groups" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

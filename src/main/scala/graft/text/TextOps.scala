@@ -172,6 +172,22 @@ object TextOps {
         (max(col("c")) / sum(col("c"))).as("top_tok_ratio"),
         (count(lit(1)) / sum(col("c"))).as("distinct_ratio"))
 
+  /** Deterministic split bucket in [0, 10): the first 8 hex digits of
+    * md5(id) mod 10. Hash-based (not `rand(seed)`-based) sampling is the
+    * reproducible-split idiom for training corpora: the assignment is a
+    * pure function of the id, so it is STABLE across runs, partitionings,
+    * shuffles, and engines — DuckDB computes the identical bucket from
+    * the identical md5.
+    */
+  def splitBucket(id: Column): Column =
+    conv(md5(id.cast("string")).substr(1, 8), 16, 10).cast("long") % 10
+
+  /** Named train/val/test assignment from [[splitBucket]]: 80/10/10. */
+  def assignSplit(id: Column): Column = {
+    val b = splitBucket(id)
+    when(b < 8, "train").when(b === 8, "val").otherwise("test")
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

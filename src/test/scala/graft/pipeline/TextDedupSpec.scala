@@ -70,6 +70,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) === ((0.25, 1.0)))  // uniform; all distinct
   }
 
+  test("assignSplit: deterministic, id-pure, roughly 80/10/10") {
+    val ids = (1L to 1000L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = ids.select($"doc_id", TextOps.assignSplit($"doc_id").as("s"))
+      .as[(Long, String)].collect()
+    // pure function of id: a second evaluation agrees exactly
+    val again = ids.repartition(7).select($"doc_id", TextOps.assignSplit($"doc_id").as("s"))
+      .as[(Long, String)].collect()
+    assert(splits.toMap === again.toMap)
+    val n = splits.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(n.keySet === Set("train", "val", "test"))
+    // md5 buckets are uniform-ish; wide tolerance keeps this non-flaky
+    assert(n("train") > 700 && n("train") < 900, s"train=${n("train")}")
+    assert(n("val") > 50 && n("test") > 50)
+  }
+
   test("exact dedup groups duplicates under normalization") {
     val d = docs((1L, "A  b"), (2L, "a b"), (3L, "c"))
     val groups = Dedup.exactGroups(d)
