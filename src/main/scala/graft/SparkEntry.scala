@@ -879,9 +879,9 @@ object SparkEntry {
         |SELECT doc_id,
         |  regexp_replace(
         |    regexp_replace(
-        |      regexp_replace(aug, 'https?://[^\s]+', '<URL>', 'g'),
+        |      regexp_replace(aug, 'https?://[^ \t\n\f\r]+', '<URL>', 'g'),
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean
+        |    '\+?[0-9][ ()-]*(?:[0-9][ ()-]*){6,}[0-9]', '<PHONE>', 'g') AS clean
         |FROM aug""".stripMargin,
 
     "tx_repetition" ->

@@ -38,6 +38,8 @@ import graft.text.TextOps
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   // ---------------------------------------------------------------------
   // Exact dedup
   // ---------------------------------------------------------------------
@@ -395,11 +397,17 @@ object Dedup {
       e = next
       releaseE = releaserOf(next)
     }
-    if (!converged)
+    if (!converged) {
+      releaseE() // drop the final round's checkpoint blocks before failing
       throw new IllegalStateException(
         s"dupGroups did not converge within $maxRounds rounds (needs " +
           "~log²(nodes)); raise maxRounds (silent truncation would " +
           "mislabel groups)")
+    }
+    // observable convergence behavior for production runs (the O(log²n)
+    // contract is also locked by a round-count assertion in TextDedupSpec)
+    log.info(s"dupGroups converged in $round large-star/small-star rounds " +
+      s"(${prev._1} fixpoint edges)")
     // fixpoint = disjoint stars (u → component-min v): non-roots point at
     // their root; roots label themselves
     val groups = e.select(col("u").as("doc_id"), col("v").as("gid"))

@@ -75,13 +75,20 @@ object Lloyd {
     * runs to max_iterations, SURVEY.md §4.3 defect 1).
     */
   def iterate(points: DataFrame, k: Int, iters: Int): Seq[Centroid2] = {
-    var centroids = Ops.collectCentroids(Ops.initFirstK(points, k))
-    var i = 0
-    while (i < iters) {
-      centroids = Ops.collectCentroids(Ops.update(Ops.assign(points, centroids)))
-      i += 1
-    }
-    centroids
+    // cached like fit: `iters` iterations cost `iters` passes over cached
+    // partitions, not `iters` source re-scans (at 100 TB a 3-iteration run
+    // would otherwise pay 3 full parquet reads)
+    val cached = points.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = Ops.collectCentroids(Ops.initFirstK(cached, k))
+      var i = 0
+      while (i < iters) {
+        centroids =
+          Ops.collectCentroids(Ops.update(Ops.assign(cached, centroids)))
+        i += 1
+      }
+      centroids
+    } finally cached.unpersist(blocking = false)
   }
 
   /** [[iterate]] under the reference's float32 wire funnel
@@ -93,14 +100,19 @@ object Lloyd {
     * entry; the f64 arithmetic BETWEEN wire points is unchanged.
     */
   def iterateF32(points: DataFrame, k: Int, iters: Int): Seq[Centroid2] = {
-    val fpts = Ops.castF32(points)
-    var centroids = roundF32(Ops.collectCentroids(Ops.initFirstK(fpts, k)))
-    var i = 0
-    while (i < iters) {
-      centroids =
-        roundF32(Ops.collectCentroids(Ops.update(Ops.assign(fpts, centroids))))
-      i += 1
-    }
-    centroids
+    // cache AFTER the f32 funnel so the rounded coordinates are what's
+    // stored — each iteration re-reads the cached f32 points, not the
+    // source (see [[iterate]] on why the cache matters at scale)
+    val fpts = Ops.castF32(points).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids = roundF32(Ops.collectCentroids(Ops.initFirstK(fpts, k)))
+      var i = 0
+      while (i < iters) {
+        centroids =
+          roundF32(Ops.collectCentroids(Ops.update(Ops.assign(fpts, centroids))))
+        i += 1
+      }
+      centroids
+    } finally fpts.unpersist(blocking = false)
   }
 }

@@ -188,11 +188,29 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with
-    * cosine >= threshold. Exact all-pairs — the small-corpus baseline; at
-    * scale route through [[lshTopK]] buckets or ANN first.
+    * cosine >= threshold. Exact all-pairs — the small-corpus BASELINE:
+    * cost is O(n²) pairs, so the guard refuses corpora above
+    * `maxExactRows` (one count job) rather than silently launching a
+    * quadratic cross join; at scale route through
+    * [[cosineLshNearDupPairs]] (banded sign-LSH candidates + exact
+    * verify), the same trade [[bruteForceTopK]] documents vs [[lshTopK]].
     * Output: (d1, d2, sim).
+    *
+    * @param maxExactRows refusal bound on |corpus| (default 100k ⇒ ≤10¹⁰
+    *   candidate pairs); raise explicitly only when the quadratic cost is
+    *   understood and intended.
     */
-  def cosineNearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      threshold: Double,
+      maxExactRows: Long = 100000L): DataFrame = {
+    val n = vectors.count()
+    require(
+      n <= maxExactRows,
+      s"cosineNearDupPairs is the exact all-pairs baseline: corpus has $n " +
+        s"rows > maxExactRows=$maxExactRows (~${n * n} candidate pairs); " +
+        "use cosineLshNearDupPairs (banded LSH + exact verify) at scale, " +
+        "or raise maxExactRows explicitly")
     val withNorm = vectors.select(col("id"), col("vec"), norm(col("vec")).as("nn"))
     val a = withNorm.select(col("id").as("d1"), col("vec").as("v1"), col("nn").as("n1"))
     val b = withNorm.select(col("id").as("d2"), col("vec").as("v2"), col("nn").as("n2"))

@@ -140,15 +140,23 @@ object TextOps {
     * runs, in that fixed order (a URL is consumed whole before the email
     * pattern can bite its path). Every training-data pipeline runs a pass
     * like this before publishing a corpus. Patterns use no
-    * backreferences, lookarounds, or shorthand that differs between
-    * engines, so Java regex (Spark) and RE2 (DuckDB) match
-    * byte-identically and the oracle is `regexp_replace(..., 'g')`.
+    * backreferences, lookarounds, or engine-divergent shorthand — `\s` is
+    * avoided on purpose: Java's includes vertical tab `\x0B`, RE2's does
+    * not, so the URL boundary is the explicit class `[^ \t\n\f\r]`
+    * (identical bytes matched in both engines) and the oracle is
+    * `regexp_replace(..., 'g')`.
+    *
+    * The phone pattern requires >= 8 actual digits (each repetition of
+    * the inner group contributes exactly one digit), not just a >= 8-char
+    * digit/separator run — prose numerics like "1 000 000" (7 digits)
+    * survive, while any real E.164-shaped number (8+ digits) is redacted.
     */
   def scrub(text: Column): Column = {
-    val noUrl = regexp_replace(text, "https?://[^\\s]+", "<URL>")
+    val noUrl = regexp_replace(text, "https?://[^ \\t\\n\\f\\r]+", "<URL>")
     val noEmail = regexp_replace(
       noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
-    regexp_replace(noEmail, "\\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>")
+    regexp_replace(
+      noEmail, "\\+?[0-9][ ()-]*(?:[0-9][ ()-]*){6,}[0-9]", "<PHONE>")
   }
 
   /** Gopher-style repetition signals per document: `top_tok_ratio` (the

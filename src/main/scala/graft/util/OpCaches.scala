@@ -29,6 +29,16 @@ import org.apache.spark.storage.StorageLevel
   * the sampled range partitioning its collected offsets were computed
   * from, and a released checkpoint is unrecomputable, so an early
   * release of those can fail or mis-rank a not-yet-materialized result.
+  *
+  * Lifetime contract: the registry holds a STRONG reference to each
+  * SparkSession key until its entry is drained, so a library user who
+  * allocates tracked caches MUST eventually call [[releaseAll]] for that
+  * session (as Verify/Bench do per query) — a session that never does
+  * pins its release thunks for the JVM lifetime. Concurrency: the
+  * structures are thread-safe, and [[releaseAll]] re-drains until the
+  * session's entry stays empty, so a `cache()`/`track()` racing with a
+  * concurrent `releaseAll` is either released by that call or left
+  * cleanly registered for the next one — never silently orphaned.
   */
 object OpCaches {
 
@@ -56,16 +66,33 @@ object OpCaches {
 
   /** Run every release registered against `spark` (idempotent;
     * non-blocking block removal, but persisted RDDs leave
-    * `sparkContext.getPersistentRDDs` synchronously).
+    * `sparkContext.getPersistentRDDs` synchronously). Loops until the
+    * session's registry entry stays absent: an operator thread that
+    * re-creates the queue (or appends to the removed one) mid-drain gets
+    * its thunk run by THIS call instead of orphaned until session end.
     */
-  def releaseAll(spark: SparkSession): Unit =
-    registry.remove(spark).foreach { q =>
-      var release = q.poll()
-      while (release != null) {
-        release()
-        release = q.poll()
+  def releaseAll(spark: SparkSession): Unit = {
+    var drained = registry.remove(spark)
+    while (drained.isDefined) {
+      drained.foreach { q =>
+        // poll-until-empty twice: the second pass catches a thunk that an
+        // operator thread raced onto this (already removed) queue after
+        // the first pass saw it empty
+        var passes = 0
+        while (passes < 2 || !q.isEmpty) {
+          var release = q.poll()
+          while (release != null) {
+            release()
+            release = q.poll()
+          }
+          passes += 1
+        }
       }
+      // a concurrent add() may instead have re-registered the session
+      // under a fresh queue — re-check until the entry stays absent
+      drained = registry.remove(spark)
     }
+  }
 
   /** Number of tracked (not yet released) allocations — test hook. */
   def trackedCount(spark: SparkSession): Int =

@@ -105,6 +105,22 @@ class CacheLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-iteration Lloyd loops cache their input and release it on return") {
+    import graft.kmeans.{Lloyd, LloydN}
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cs = Lloyd.iterate(points, k = 3, iters = 3)
+    assert(cs.size === 3)
+    val csF32 = Lloyd.iterateF32(points, k = 3, iters = 3)
+    assert(csF32.size === 3)
+    val nPts = (1L to 40L).map(i => (i, Array(i * 1.0, i * 2.0, i * 3.0)))
+      .toDF("pid", "features")
+    val csN = LloydN.iterateN(nPts, k = 3, iters = 3)
+    assert(csN.size === 3)
+    // eager loops own their cache via try/finally — nothing may survive
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"fixed-iteration loop leaked persistent RDDs: $leaked")
+  }
+
   test("releaseAll on a session with nothing tracked is a no-op") {
     OpCaches.releaseAll(spark)
     assert(OpCaches.trackedCount(spark) === 0)

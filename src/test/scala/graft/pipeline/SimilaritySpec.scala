@@ -27,6 +27,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(sims((1L, 4L)) + 1.0) < 1e-12)
   }
 
+  test("cosineNearDupPairs refuses corpora above the exact-baseline bound") {
+    val d = vecs((1L to 8L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(d, threshold = 0.9, maxExactRows = 5L)
+    }
+    assert(e.getMessage.contains("cosineLshNearDupPairs"))
+    // at or under the bound the exact baseline still runs
+    assert(Similarity.cosineNearDupPairs(d, threshold = 2.0, maxExactRows = 8L)
+      .count() === 0L)
+  }
+
   test("bruteForceTopK returns k neighbors ranked by similarity") {
     val d = vecs(
       (0L, Seq(1.0, 0.0)),

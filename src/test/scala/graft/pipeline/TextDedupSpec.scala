@@ -61,6 +61,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2L) === "no pii here at all")
   }
 
+  test("scrub phone guard: prose numerics with < 8 digits survive") {
+    val d = docs(
+      (1L, "the budget is 1 000 000 dollars"), // 7 digits: not a phone
+      (2L, "score was 10 - 20 (30) yesterday"), // 6 digits: not a phone
+      (3L, "dial 555 010 1234 now"), // 10 digits: phone-shaped
+      (4L, "+49 (30) 1234-5678 bye")) // 12 digits: phone-shaped
+    val got = d.select($"doc_id", TextOps.scrub($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) === "the budget is 1 000 000 dollars")
+    assert(got(2L) === "score was 10 - 20 (30) yesterday")
+    assert(got(3L) === "dial <PHONE> now")
+    assert(got(4L) === "<PHONE> bye")
+  }
+
   test("repetitionSignals: top-token dominance and distinct ratio") {
     val d = docs((1L, "a a a b"), (2L, "w x y z"))
     val got = TextOps.repetitionSignals(d)
