@@ -55,4 +55,25 @@ object Graft {
       case _ => raw
     }
   }
+
+  /** The events table as a file-source STREAM with the same `ts`
+    * normalization as [[events]] (file streams need an explicit schema —
+    * taken from a batch peek at the same path). Each call returns an
+    * independent source instance, so a self-join reads two clean scans.
+    * The fixture is a single FILE, and `FileStreamSource` demands a
+    * directory-shaped base path — a one-character glob class on the last
+    * letter makes the source derive the sfDir parent as basePath while
+    * still matching only events.parquet.
+    */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(spark, sfDir, "events")
+    val stream =
+      spark.readStream.schema(raw.schema).parquet(s"$sfDir/events.parque[t]")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => stream
+    }
+  }
 }

@@ -154,16 +154,23 @@ object SparkEntry {
   }
 
   /** MinHash near-dedup CTE chain (token keys -> shingle keys ->
-    * signatures -> bands -> candidates -> Jaccard-verified pairs), shared
-    * by the composed pipeline oracles.
+    * signatures -> bands -> candidates -> Jaccard-verified pairs) over an
+    * arbitrary (doc_id, text) source CTE/table, shared by the composed
+    * pipeline oracles. `%SRC%` substitution instead of an s-interpolator
+    * keeps the regex backslashes literal.
     */
-  private val DEDUP_VER =
+  private def dedupVerCtes(src: String): String =
+    DEDUP_VER_TEMPLATE.replace("%SRC%", src)
+
+  private lazy val DEDUP_VER = dedupVerCtes("documents")
+
+  private val DEDUP_VER_TEMPLATE =
     """tk AS (
       |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
       |    tok -> struct_pack(
       |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
       |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
-      |  FROM documents
+      |  FROM %SRC%
       |),
       |skeys AS (
       |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
@@ -619,6 +626,27 @@ object SparkEntry {
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     },
 
+    // REAL stream-stream join: views x clicks over two watermarked
+    // file-source streams (independent scans of the events fixture), run
+    // through a memory sink to completion. A bounded deterministic feed
+    // has no late rows, so the result equals the batch j2 join and the
+    // same SQL oracle applies; unbounded, the watermarks bound join state.
+    "st_stream_join" -> { (s, dir) =>
+      val views = Graft.eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("vts"))
+      val clicks = Graft.eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("cts"))
+      StreamOps.runStreamStreamTimeBoundJoin(
+          views, clicks, "v_user", "c_user", "vts", "cts",
+          window = "30 minutes", lateness = "1 hour",
+          sinkName = "st_stream_join_sink")
+        .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
+    },
+
     // Stream-static enrichment: events joined (broadcast) to the customer
     // dim by user id -> spend per nation/event_type
     "st_enrich_join" -> { (s, dir) =>
@@ -642,6 +670,18 @@ object SparkEntry {
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n"),
           (floor(avg(col("quality")) * 1e6) / 1e6).as("avg_quality"))
+    },
+
+    // Gopher quality-filter composition — the daily production shape:
+    // repetition/length gate FIRST (cheap signals drop boilerplate and
+    // too-short docs before any shingling cost), then MinHash near-dedup
+    // over the survivors only. Output: the doc_ids that clear both gates.
+    "tx_quality_filter" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val kept = TextOps.qualityFilter(docs,
+        maxTopTokRatio = 0.2, minDistinctRatio = 0.3, minTokens = 20L)
+      Dedup.nearDedup(kept, n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("doc_id"))
     },
 
     // OLAP rollup: doc counts / avg length by (source, lang) with
@@ -1129,6 +1169,28 @@ object SparkEntry {
         |)
         |SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a""".stripMargin,
 
+    // quality gate (repetition + length) mirrored from tx_repetition,
+    // then the shared near-dedup chain rebased onto the filtered docs
+    "tx_quality_filter" ->
+      s"""WITH qtoks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |),
+         |qcnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM qtoks GROUP BY doc_id, tok),
+         |qsig AS (
+         |  SELECT doc_id, MAX(c) / SUM(c) AS ttr, COUNT(*) / SUM(c) AS dr,
+         |         SUM(c) AS n_tok
+         |  FROM qcnt GROUP BY doc_id
+         |),
+         |fdocs AS (
+         |  SELECT d.doc_id, d.text
+         |  FROM documents d JOIN qsig q USING (doc_id)
+         |  WHERE q.ttr < 0.2 AND q.dr > 0.3 AND q.n_tok >= 20
+         |),
+         |${dedupVerCtes("fdocs")}
+         |SELECT doc_id FROM fdocs
+         |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
+
     "tx_rollup_stats" ->
       """SELECT source, lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
@@ -1201,6 +1263,15 @@ object SparkEntry {
         |    FROM ec3 c ORDER BY dist2, c.cid LIMIT 1) a
         |)
         |SELECT cid, COUNT(*) AS n FROM eaf GROUP BY cid""".stripMargin,
+
+    // identical to j2_timebound_join: the streaming path adds only
+    // watermarks, which drop nothing on a bounded deterministic feed
+    "st_stream_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+        |FROM ev v JOIN ev c
+        |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin,
 
     "st_enrich_join" ->
       """SELECT c.c_nationkey, e.event_type, COUNT(*) AS n,

@@ -167,4 +167,45 @@ object StreamOps {
       dim: DataFrame,
       key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked STREAM–STREAM time-bounded inner join, run to completion
+    * over bounded streaming inputs and returned as the materialized
+    * result: both sides get `lateness` watermarks (required for Spark to
+    * bound join state — the time-range condition in
+    * [[graft.joins.Joins.timeBoundJoin]] then lets it evict rows older
+    * than watermark − window), the join runs through a memory sink in
+    * append mode, and the drained sink table is returned.
+    *
+    * On a bounded source (e.g. [[graft.Graft.eventsStream]]) the result
+    * equals the batch [[graft.joins.Joins.timeBoundJoin]] — watermarks
+    * only drop LATE rows, and a bounded deterministic feed has none —
+    * which is what makes the streaming path oracle-checkable. At scale
+    * the same pipeline runs unbounded: state stays O(rows within the
+    * watermark horizon), not O(stream).
+    */
+  def runStreamStreamTimeBoundJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      window: String,
+      lateness: String,
+      sinkName: String): DataFrame = {
+    val spark = left.sparkSession
+    val joined = graft.joins.Joins.timeBoundJoin(
+      left.withWatermark(leftTs, lateness),
+      right.withWatermark(rightTs, lateness),
+      leftKey, rightKey, leftTs, rightTs, window)
+    spark.catalog.dropTempView(sinkName) // stale sink from a prior run
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(sinkName)
+  }
 }

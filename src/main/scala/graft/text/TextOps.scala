@@ -168,7 +168,7 @@ object TextOps {
     * not as per-row higher-order functions: a pathological 10⁶-token
     * document costs a shuffle of its token counts, not an O(n²)
     * in-row scan pinned to one task. Output: (doc_id, top_tok_ratio,
-    * distinct_ratio).
+    * distinct_ratio, n_tokens).
     */
   def repetitionSignals(docs: DataFrame): DataFrame =
     docs
@@ -178,7 +178,34 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(
         (max(col("c")) / sum(col("c"))).as("top_tok_ratio"),
-        (count(lit(1)) / sum(col("c"))).as("distinct_ratio"))
+        (count(lit(1)) / sum(col("c"))).as("distinct_ratio"),
+        sum(col("c")).as("n_tokens"))
+
+  /** Gopher-style quality filter: keep documents whose repetition signals
+    * pass the standard corpus-quality rules — the single most frequent
+    * token takes under `maxTopTokRatio` of all tokens, the distinct-token
+    * ratio exceeds `minDistinctRatio`, and the document carries at least
+    * `minTokens` tokens. This is the pre-dedup gate a production corpus
+    * pipeline runs daily (repetitive / boilerplate / too-short documents
+    * are cheap to drop BEFORE paying shingle + LSH cost on them).
+    *
+    * Scale: one [[repetitionSignals]] pass (explode → two hash
+    * aggregates) feeding a left-semi join on doc_id — the full documents
+    * are never shuffled, only (doc_id, counts).
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      maxTopTokRatio: Double,
+      minDistinctRatio: Double,
+      minTokens: Long): DataFrame = {
+    val keep = repetitionSignals(docs)
+      .filter(
+        col("top_tok_ratio") < maxTopTokRatio &&
+          col("distinct_ratio") > minDistinctRatio &&
+          col("n_tokens") >= minTokens)
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
 
   /** Deterministic split bucket in [0, 10): the first 8 hex digits of
     * md5(id) mod 10. Hash-based (not `rand(seed)`-based) sampling is the

@@ -129,6 +129,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runStreamStreamTimeBoundJoin over a bounded file stream matches the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    def sides(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("vts")),
+      ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("cts")))
+    val (bv, bc) = sides(graft.Graft.events(spark, dir))
+    val expected = graft.joins.Joins
+      .timeBoundJoin(bv, bc, "v_user", "c_user", "vts", "cts", "30 minutes")
+      .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+    val (sv, _) = sides(graft.Graft.eventsStream(spark, dir))
+    val (_, sc) = sides(graft.Graft.eventsStream(spark, dir))
+    val got = StreamOps.runStreamStreamTimeBoundJoin(
+        sv, sc, "v_user", "c_user", "vts", "cts",
+        window = "30 minutes", lateness = "1 hour",
+        sinkName = "stream_join_spec_sink")
+      .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("streamingDedup suppresses duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -75,13 +75,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(4L) === "<PHONE> bye")
   }
 
+  test("qualityFilter keeps clean docs, drops repetitive and too-short ones") {
+    val good = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val repetitive = (Seq.fill(30)("spam") :+ "end").mkString(" ")
+    val short = "way too short"
+    val d = docs((1L, good), (2L, repetitive), (3L, short))
+    val kept = TextOps
+      .qualityFilter(d, maxTopTokRatio = 0.2, minDistinctRatio = 0.3, minTokens = 20L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+  }
+
   test("repetitionSignals: top-token dominance and distinct ratio") {
     val d = docs((1L, "a a a b"), (2L, "w x y z"))
     val got = TextOps.repetitionSignals(d)
-      .as[(Long, Double, Double)].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(got(1L) === ((0.75, 0.5)))  // 3-of-4 'a'; 2 distinct of 4
-    assert(got(2L) === ((0.25, 1.0)))  // uniform; all distinct
+      .as[(Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((0.75, 0.5, 4L)))  // 3-of-4 'a'; 2 distinct of 4
+    assert(got(2L) === ((0.25, 1.0, 4L)))  // uniform; all distinct
   }
 
   test("assignSplit: deterministic, id-pure, roughly 80/10/10") {
