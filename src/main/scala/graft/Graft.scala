@@ -56,21 +56,40 @@ object Graft {
     }
   }
 
+  /** Cached per-sfDir state for [[eventsStream]]: the schema peek (file
+    * streams need an explicit schema, one batch parquet-footer read) and
+    * the stream directory — cached so a stream–stream self-join (two
+    * source instances) pays each once, not per side.
+    */
+  private val eventsStreamCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, (org.apache.spark.sql.types.StructType, String)]
+
   /** The events table as a file-source STREAM with the same `ts`
-    * normalization as [[events]] (file streams need an explicit schema —
-    * taken from a batch peek at the same path). Each call returns an
-    * independent source instance, so a self-join reads two clean scans.
-    * The fixture is a single FILE, and `FileStreamSource` demands a
-    * directory-shaped base path — a one-character glob class on the last
-    * letter makes the source derive the sfDir parent as basePath while
-    * still matching only events.parquet.
+    * normalization as [[events]] (schema from a cached batch peek at the
+    * same path). Each call returns an independent source instance, so a
+    * self-join reads two clean scans.
+    *
+    * The fixture is a single FILE, but `FileStreamSource` needs a
+    * DIRECTORY source: with a non-glob path it force-sets the inner
+    * scan's `basePath` to the source path itself, which must then be a
+    * directory (so neither a direct file path nor a user `basePath`
+    * option can work, and a glob trick is fragile against metachars in
+    * the fixture path). Instead the source reads a cached temp directory
+    * holding one symlink to the fixture file — directory-shaped for the
+    * stream, zero data copied.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = table(spark, sfDir, "events")
-    val stream =
-      spark.readStream.schema(raw.schema).parquet(s"$sfDir/events.parque[t]")
-    raw.schema("ts").dataType match {
+    val (schema, streamDir) = eventsStreamCache.getOrElseUpdate(sfDir, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(sfDir, "events.parquet"))
+      (table(spark, sfDir, "events").schema, dir.toString)
+    })
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => stream

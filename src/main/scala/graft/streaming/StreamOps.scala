@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import graft.kmeans.{Centroid2, Ops}
 
@@ -194,18 +194,72 @@ object StreamOps {
       lateness: String,
       sinkName: String): DataFrame = {
     val spark = left.sparkSession
-    val joined = graft.joins.Joins.timeBoundJoin(
-      left.withWatermark(leftTs, lateness),
-      right.withWatermark(rightTs, lateness),
-      leftKey, rightKey, leftTs, rightTs, window)
+    val joined = watermarkedTimeBoundJoin(
+      left, right, leftKey, rightKey, leftTs, rightTs, window, lateness)
     spark.catalog.dropTempView(sinkName) // stale sink from a prior run
     val q = joined.writeStream
       .format("memory")
       .queryName(sinkName)
       .outputMode(OutputMode.Append())
+      // bounded inputs: plan all available data up front and terminate,
+      // instead of paying default-trigger micro-batch scheduling overhead
+      .trigger(Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable()
+    try q.awaitTermination()
     finally q.stop()
     spark.table(sinkName)
   }
+
+  /** Durable-sink variant of [[runStreamStreamTimeBoundJoin]]: identical
+    * watermarked stream–stream join, but the results land in a PARQUET
+    * sink (exactly-once via the checkpoint) instead of driver memory —
+    * the shape the unbounded 100 TB pipeline runs, where a memory sink
+    * would materialize the whole join output on one node. Runs the query
+    * to completion over the currently-available data
+    * (`Trigger.AvailableNow`) and returns a batch frame over the sink
+    * path; an unbounded deployment starts the same plan with a
+    * processing-time trigger and never calls the terminal read.
+    */
+  def runStreamStreamTimeBoundJoinToPath(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      window: String,
+      lateness: String,
+      outPath: String,
+      checkpointDir: String): DataFrame = {
+    val spark = left.sparkSession
+    val joined = watermarkedTimeBoundJoin(
+      left, right, leftKey, rightKey, leftTs, rightTs, window, lateness)
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.read.parquet(outPath)
+  }
+
+  /** Shared core of the two runners: watermark both sides (required for
+    * Spark to bound join state) and build the time-bounded inner join.
+    */
+  private def watermarkedTimeBoundJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      window: String,
+      lateness: String): DataFrame =
+    graft.joins.Joins.timeBoundJoin(
+      left.withWatermark(leftTs, lateness),
+      right.withWatermark(rightTs, lateness),
+      leftKey, rightKey, leftTs, rightTs, window)
 }

@@ -151,6 +151,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("runStreamStreamTimeBoundJoinToPath (parquet sink) matches the memory-sink run") {
+    val dir = "/root/testdata/sf0.001"
+    def sides(ev: org.apache.spark.sql.DataFrame) = (
+      ev.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("vts")),
+      ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("cts")))
+    val (mv, _) = sides(graft.Graft.eventsStream(spark, dir))
+    val (_, mc) = sides(graft.Graft.eventsStream(spark, dir))
+    val viaMemory = StreamOps.runStreamStreamTimeBoundJoin(
+        mv, mc, "v_user", "c_user", "vts", "cts",
+        window = "30 minutes", lateness = "1 hour",
+        sinkName = "durable_join_spec_memory")
+      .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_durable_join").toString
+    val (pv, _) = sides(graft.Graft.eventsStream(spark, dir))
+    val (_, pc) = sides(graft.Graft.eventsStream(spark, dir))
+    val viaParquet = StreamOps.runStreamStreamTimeBoundJoinToPath(
+        pv, pc, "v_user", "c_user", "vts", "cts",
+        window = "30 minutes", lateness = "1 hour",
+        outPath = s"$base/out", checkpointDir = s"$base/ckpt")
+      .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+
+    assert(viaParquet === viaMemory)
+    assert(viaParquet.nonEmpty)
+  }
+
   test("streamingDedup suppresses duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
