@@ -65,6 +65,23 @@ object Graft {
     scala.collection.concurrent.TrieMap
       .empty[String, (org.apache.spark.sql.types.StructType, String)]
 
+  /** Temp symlink dirs created by [[eventsStream]], deleted on JVM exit
+    * (cache hits skip creation, so the set also covers dirs orphaned by a
+    * racing first call — see below).
+    */
+  private val eventsStreamTempDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private lazy val eventsStreamCleanupHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      eventsStreamTempDirs.forEach { dir =>
+        try {
+          java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+          java.nio.file.Files.deleteIfExists(dir)
+        } catch { case _: Exception => () } // best-effort hygiene
+      }))
+  }
+
   /** The events table as a file-source STREAM with the same `ts`
     * normalization as [[events]] (schema from a cached batch peek at the
     * same path). Each call returns an independent source instance, so a
@@ -81,11 +98,24 @@ object Graft {
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // unconditionally, not inside the cached thunk: on a cache hit the
+    // batch peek (which sets it via table()) is skipped, and an ad-hoc
+    // session that never read events as a batch would fail at stream-read
+    // time on the TIMESTAMP(NANOS) fixture
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val (schema, streamDir) = eventsStreamCache.getOrElseUpdate(sfDir, {
+      eventsStreamCleanupHook // register the shutdown hook once
       val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+      // track BEFORE the cache insert: TrieMap.getOrElseUpdate may run two
+      // racing thunks and keep one result — the loser's dir is orphaned but
+      // still in the set, so the shutdown hook reaps it too
+      eventsStreamTempDirs.add(dir)
       java.nio.file.Files.createSymbolicLink(
         dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(sfDir, "events.parquet"))
+        // absolute: a symlink target is resolved relative to the LINK's
+        // directory, so a relative sfDir would dangle under /tmp
+        java.nio.file.Paths.get(sfDir, "events.parquet")
+          .toAbsolutePath.normalize())
       (table(spark, sfDir, "events").schema, dir.toString)
     })
     val stream = spark.readStream.schema(schema).parquet(streamDir)

@@ -323,12 +323,20 @@ object SparkEntry {
         .toDF("cid", "dim", "v")
     },
 
-    // MLlib production path (rows-only: k-means|| init has no SQL oracle)
+    // MLlib production path. k-means|| init has internal seeds, so the
+    // per-cluster sizes themselves have no SQL oracle (probed round 8:
+    // the size multiset differs from LloydN's — the embeddings are not
+    // separable enough for all inits to converge identically). Instead
+    // the query emits the oracle-EXPRESSIBLE invariants computed FROM the
+    // per-cluster sizes: exactly K non-empty clusters, sizes summing to
+    // the full row count — so a partition that drops or double-counts
+    // points fails the hash gate.
     "mllib_kmeans_sizes" -> { (s, dir) =>
       val pts = npoints(s, dir)
       val model = MLlibKMeans.fit(pts, k = 4, maxIter = 5)
       MLlibKMeans.transform(pts, model)
         .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("k_clusters"), sum(col("n")).as("total_points"))
     },
 
     // P3: float32 wire-precision emulation (protobuf float funnel)
@@ -586,8 +594,14 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
-    // MLlib MinHashLSH production path (rows-only: MLlib hash seeds have
-    // no SQL oracle; recall vs exact Jaccard asserted in MLlibLSHSpec)
+    // MLlib MinHashLSH production path. The hash seeds are MLlib-internal,
+    // but approxSimilarityJoin filters candidates by TRUE Jaccard distance,
+    // so the output is exactly {LSH candidate pairs} ∩ {distance < 0.5}:
+    // precision 1.0 by construction, and recall probed 1.0 at all three
+    // test SFs (round 8) — so the exact-Jaccard join on the same mod-dim
+    // index-set representation is a full equality oracle here. A recall
+    // regression (more tables needed, distribution drift) would surface as
+    // a hash mismatch on this row, which is the point of the gate.
     "mllib_minhash_pairs" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val vecs = graft.sim.MLlibLSH.shingleVectors(docs, n = 3, dim = 1 << 16)
@@ -1021,6 +1035,53 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
         |FROM bands a JOIN bands b USING (b, bucket)
         |WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    // MLlib MinHashLSH emits {LSH candidates} ∩ {true Jaccard distance
+    // < 0.5}; with recall 1.0 (probed at all 3 SFs) that equals the exact
+    // Jaccard join over the same representation MLlib sees: per-doc
+    // DISTINCT shingle-key indices mod 2^16 (shingleVectors), distance
+    // = 1 - |∩|/|∪| as the same double expression
+    "mllib_minhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sidx AS (
+        |  SELECT doc_id, list_distinct(list_transform(keys,
+        |    kk -> ((kk // 2147483647) * 31 + kk % 2147483647) % 65536)) AS idx
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |uix AS (SELECT doc_id, UNNEST(idx) AS i FROM sidx),
+        |szs AS (SELECT doc_id, len(idx) AS sz FROM sidx),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |  FROM uix a JOIN uix b USING (i)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d1, d2, ROUND(1.0 - c / (s1.sz + s2.sz - c), 6) AS distance
+        |FROM p JOIN szs s1 ON d1 = s1.doc_id JOIN szs s2 ON d2 = s2.doc_id
+        |WHERE 1.0 - c / (s1.sz + s2.sz - c) < 0.5""".stripMargin,
+
+    // invariants of the MLlib k-means partition (sizes themselves are
+    // seed-dependent): exactly K non-empty clusters covering every row
+    "mllib_kmeans_sizes" ->
+      """SELECT CAST(4 AS BIGINT) AS k_clusters, COUNT(*) AS total_points
+        |FROM embeddings""".stripMargin,
 
     "dd_near_dedup" ->
       """WITH tk AS (

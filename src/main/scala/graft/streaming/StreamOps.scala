@@ -232,6 +232,19 @@ object StreamOps {
       outPath: String,
       checkpointDir: String): DataFrame = {
     val spark = left.sparkSession
+    // outPath and checkpointDir are a PAIRED lifetime: a stale
+    // _spark_metadata under outPath with a fresh checkpoint makes
+    // FileStreamSink believe batch 0 already committed and silently skip
+    // the write (the terminal read would return the OLD run's rows);
+    // a retained checkpoint over a cleared outPath loses data the other
+    // way. Fail fast instead of returning wrong data.
+    val staleSink = java.nio.file.Paths.get(outPath, "_spark_metadata")
+    if (java.nio.file.Files.exists(staleSink) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(checkpointDir)))
+      throw new IllegalStateException(
+        s"$outPath holds a prior run's _spark_metadata but $checkpointDir " +
+          "is fresh; outPath and checkpointLocation must share one lifetime " +
+          "(clear both or keep both)")
     val joined = watermarkedTimeBoundJoin(
       left, right, leftKey, rightKey, leftTs, rightTs, window, lateness)
     val q = joined.writeStream
@@ -243,7 +256,10 @@ object StreamOps {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    spark.read.parquet(outPath)
+    // explicit schema: an empty join commits a metadata log with zero data
+    // files, and schema inference over that throws instead of returning an
+    // empty frame
+    spark.read.schema(joined.schema).parquet(outPath)
   }
 
   /** Shared core of the two runners: watermark both sides (required for

@@ -181,6 +181,53 @@ object TextOps {
         (count(lit(1)) / sum(col("c"))).as("distinct_ratio"),
         sum(col("c")).as("n_tokens"))
 
+  /** Per-document token-repetition verdict, computed IN-ROW in one pass:
+    * sort the token array so equal tokens are adjacent, then a single
+    * linear `aggregate` tracks (previous token, current run, best run,
+    * distinct count, total count) — best run = the top token's frequency,
+    * so `top_tok_ratio = best/total` and `distinct_ratio = distinct/total`
+    * exactly equal the exploded [[repetitionSignals]] values. The three
+    * quality conditions are folded into the aggregate's FINISH lambda so
+    * the whole verdict is ONE expression evaluated once per row —
+    * referencing a struct-of-stats column from a separate Filter would let
+    * predicate pushdown inline (and re-evaluate) the aggregate per
+    * condition, the repo's documented CollapseProject pitfall.
+    *
+    * `total >= 1` always holds for non-null text (`split` returns at least
+    * one element), so the ANSI-mode divisions cannot hit zero; null text
+    * yields a null verdict, which `filter` drops — matching the exploded
+    * formulation.
+    */
+  def qualityKeep(
+      text: Column,
+      maxTopTokRatio: Double,
+      minDistinctRatio: Double,
+      minTokens: Long): Column =
+    aggregate(
+      array_sort(tokens(text)),
+      struct(
+        lit(null).cast("string").as("prev"),
+        lit(0L).as("run"),
+        lit(0L).as("best"),
+        lit(0L).as("distinct"),
+        lit(0L).as("total")),
+      (acc, t) => {
+        // null prev (first element): === is null -> otherwise(1) starts a run
+        val newRun = when(acc("prev") === t, acc("run") + 1).otherwise(lit(1L))
+        struct(
+          t.as("prev"),
+          newRun.as("run"),
+          greatest(acc("best"), newRun).as("best"),
+          (acc("distinct") +
+            when(acc("prev").eqNullSafe(t), lit(0L)).otherwise(lit(1L)))
+            .as("distinct"),
+          (acc("total") + lit(1L)).as("total"))
+      },
+      acc =>
+        acc("best") / acc("total") < maxTopTokRatio &&
+          acc("distinct") / acc("total") > minDistinctRatio &&
+          acc("total") >= minTokens)
+
   /** Gopher-style quality filter: keep documents whose repetition signals
     * pass the standard corpus-quality rules — the single most frequent
     * token takes under `maxTopTokRatio` of all tokens, the distinct-token
@@ -189,23 +236,21 @@ object TextOps {
     * pipeline runs daily (repetitive / boilerplate / too-short documents
     * are cheap to drop BEFORE paying shingle + LSH cost on them).
     *
-    * Scale: one [[repetitionSignals]] pass (explode → two hash
-    * aggregates) feeding a left-semi join on doc_id — the full documents
-    * are never shuffled, only (doc_id, counts).
+    * Scale: ONE `documents` scan and ZERO shuffle — the verdict is a
+    * per-row expression ([[qualityKeep]]), so at 100 TB the full text is
+    * read exactly once and nothing is exchanged. (The previous shape —
+    * [[repetitionSignals]] + left-semi join — shuffled every (doc_id,
+    * token) pair and re-scanned `documents` for the survivor projection;
+    * the in-row sorted-run pass trades that I/O for an O(n log n)
+    * per-document sort, the right trade for document-sized rows.)
     */
   def qualityFilter(
       docs: DataFrame,
       maxTopTokRatio: Double,
       minDistinctRatio: Double,
-      minTokens: Long): DataFrame = {
-    val keep = repetitionSignals(docs)
-      .filter(
-        col("top_tok_ratio") < maxTopTokRatio &&
-          col("distinct_ratio") > minDistinctRatio &&
-          col("n_tokens") >= minTokens)
-      .select(col("doc_id"))
-    docs.join(keep, Seq("doc_id"), "left_semi")
-  }
+      minTokens: Long): DataFrame =
+    docs.filter(
+      qualityKeep(col("text"), maxTopTokRatio, minDistinctRatio, minTokens))
 
   /** Deterministic split bucket in [0, 10): the first 8 hex digits of
     * md5(id) mod 10. Hash-based (not `rand(seed)`-based) sampling is the

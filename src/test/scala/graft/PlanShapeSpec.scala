@@ -135,6 +135,32 @@ class PlanShapeSpec extends AnyFunSuite {
       "corpus norm 'cn' is not computed below the probe join")
   }
 
+  test("qualityFilter: one documents scan, zero exchange, one HOF eval") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val docs = Graft.table(spark, sf, "documents")
+    val df = graft.text.TextOps.qualityFilter(docs,
+      maxTopTokRatio = 0.2, minDistinctRatio = 0.3, minTokens = 20L)
+    val plan = executed(df)
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.length === 1,
+      s"expected exactly one documents scan, got ${scans.length}:\n$plan")
+    assert(!plan.toString.contains("Exchange"),
+      s"quality verdict must be a per-row expression, no shuffle:\n$plan")
+    // the verdict aggregate must appear ONCE in the Filter condition —
+    // a stats-struct column referenced per condition would let predicate
+    // pushdown inline (and re-evaluate) the sorted-run pass 3x per row.
+    // (Count inside the FilterExec condition, not the plan string: the
+    // scan line re-prints the expression in its DataFilters metadata.)
+    val filters = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.length === 1, s"expected one Filter node:\n$plan")
+    assert(
+      "aggregate\\(".r.findAllIn(filters.head.condition.toString).size === 1,
+      s"sorted-run aggregate evaluated more than once:\n${filters.head.condition}")
+    assert(df.count() > 0)
+  }
+
   test("mean update is a partial+final hash aggregate (map-side combine)") {
     val p = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
     val centroids = Ops.collectCentroids(Ops.initFirstK(p, 4))
