@@ -21,6 +21,13 @@ import org.apache.spark.sql.SparkSession
   *     canonicalized plan, so without it run N>1 would silently re-read
   *     run 1's cache and measure only the tail of each pipeline.
   *
+  * After the per-query passes, a SCALE-SMOKE block re-times the four
+  * dedup/ANN heads against a ~10× structure-preserving replication of the
+  * bench SF's documents/embeddings ([[graft.tools.GenScaleCorpus]]) and
+  * reports each time plus its ratio to the same-round base median — the
+  * direct check that the banded/bucketed plans stay ~linear instead of
+  * resting on plan-shape argument alone.
+  *
   * Emits ONE JSON line to stdout AND to BENCH.json in the working
   * directory (sbt log prefixes make stdout unparseable on its own).
   */
@@ -28,7 +35,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // 5 passes (round-8): with 3, one slow pass lands IN the median for
+    // half the queries; 5 gives the median a guard pass on each side, and
+    // per-query MAD makes residual noise visible
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,16 +65,55 @@ object Bench {
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val med = names.map(n => n -> median(passes.map(_(n)))).toMap
+    // per-query median absolute deviation: the per-query noise floor
+    val mad = names.map(n =>
+      n -> median(passes.map(p => math.abs(p(n) - med(n))))).toMap
     val total = med.values.sum
     val passTotals = passes.map(_.values.sum)
     val spread = passTotals.max - passTotals.min
+    val totalMad = median(passTotals.map(t => math.abs(t - median(passTotals))))
+
+    // ---- scale smoke: the dedup/ANN heads at ~10x the bench SF ---------
+    // (documents/embeddings fixtures replicated structure-preservingly —
+    // see GenScaleCorpus; superlinear growth vs the same-round median is
+    // the signal this exists to catch)
+    val scaleQueries = Seq(
+      "dd_near_dedup", "dd_dup_groups", "sm_cosine_lsh_neardup",
+      "sm_ann_ivf_topk")
+    val scaleReplicas =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    val scaleJson =
+      try {
+        graft.tools.GenScaleCorpus.ensure(spark, sfDir, scaleDir, scaleReplicas)
+        def runScale(name: String): Double = {
+          spark.catalog.clearCache()
+          graft.util.OpCaches.releaseAll(spark)
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, scaleDir)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        scaleQueries.foreach(runScale) // warm-up (JIT + footer cache)
+        val times = scaleQueries.map(n => n -> math.min(runScale(n), runScale(n)))
+        val sq = times.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
+        val ratios = times.map { case (n, t) =>
+          s"\"$n\":${if (med(n) > 0) t / med(n) else -1.0}"
+        }.mkString("{", ",", "}")
+        s""","scale":{"base":"$sfDir","replicas":$scaleReplicas,""" +
+          s""""queries":$sq,"ratio_vs_base":$ratios}"""
+      } catch {
+        case e: Throwable => s""","scale":{"error":"${e.getClass.getName}"}"""
+      }
 
     val qs = names.map(n => s"\"$n\":${med(n)}").mkString("{", ",", "}")
+    val mads = names.map(n => s"\"$n\":${mad(n)}").mkString("{", ",", "}")
     val totalsJson = passTotals.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","runs":$runs,"pass_totals":$totalsJson,""" +
-        s""""spread_sec":$spread,"materialize":"noop"}"""
+        s""""query_mad":$mads,"sf":"$sfDir","runs":$runs,""" +
+        s""""pass_totals":$totalsJson,"spread_sec":$spread,""" +
+        s""""total_mad_sec":$totalMad,"materialize":"noop"$scaleJson}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
     // LAST stdout line, after spark.stop() so no shutdown logging can

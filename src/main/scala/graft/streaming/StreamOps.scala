@@ -192,21 +192,24 @@ object StreamOps {
       rightTs: String,
       window: String,
       lateness: String,
-      sinkName: String): DataFrame = {
+      sinkName: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = left.sparkSession
     val joined = watermarkedTimeBoundJoin(
       left, right, leftKey, rightKey, leftTs, rightTs, window, lateness)
     spark.catalog.dropTempView(sinkName) // stale sink from a prior run
-    val q = joined.writeStream
-      .format("memory")
-      .queryName(sinkName)
-      .outputMode(OutputMode.Append())
-      // bounded inputs: plan all available data up front and terminate,
-      // instead of paying default-trigger micro-batch scheduling overhead
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    withShufflePartitions(spark, statePartitions) {
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode(OutputMode.Append())
+        // bounded inputs: plan all available data up front and terminate,
+        // instead of paying default-trigger micro-batch scheduling overhead
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
     spark.table(sinkName)
   }
 
@@ -230,7 +233,8 @@ object StreamOps {
       window: String,
       lateness: String,
       outPath: String,
-      checkpointDir: String): DataFrame = {
+      checkpointDir: String,
+      statePartitions: Option[Int] = None): DataFrame = {
     val spark = left.sparkSession
     // outPath and checkpointDir are a PAIRED lifetime: a stale
     // _spark_metadata under outPath with a fresh checkpoint makes
@@ -247,19 +251,45 @@ object StreamOps {
           "(clear both or keep both)")
     val joined = watermarkedTimeBoundJoin(
       left, right, leftKey, rightKey, leftTs, rightTs, window, lateness)
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", outPath)
-      .option("checkpointLocation", checkpointDir)
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    withShufflePartitions(spark, statePartitions) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", outPath)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
     // explicit schema: an empty join commits a metadata log with zero data
     // files, and schema inference over that throws instead of returning an
     // empty frame
     spark.read.schema(joined.schema).parquet(outPath)
+  }
+
+  /** Run `f` with `spark.sql.shuffle.partitions` temporarily overridden —
+    * the knob that sizes STATEFUL-OPERATOR parallelism for a streaming
+    * query (a stream–stream join instantiates four state stores per
+    * partition per side, and the count is frozen into the checkpoint on
+    * first run). The batch default — one partition per core — is the
+    * wrong default for streaming state: on a 23-row bounded fixture the
+    * 32-partition setting spent ~3× the query's whole runtime creating
+    * and committing 128 near-empty store instances per batch (probed
+    * round 8: 7.9 s at 32 → 2.6 s at 8). At scale the caller sizes this
+    * to keep per-partition state in executor memory, independently of
+    * the batch shuffle setting. Restores the previous value; the
+    * override window is the query's lifetime, so concurrent BATCH
+    * planning in the same session would also see it — run streaming
+    * starts serially (as Verify/Bench do) or use a dedicated session.
+    */
+  private def withShufflePartitions[T](
+      spark: SparkSession, n: Option[Int])(f: => T): T = n match {
+    case None => f
+    case Some(p) =>
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+      try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Shared core of the two runners: watermark both sides (required for
