@@ -180,6 +180,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(viaParquet.nonEmpty)
   }
 
+  test("eventsStream resolves a RELATIVE sfDir (symlink target is absolute)") {
+    // regression: the symlink target used to be stored verbatim, so a
+    // relative sfDir resolved against /tmp and the stream read nothing
+    val cwd = java.nio.file.Paths.get("").toAbsolutePath
+    val rel = cwd.relativize(
+      java.nio.file.Paths.get("/root/testdata/sf0.001")).toString
+    assert(!java.nio.file.Paths.get(rel).isAbsolute)
+    val q = graft.Graft.eventsStream(spark, rel).writeStream
+      .format("memory").queryName("rel_sfdir_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    assert(spark.table("rel_sfdir_sink").count() > 0)
+  }
+
+  test("parquet-sink runner fails fast on a stale sink with a fresh checkpoint") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stale_sink").toString
+    def run(ckpt: String) = {
+      val views = graft.Graft.eventsStream(spark, dir)
+        .filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("vts"))
+      val clicks = graft.Graft.eventsStream(spark, dir)
+        .filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("cts"))
+      StreamOps.runStreamStreamTimeBoundJoinToPath(
+        views, clicks, "v_user", "c_user", "vts", "cts",
+        window = "30 minutes", lateness = "1 hour",
+        outPath = s"$base/out", checkpointDir = ckpt)
+    }
+    assert(run(s"$base/ckpt1").count() > 0)
+    // same outPath, FRESH checkpoint: FileStreamSink would silently skip
+    // batch 0 and the terminal read would return the PRIOR run's rows
+    val e = intercept[IllegalStateException] { run(s"$base/ckpt2") }
+    assert(e.getMessage.contains("_spark_metadata"))
+    // same outPath, SAME checkpoint: a legal no-op resume, not an error
+    assert(run(s"$base/ckpt1").count() > 0)
+  }
+
+  test("parquet-sink runner returns an empty frame for an empty join result") {
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_empty_sink").toString
+    val views = graft.Graft.eventsStream(spark, dir)
+      .filter($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"event_id".as("view_id"), $"ts".as("vts"))
+    // impossible filter -> zero right-side rows -> empty join output; the
+    // sink commits a metadata log with no data files, and the terminal
+    // read must yield an EMPTY frame (schema-on-read), not throw
+    val clicks = graft.Graft.eventsStream(spark, dir)
+      .filter($"event_type" === "no_such_type")
+      .select($"user_id".as("c_user"), $"event_id".as("click_id"), $"ts".as("cts"))
+    val out = StreamOps.runStreamStreamTimeBoundJoinToPath(
+      views, clicks, "v_user", "c_user", "vts", "cts",
+      window = "30 minutes", lateness = "1 hour",
+      outPath = s"$base/out", checkpointDir = s"$base/ckpt")
+    assert(out.count() === 0L)
+    assert(out.columns.contains("view_id") && out.columns.contains("click_id"))
+  }
+
   test("streamingDedup suppresses duplicate event ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
