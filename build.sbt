@@ -35,5 +35,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128g): at 8g a local[32] sf0.1 Bench pass spends
+  // enough time in old-gen GC that pass totals swing ~2x run-to-run
+  // (probed round 8: spread 47s at 8g -> 12s at 24g, medians -22%)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

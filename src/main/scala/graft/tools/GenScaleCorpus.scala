@@ -37,6 +37,14 @@ object GenScaleCorpus {
       replicas: Int): Boolean = {
     val marker = Paths.get(outDir, s"_OK_x$replicas")
     if (Files.exists(marker)) return false
+    // regenerating at a different replica count: drop the old count's
+    // marker, or a later call at THAT count would reuse this corpus
+    if (Files.isDirectory(Paths.get(outDir))) {
+      val stale = Files.list(Paths.get(outDir)).filter(p =>
+        p.getFileName.toString.startsWith("_OK_x"))
+      try stale.forEach(p => Files.deleteIfExists(p))
+      finally stale.close()
+    }
 
     val reps = spark.range(replicas).select(col("id").as("rep"))
     val idOff = col("rep") * lit(10000000L)
