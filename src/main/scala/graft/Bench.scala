@@ -77,9 +77,12 @@ object Bench {
     // (documents/embeddings fixtures replicated structure-preservingly —
     // see GenScaleCorpus; superlinear growth vs the same-round median is
     // the signal this exists to catch)
+    // sm_cosine_lsh_sized vs sm_cosine_lsh_neardup is the designed
+    // contrast: fixed 4-bit buckets grow candidates ~n²/16 (quadratic),
+    // the occupancy-sized variant holds them ~linear
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_dup_groups", "sm_cosine_lsh_neardup",
-      "sm_ann_ivf_topk")
+      "sm_cosine_lsh_sized", "sm_ann_ivf_topk")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")

@@ -548,6 +548,19 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
     },
 
+    // The DEPLOYED form of the banded-LSH near-dup: bitsPerBand derived
+    // from the corpus size (occupancy target 64) instead of fixed — fixed
+    // bits keep 2^bits buckets while the corpus grows, so candidate pairs
+    // grow ~n²/2^bits (quadratic, probed: 6x time at 10x rows and
+    // worsening); sizing holds candidates at ~n·64·bands (linear)
+    "sm_cosine_lsh_sized" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.cosineLshNearDupPairsSized(vecs, threshold = 0.45,
+          bands = 4, d = 64)
+        .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
+    },
+
     // End-to-end embedding near-dedup: banded-LSH candidates -> exact
     // verify -> greedy keep-lowest-id (the embedding mirror of
     // dd_near_dedup)
@@ -1505,6 +1518,38 @@ object SparkEntry {
         |bands AS (
         |  SELECT vec_id, b, substr(s, CAST(b * 4 + 1 AS INT), 4) AS bucket
         |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.vec_id < b.vec_id
+        |)
+        |SELECT d1, d2, ROUND(sim, 6) AS sim FROM (
+        |  SELECT c.d1, c.d2,
+        |    list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*y.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(x.v)+1), i -> x.v[i]*x.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(y.v)+1), i -> y.v[i]*y.v[i])))) AS sim
+        |  FROM cand c JOIN e x ON c.d1 = x.vec_id JOIN e y ON c.d2 = y.vec_id
+        |) WHERE sim >= 0.45""".stripMargin,
+
+    // same plan with bitsPerBand derived from COUNT(*): the smallest B
+    // with 2^B * 64 >= n, integer-exact as LENGTH(BIN(CEIL(n/64) - 1)) —
+    // mirrors Similarity.sizedBitsPerBand (Long.toBinaryString length)
+    "sm_cosine_lsh_sized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (SELECT LENGTH(BIN(GREATEST((COUNT(*) + 63) // 64 - 1, 0))) AS bits FROM e),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform(range(0, 4 * w.bits), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CAST(('0x' || substr(md5(p || ',' || (i - 1)), 1, 15)) AS BIGINT)
+        |                / 576460752303423488.0 - 1.0))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS s
+        |  FROM e, w
+        |),
+        |bands AS (
+        |  SELECT vec_id, b, substr(s, CAST(b * w.bits + 1 AS INT), w.bits) AS bucket
+        |  FROM sig, w, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
         |),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2

@@ -262,12 +262,67 @@ object Similarity {
       bands: Int,
       bitsPerBand: Int,
       d: Int): DataFrame = {
+    checkDims(vectors, d, "cosineLshNearDupPairs")
+    lshNearDupPairsWithBits(vectors, threshold, bands, bitsPerBand, d)
+  }
+
+  /** Per-band bucket width sized so expected occupancy stays at
+    * ~`targetOccupancy` rows as the corpus grows: the smallest B with
+    * `2^B * targetOccupancy >= n`. FIXED bits are the quadratic trap in
+    * banded sign-LSH — with 2^B buckets constant, candidate pairs grow as
+    * Σ|bucket|² ≈ n²/2^B; sizing B to n keeps that ≈ n·targetOccupancy,
+    * i.e. LINEAR in the corpus (recall per pair then drops as p^B — add
+    * bands to re-establish it, never let buckets saturate instead).
+    *
+    * Integer-exact (no floating log), so an external oracle derives the
+    * SAME width from the same row count: this is
+    * `LENGTH(BIN(CEIL(n/target) - 1))` in e.g. DuckDB.
+    */
+  def sizedBitsPerBand(n: Long, targetOccupancy: Long = 64L): Int = {
+    require(n >= 0 && targetOccupancy > 0,
+      s"sizedBitsPerBand: n=$n, targetOccupancy=$targetOccupancy")
+    val buckets = (n + targetOccupancy - 1) / targetOccupancy // ceil
+    java.lang.Long.toBinaryString(math.max(buckets - 1, 0L)).length
+  }
+
+  /** [[cosineLshNearDupPairs]] with `bitsPerBand` derived from the corpus
+    * size via [[sizedBitsPerBand]] — the form to deploy when the corpus
+    * grows: candidate volume stays ~`n * targetOccupancy * bands` instead
+    * of n²/2^bits. One extra O(n) aggregate (count + dimension check in a
+    * single pass) decides the width before any signature is computed.
+    */
+  def cosineLshNearDupPairsSized(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int,
+      d: Int,
+      targetOccupancy: Long = 64L): DataFrame = {
+    val stats = vectors
+      .agg(min(size(col("vec"))), max(size(col("vec"))), count(lit(1)))
+      .collect()(0)
+    require(
+      stats.isNullAt(0) || (stats.getInt(0) == d && stats.getInt(1) == d),
+      s"cosineLshNearDupPairsSized: d=$d but corpus vectors span " +
+        s"[${stats.get(0)}, ${stats.get(1)}] dimensions")
+    val bits = sizedBitsPerBand(stats.getLong(2), targetOccupancy)
+    lshNearDupPairsWithBits(vectors, threshold, bands, bits, d)
+  }
+
+  private def checkDims(vectors: DataFrame, d: Int, who: String): Unit = {
     val dims = vectors
       .agg(min(size(col("vec"))), max(size(col("vec")))).collect()(0)
     require(
       dims.isNullAt(0) || (dims.getInt(0) == d && dims.getInt(1) == d),
-      s"cosineLshNearDupPairs: d=$d but corpus vectors span " +
+      s"$who: d=$d but corpus vectors span " +
         s"[${dims.get(0)}, ${dims.get(1)}] dimensions")
+  }
+
+  private def lshNearDupPairsWithBits(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int,
+      bitsPerBand: Int,
+      d: Int): DataFrame = {
     val planes = hyperplanes(bands * bitsPerBand, d)
     // cache: consumed by both sides of the band join AND the verify joins
     // (else the signature pass runs four times); OpCaches-tracked

@@ -91,6 +91,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got === Set((1L, 2L)))
   }
 
+  test("sizedBitsPerBand: smallest width with 2^bits * target >= n, " +
+    "integer-exact (matches LENGTH(BIN(CEIL(n/t)-1)) in the oracle)") {
+    // pinned values the sf0.01 / sf0.1 / 10x-scale corpora hit
+    assert(Similarity.sizedBitsPerBand(500) === 3)
+    assert(Similarity.sizedBitsPerBand(2000) === 5)
+    assert(Similarity.sizedBitsPerBand(20000) === 9)
+    // occupancy law: bucket count covers n at the target, within 2x of
+    // minimal (exact-boundary n and n <= target clamp to 1 bit)
+    for (n <- Seq(1L, 64L, 65L, 100L, 1000L, 123456L, 10000000L)) {
+      val bits = Similarity.sizedBitsPerBand(n)
+      assert((1L << bits) * 64L >= n, s"n=$n bits=$bits undercovers")
+      assert(bits == 1 || (1L << (bits - 1)) * 64L < n,
+        s"n=$n bits=$bits oversized")
+    }
+    // linearity of the candidate bound: 2^bits grows with n, so
+    // n²/2^bits stays within [target/2, target]·n instead of n²/const
+    val growth = Seq(1000L, 10000L, 100000L, 1000000L).map(n =>
+      n.toDouble * n / (1L << Similarity.sizedBitsPerBand(n)) / n)
+    assert(growth.forall(r => r >= 32.0 && r <= 64.0),
+      s"per-row candidate factor drifted: $growth")
+  }
+
+  test("cosineLshNearDupPairsSized == explicit variant at the derived " +
+    "width; still a precision-1.0 subset of exact") {
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val bits = Similarity.sizedBitsPerBand(pts.count()) // 500 rows -> 3
+    val sized = Similarity.cosineLshNearDupPairsSized(
+        pts, threshold = 0.45, bands = 4, d = 64)
+      .select($"d1", $"d2", $"sim").as[(Long, Long, Double)].collect().toSet
+    val explicit = Similarity.cosineLshNearDupPairs(
+        pts, threshold = 0.45, bands = 4, bitsPerBand = bits, d = 64)
+      .select($"d1", $"d2", $"sim").as[(Long, Long, Double)].collect().toSet
+    assert(sized === explicit)
+    val exact = Similarity.cosineNearDupPairs(pts, threshold = 0.45)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    assert(sized.map(p => (p._1, p._2)).subsetOf(exact))
+  }
+
   test("cosineNearDedup keeps the lowest id of each near-dup pair") {
     val clones = vecs(
       (1L, Seq.fill(64)(0.5)),
