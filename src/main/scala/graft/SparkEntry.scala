@@ -508,6 +508,15 @@ object SparkEntry {
         .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
     },
 
+    // Same pair set (provably — exact hamming<=3 finders both), different
+    // candidate plan: 3-of-6-block combination keys (Manku WWW'07) give
+    // 33-bit bucket space where the 4-block pigeonhole's 16-bit keys go
+    // quadratic past ~10^6 docs; the oracle is therefore identical
+    "dd_simhash_combo" -> { (s, dir) =>
+      Dedup.simHashPairsCombo(Graft.table(s, dir, "documents"), maxDist = 3)
+        .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
+    },
+
     // End-to-end near-dedup: LSH candidates -> exact-Jaccard verify ->
     // greedy keep-lowest-id
     "dd_near_dedup" -> { (s, dir) =>
@@ -590,6 +599,18 @@ object SparkEntry {
         .select(col("pid").as("id"), col("features").as("vec"))
       val queries = all.filter(col("id") < 10)
       Similarity.lshTopK(queries, all, k = 5, bits = 8, d = 64)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
+    // deployed form: bucket width from corpus size (occupancy ~64), so
+    // per-query candidate work stays constant as the corpus grows —
+    // fixed bits scan n/2^bits rows per query (linear in n)
+    "sm_ann_lsh_sized" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val queries = all.filter(col("id") < 10)
+      Similarity.lshTopKSized(queries, all, k = 5, d = 64)
         .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rank"))
     },
@@ -1459,6 +1480,32 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE hamming <= 3""".stripMargin,
 
+    // provably the same pair set as dd_simhash_pairs (both are exact
+    // hamming<=3 over the same fingerprint; only the candidate keying
+    // differs), so the oracle is the same all-pairs SQL
+    "dd_simhash_combo" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS t
+        |  FROM documents
+        |),
+        |hx AS (SELECT doc_id, list_transform(t, s -> md5(s)) AS hs FROM toks),
+        |sh AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      list_transform(range(0, 64), j ->
+        |        CASE WHEN list_sum(list_transform(hs, h ->
+        |          CASE WHEN CAST(floor((strpos('0123456789abcdef', substr(h, CAST(j // 4 AS INT) + 1, 1)) - 1)
+        |                      / CASE j % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS INT) % 2 = 1
+        |          THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+        |  FROM hx
+        |)
+        |SELECT d1, d2, hamming FROM (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |         len(list_filter(range(1, 65),
+        |             i -> substr(a.simhash, CAST(i AS INT), 1) != substr(b.simhash, CAST(i AS INT), 1))) AS hamming
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE hamming <= 3""".stripMargin,
+
     "sm_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT d1, d2, ROUND(sim, 6) AS sim FROM (
@@ -1617,6 +1664,36 @@ object SparkEntry {
         |                / 576460752303423488.0 - 1.0))) >= 0
         |      THEN '1' ELSE '0' END), '') AS bucket
         |  FROM e
+        |),
+        |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))) AS sim
+        |  FROM q JOIN sig c USING (bucket)
+        |  WHERE c.vec_id != q.qid
+        |),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // same search with bucket width LENGTH(BIN(CEIL(n/64)-1)) — the
+    // integer-exact mirror of Similarity.sizedBitsPerBand
+    "sm_ann_lsh_sized" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (SELECT LENGTH(BIN(GREATEST((COUNT(*) + 63) // 64 - 1, 0))) AS bits FROM e),
+        |sig AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform(range(0, w.bits), p ->
+        |      CASE WHEN list_sum(list_transform(range(1, len(v) + 1), i ->
+        |        v[i] * (CAST(('0x' || substr(md5(p || ',' || (i - 1)), 1, 15)) AS BIGINT)
+        |                / 576460752303423488.0 - 1.0))) >= 0
+        |      THEN '1' ELSE '0' END), '') AS bucket
+        |  FROM e, w
         |),
         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sig WHERE vec_id < 10),
         |scored AS (

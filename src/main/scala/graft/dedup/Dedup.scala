@@ -491,4 +491,53 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** [[simHashPairs]] re-keyed for corpus growth: the 4-block pigeonhole
+    * joins on 16-bit keys, so bucket space is FIXED at 2^16 per block and
+    * candidate pairs grow ~4·n²/2^16 — fine to ~10⁶ docs, quadratic past
+    * it. This variant (Manku, Jain, Sarma, "Detecting Near-Duplicates for
+    * Web Crawling", WWW'07 §3) splits the SAME 64-bit fingerprint into 6
+    * blocks and keys on every 3-block COMBINATION: hamming ≤ 3 flips bits
+    * in at most 3 blocks, so at least one of the C(6,3)=20 combinations
+    * matches intact — full recall, identical output to [[simHashPairs]],
+    * but 33-bit keys ⇒ 2^17× the bucket space (candidates
+    * ~20·n²/2^33). The trade is a 20-way explode instead of 4-way: ~5×
+    * the shuffled key volume buys the quadratic term five more decades of
+    * corpus. Hamming is one `bit_count(xor)` over the packed 64-bit
+    * fingerprint. Output: (d1, d2, hamming).
+    */
+  def simHashPairsCombo(docs: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist < 4,
+      "3-of-6-block combination keys guarantee recall only for maxDist < 4")
+    // pack the 4 16-bit blocks into one 64-bit fingerprint column (bit
+    // layout preserved: block b covers bits [16b, 16b+16) MSB-first)
+    val fp64 = (1 to 4).map(i =>
+      shiftleft(element_at(col("blocks"), i).cast("long"), 64 - 16 * i))
+      .reduce(_.bitwiseOR(_))
+    val fp = graft.util.OpCaches.cache(
+      simHashBlocks(docs).select(col("doc_id"), fp64.as("fp")))
+    // 6 blocks of widths 11,11,11,11,10,10 (any fixed slicing works —
+    // equality and xor act on the same layout both sides)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val shifts = widths.scanLeft(64)(_ - _).tail // 53,42,31,20,10,0
+    val block = (j: Int) =>
+      shiftrightunsigned(col("fp"), shifts(j))
+        .bitwiseAND(lit((1L << widths(j)) - 1))
+    val comboKeys = (0 until 6).combinations(3).toSeq.map { c =>
+      c.map(block).reduce((a, b) => shiftleft(a, 11).bitwiseOR(b))
+    }
+    val exploded = fp.select(
+      col("doc_id"),
+      col("fp"),
+      posexplode(array(comboKeys: _*)).as(Seq("combo", "key")))
+    exploded.as("a")
+      .join(exploded.as("b"), Seq("combo", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("d1"),
+        col("b.doc_id").as("d2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
 }

@@ -105,11 +105,40 @@ object Similarity {
     // degrades toward all-pairs — validate EVERY row via one min/max
     // aggregate (a cheap metadata-only scan, vs the first-row-only probe
     // that let ragged corpora through)
-    val dims = corpus.agg(min(size(col("vec"))), max(size(col("vec")))).collect()(0)
+    checkDims(corpus, d, "lshTopK")
+    lshTopKWithBits(queries, corpus, k, bits, d)
+  }
+
+  /** [[lshTopK]] with `bits` derived from the corpus size via
+    * [[sizedBitsPerBand]]: fixed bits leave per-query candidate volume at
+    * n/2^bits (linear in the corpus); sizing holds each bucket at
+    * ~`targetOccupancy` rows, so per-query work stays constant as the
+    * corpus grows (recall drops with the narrower bucket — widen via
+    * multi-probe or re-rank depth, never by letting buckets grow).
+    */
+  def lshTopKSized(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      d: Int,
+      targetOccupancy: Long = 64L): DataFrame = {
+    val stats = corpus
+      .agg(min(size(col("vec"))), max(size(col("vec"))), count(lit(1)))
+      .collect()(0)
     require(
-      dims.isNullAt(0) || (dims.getInt(0) == d && dims.getInt(1) == d),
-      s"lshTopK: d=$d but corpus vectors span " +
-        s"[${dims.get(0)}, ${dims.get(1)}] dimensions")
+      stats.isNullAt(0) || (stats.getInt(0) == d && stats.getInt(1) == d),
+      s"lshTopKSized: d=$d but corpus vectors span " +
+        s"[${stats.get(0)}, ${stats.get(1)}] dimensions")
+    val bits = sizedBitsPerBand(stats.getLong(2), targetOccupancy)
+    lshTopKWithBits(queries, corpus, k, bits, d)
+  }
+
+  private def lshTopKWithBits(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      bits: Int,
+      d: Int): DataFrame = {
     val planes = hyperplanes(bits, d)
     val sig = (df: DataFrame, idName: String, vecName: String, normName: String) =>
       df.select(

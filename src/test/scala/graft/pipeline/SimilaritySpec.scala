@@ -131,6 +131,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sized.map(p => (p._1, p._2)).subsetOf(exact))
   }
 
+  test("lshTopKSized == lshTopK at the derived width") {
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val queries = pts.filter($"id" < 10)
+    val bits = Similarity.sizedBitsPerBand(pts.count()) // 500 -> 3
+    val sized = Similarity.lshTopKSized(queries, pts, k = 5, d = 64)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect().toSet
+    val explicit = Similarity.lshTopK(queries, pts, k = 5, bits = bits, d = 64)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Long)].collect().toSet
+    assert(sized === explicit)
+    assert(sized.nonEmpty)
+  }
+
   test("cosineNearDedup keeps the lowest id of each near-dup pair") {
     val clones = vecs(
       (1L, Seq.fill(64)(0.5)),

@@ -169,6 +169,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("simHashPairsCombo == simHashPairs on the documents fixture " +
+    "(same exact pair set, combination-keyed candidates)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def collect(df: DataFrame): Set[(Long, Long, Int)] =
+      df.select($"d1", $"d2", $"hamming".cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+    val four = collect(Dedup.simHashPairs(d, maxDist = 3))
+    val combo = collect(Dedup.simHashPairsCombo(d, maxDist = 3))
+    assert(combo === four)
+    assert(four.nonEmpty) // fixture plants near-identical docs
+    // recall bound is structural: flipping 3 bits spread over 3 DIFFERENT
+    // 6-way blocks still leaves 3 blocks intact -> some combo matches
+    val a = docs(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "one two three four five six seven eight nine ten"))
+    assert(collect(Dedup.simHashPairsCombo(a, maxDist = 0)).map(p => (p._1, p._2))
+      === Set((1L, 2L)))
+  }
+
   test("bpeTokenCount: alpha runs, digit runs, single punctuation") {
     val got = docs((1L, "Hello, world42! x9"))
       .select(TextOps.bpeTokenCount($"text")).as[Int].head()
