@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Measurement discipline (round-2 finding: single-pass timings of a JVM
   * Spark suite swing ±45% run-over-run):
-  *   - one UNTIMED warm-up pass (JIT, codegen cache, parquet footers),
-  *     then `SPARK_GRAFT_BENCH_RUNS` (default 3) timed passes; the
-  *     per-query number is the MEDIAN, and per-pass totals + spread are
-  *     reported so noise is visible instead of silently eaten;
+  *   - ADAPTIVE untimed warm-up (2–3 passes, until a pass improves <10%
+  *     on the previous: JIT keeps tiering the suite's codegen well past
+  *     one pass), then `SPARK_GRAFT_BENCH_RUNS` (default 5) timed passes;
+  *     the per-query number is the MEDIAN with per-query MAD, and warm-up
+  *     totals + per-pass totals + spread + end loadavg are reported so
+  *     noise is visible and attributable instead of silently eaten;
   *   - results materialize through the `noop` sink — every output column
   *     is computed with zero driver/collect cost. (`count()` lets Catalyst
   *     prune the very expressions under test — the repo's documented
@@ -59,7 +61,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    names.foreach(runOnce) // warm-up, untimed
+    // ADAPTIVE warm-up (round-8): one untimed pass is not enough — pass
+    // totals decayed monotonically 90→77→56 s over the first three passes
+    // of identical code (JIT tiers keep compiling the 59 queries' codegen
+    // output well past pass 1), so a fixed single warm-up leaks warm-up
+    // decay into the timed passes and inflates the max-min spread. Keep
+    // warming (max 3 passes) until a pass improves <10% on the previous —
+    // then the timed passes start at steady state. Warm-up totals are
+    // reported so the decay is visible evidence, not hidden cost.
+    val warmupTotals = {
+      val totals = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var prev = Double.MaxValue
+      while (totals.length < 3 &&
+             (totals.isEmpty || prev * 0.9 > totals.last)) {
+        if (totals.nonEmpty) prev = totals.last
+        totals += names.map(runOnce).sum
+      }
+      totals.toSeq
+    }
     val passes: Seq[Map[String, Double]] =
       (1 to runs).map(_ => names.map(n => n -> runOnce(n)).toMap)
 
@@ -98,7 +117,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         scaleQueries.foreach(runScale) // warm-up (JIT + footer cache)
-        val times = scaleQueries.map(n => n -> math.min(runScale(n), runScale(n)))
+        // min of 3: the box's I/O-wait spikes are one-sided (they only
+        // ever ADD time), and a spike landing on both of 2 runs turned a
+        // linear 7x ratio into an apparent-superlinear 12x in round 8
+        val times = scaleQueries.map(n => n -> Seq.fill(3)(runScale(n)).min)
         val sq = times.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
         val ratios = times.map { case (n, t) =>
           s"\"$n\":${if (med(n) > 0) t / med(n) else -1.0}"
@@ -112,11 +134,21 @@ object Bench {
     val qs = names.map(n => s"\"$n\":${med(n)}").mkString("{", ",", "}")
     val mads = names.map(n => s"\"$n\":${mad(n)}").mkString("{", ",", "}")
     val totalsJson = passTotals.mkString("[", ",", "]")
+    val warmupJson = warmupTotals.mkString("[", ",", "]")
+    // external-noise evidence: this box shows a persistent ~2.5 loadavg
+    // with an otherwise idle CPU (I/O wait on shared disk), which is what
+    // per-pass spikes correlate with — report the 1/5/15-min loadavg so a
+    // noisy round is attributable instead of mysterious
+    val loadAvg =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString("[", ",", "]")
+      catch { case _: Exception => "[]" }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_mad":$mads,"sf":"$sfDir","runs":$runs,""" +
         s""""pass_totals":$totalsJson,"spread_sec":$spread,""" +
-        s""""total_mad_sec":$totalMad,"materialize":"noop"$scaleJson}"""
+        s""""total_mad_sec":$totalMad,"warmup_totals":$warmupJson,""" +
+        s""""loadavg_end":$loadAvg,"materialize":"noop"$scaleJson}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
     // LAST stdout line, after spark.stop() so no shutdown logging can

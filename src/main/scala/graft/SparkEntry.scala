@@ -475,6 +475,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     },
 
+    // Cross-split leakage audit: near-dup pairs (exact Jaccard >= 0.4)
+    // whose two docs land in different train/val/test splits
+    "tx_split_leakage" -> { (s, dir) =>
+      TextOps.splitLeakage(Graft.table(s, dir, "documents"), n = 3,
+          threshold = 0.4, maxShingleDf = Some(50L))
+        .select(col("d1"), col("d2"), col("split1"), col("split2"),
+          round(col("jac"), 6).as("jac"))
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -485,6 +494,19 @@ object SparkEntry {
     // the stop-shingle cap active: shingles in > 50 docs are dropped
     // before the self-join, bounding fan-out on ubiquitous shingles
     // (similarity becomes a lower bound; the oracle mirrors the cap)
+    // Benchmark decontamination: shingle containment of every corpus doc
+    // (sources != src0) against the 'src0' benchmark set — the benchmark
+    // index is broadcast, the corpus is one scan
+    "dd_containment" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      Dedup.containmentPairs(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          n = 3, tau = 0.5)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("containment"), 6).as("containment"))
+    },
+
     "dd_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardPairs(Graft.table(s, dir, "documents"), n = 3,
           threshold = 0.4, maxShingleDf = Some(50L))
@@ -1037,6 +1059,89 @@ object SparkEntry {
         |SELECT d1, d2, ROUND(c / (s1.sz + s2.sz - c), 6) AS jac
         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE c / (s1.sz + s2.sz - c) >= 0.4""".stripMargin,
+
+    // same shingle CTE as dd_jaccard_pairs, asymmetric containment
+    // |S(bench) ∩ S(doc)| / |S(bench)| between the src0 benchmark set and
+    // the rest of the corpus (no stop-shingle cut: containment uses the
+    // full shingle sets)
+    "dd_containment" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |      * 2147483647
+        |    + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647 AS shash
+        |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - 1)) AS i) r
+        |),
+        |bench AS (SELECT sh.* FROM sh JOIN documents USING (doc_id) WHERE source = 'src0'),
+        |corp AS (SELECT sh.* FROM sh JOIN documents USING (doc_id) WHERE source <> 'src0'),
+        |bsz AS (SELECT doc_id AS bench_id, COUNT(*) AS bsz FROM bench GROUP BY 1),
+        |hits AS (
+        |  SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS c
+        |  FROM corp c JOIN bench b USING (shash) GROUP BY 1, 2
+        |)
+        |SELECT h.doc_id, h.bench_id, ROUND(h.c / s.bsz, 6) AS containment
+        |FROM hits h JOIN bsz s USING (bench_id)
+        |WHERE h.c / s.bsz >= 0.5""".stripMargin,
+
+    // the dd_jaccard_pairs pair set joined to the id-pure split hash,
+    // keeping only pairs that straddle splits
+    "tx_split_leakage" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |      * 2147483647
+        |    + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647 AS shash
+        |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - 1)) AS i) r
+        |),
+        |shf AS (
+        |  SELECT sh.doc_id, sh.shash FROM sh
+        |  JOIN (SELECT shash FROM sh GROUP BY shash HAVING COUNT(*) <= 50)
+        |    USING (shash)
+        |),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shf GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+        |  FROM shf a JOIN shf b USING (shash)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |jp AS (
+        |  SELECT d1, d2, ROUND(c / (s1.sz + s2.sz - c), 6) AS jac
+        |  FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE c / (s1.sz + s2.sz - c) >= 0.4
+        |),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT d1, d2, s1.split AS split1, s2.split AS split2, jac
+        |FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
+        |WHERE s1.split <> s2.split""".stripMargin,
 
     "dd_minhash_pairs" ->
       """WITH tk AS (

@@ -118,6 +118,47 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Benchmark-contamination detection (decontamination pass): corpus docs
+    * whose shingle CONTAINMENT of some benchmark item meets `tau` —
+    * containment(b → d) = |S(b) ∩ S(d)| / |S(b)|, the asymmetric overlap
+    * measure the n-gram decontamination literature uses (a 100-word eval
+    * item fully quoted inside a 10k-word page has low Jaccard but
+    * containment 1.0, and it is the benchmark side that must not leak
+    * into training data).
+    *
+    * Scale shape (100 TB corpus, benchmark = eval suites, ~10⁴–10⁶ rows):
+    * the benchmark's exploded shingle index is BROADCAST, so the corpus
+    * is one scan — explode, broadcast-hash-join (keys that match nothing
+    * are discarded map-side, no shuffle of corpus shingles), then a
+    * grouped count over the surviving (doc, bench) matches, which is
+    * bounded by true overlap, not corpus size. No self-join, no corpus
+    * shuffle.
+    *
+    * Output: (doc_id, bench_id, containment ≥ tau).
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      tau: Double): DataFrame = {
+    def exploded(docs: DataFrame, idAs: String): DataFrame =
+      docShingleKeys(docs, n)
+        .select(col("doc_id").as(idAs), explode(col("keys")).as("k"))
+        .select(col(idAs), (col("k.u") * MinHashP + col("k.v")).as("shash"))
+    // cache: consumed twice (per-item sizes + the probe join); tracked so
+    // the caller can release post-materialize
+    val bench = graft.util.OpCaches.cache(exploded(benchmark, "bench_id"))
+    val bsz = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
+    exploded(corpus, "doc_id")
+      .join(broadcast(bench), "shash")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(bsz), "bench_id")
+      .withColumn("containment", col("c") / col("bsz"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------

@@ -268,6 +268,37 @@ object TextOps {
     when(b < 8, "train").when(b === 8, "val").otherwise("test")
   }
 
+  /** Cross-split LEAKAGE check: near-dup pairs whose two documents land in
+    * DIFFERENT train/val/test splits — the audit every training pipeline
+    * needs before trusting eval numbers, because a random or hash split
+    * assigns near-identical documents independently, so a corpus with any
+    * duplication leaks train text into test by construction. (The fix is
+    * to dedup BEFORE splitting, or split by duplicate-group id; this
+    * operator is the detector that proves whether that happened.)
+    *
+    * Composition: exact-Jaccard near-dup pairs
+    * ([[graft.dedup.Dedup.jaccardPairs]] — inverted index + stop-shingle
+    * cut, no all-pairs work) joined to the id-pure split assignment. The
+    * split side reads NO text (it is a projection of doc_id only), so the
+    * audit costs one near-dup pass plus two key-only joins against the
+    * (small) pair set.
+    *
+    * Output: (d1, d2, split1, split2, jac) with split1 != split2.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      n: Int,
+      threshold: Double,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val pairs = graft.dedup.Dedup.jaccardPairs(docs, n, threshold, maxShingleDf)
+    val splits = docs.select(col("doc_id"), assignSplit(col("doc_id")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
+      .join(splits.select(col("doc_id").as("d2"), col("split").as("split2")), "d2")
+      .filter(col("split1") =!= col("split2"))
+      .select(col("d1"), col("d2"), col("split1"), col("split2"), col("jac"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

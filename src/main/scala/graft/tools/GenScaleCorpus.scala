@@ -36,7 +36,12 @@ object GenScaleCorpus {
       outDir: String,
       replicas: Int): Boolean = {
     val marker = Paths.get(outDir, s"_OK_x$replicas")
-    if (Files.exists(marker)) return false
+    val markerContent = s"base=$baseSfDir replicas=$replicas\n"
+    // reuse only if BOTH the replica count and the base sfDir match —
+    // the marker name alone would let a bench at a different SF silently
+    // reuse another SF's corpus
+    if (Files.exists(marker) && Files.readString(marker) == markerContent)
+      return false
     // regenerating at a different replica count: drop the old count's
     // marker, or a later call at THAT count would reuse this corpus
     if (Files.isDirectory(Paths.get(outDir))) {
@@ -77,7 +82,7 @@ object GenScaleCorpus {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
     Files.createDirectories(marker.getParent)
-    Files.writeString(marker, s"base=$baseSfDir replicas=$replicas\n")
+    Files.writeString(marker, markerContent)
     true
   }
 

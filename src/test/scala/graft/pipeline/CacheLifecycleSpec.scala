@@ -72,6 +72,13 @@ class CacheLifecycleSpec extends AnyFunSuite {
     assertReleased("simHashPairs")(Dedup.simHashPairs(docs, maxDist = 3))
   }
 
+  test("containmentPairs releases its benchmark-index cache") {
+    assertReleased("containmentPairs") {
+      Dedup.containmentPairs(
+        docs, docs.limit(2), n = 3, tau = 0.5)
+    }
+  }
+
   test("cosineLshNearDupPairs releases its signature cache") {
     assertReleased("cosineLshNearDupPairs") {
       Similarity.cosineLshNearDupPairs(

@@ -129,6 +129,50 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("containmentPairs: full benchmark quote hits 1.0; partial stays under tau") {
+    val bench = docs((100L, "q w e r t"))
+    val corpus = docs(
+      (1L, "x y q w e r t z"), // all 3 bench shingles appear -> 1.0
+      (2L, "q w e a a a a"),   // 1 of 3 -> 0.333 < tau
+      (3L, "m n o p"))         // none
+    val got = Dedup.containmentPairs(corpus, bench, n = 3, tau = 0.5)
+      .select($"doc_id", $"bench_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got.toSeq === Seq((1L, 100L, 1.0)))
+  }
+
+  test("containmentPairs is asymmetric: a long doc quoting the benchmark " +
+      "is flagged even though its Jaccard is low") {
+    val bench = docs((100L, "q w e r t"))
+    // 3 bench shingles inside a 20-token page: jaccard 3/18 = 0.17,
+    // containment 1.0 — the case Jaccard-threshold dedup misses
+    val page = "f1 f2 f3 f4 f5 f6 f7 f8 q w e r t g1 g2 g3 g4 g5 g6 g7"
+    val jac = Dedup.jaccardPairs(
+      docs((100L, "q w e r t"), (1L, page)), n = 3, threshold = 0.5).count()
+    val cont = Dedup.containmentPairs(
+      docs((1L, page)), bench, n = 3, tau = 0.99).count()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(jac === 0L)
+    assert(cont === 1L)
+  }
+
+  test("splitLeakage: cross-split near-dup pair flagged, same-split not") {
+    // md5-bucket splits: ids 0,1,3 -> train, 16 -> val, 19 -> test
+    val t = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      (0L, t),
+      (16L, t),                              // near-dup of 0, val vs train
+      (1L, "one two three four five six"),
+      (3L, "one two three four five six"),   // near-dup of 1, both train
+      (19L, "lone wolf text nothing else here"))
+    val got = TextOps.splitLeakage(d, n = 3, threshold = 0.4)
+      .select($"d1", $"d2", $"split1", $"split2", $"jac")
+      .as[(Long, Long, String, String, Double)].collect()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got.toSeq === Seq((0L, 16L, "train", "val", 1.0)))
+  }
+
   test("jaccardPairs maxShingleDf drops ubiquitous shingles") {
     val d = docs(
       (1L, "x x x a b c"),
