@@ -169,4 +169,21 @@ class PlanShapeSpec extends AnyFunSuite {
     // partial then final: two HashAggregate nodes around one exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
+
+  test("containmentPairs probes the corpus via a broadcast of the bench index") {
+    val docs = Graft.table(spark, sf, "documents")
+    val df = graft.dedup.Dedup.containmentPairs(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      n = 3, tau = 0.5)
+    val plan = executed(df).toString
+    graft.util.OpCaches.releaseAll(spark)
+    // the probe join must be broadcast (bench side), never a sort-merge
+    // join — a SortMergeJoin here would shuffle the corpus' exploded
+    // shingles, the thing the operator's 100 TB shape exists to avoid
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast probe join in:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join present:\n${plan.take(1200)}")
+  }
 }
