@@ -484,6 +484,30 @@ object SparkEntry {
           round(col("jac"), 6).as("jac"))
     },
 
+    // Quality-proportional deterministic sampling (hash-uniform draw vs
+    // the truncated quality score; u reported truncated the same way)
+    "tx_quality_sample" -> { (s, dir) =>
+      TextOps.qualitySample(Graft.table(s, dir, "documents"))
+        .select(col("doc_id"), col("q"),
+          (floor(col("u") * 1e6) / 1e6).as("u"))
+    },
+
+    // Deterministic source mixing to target shares (no upsampling);
+    // per-source kept counts
+    "tx_source_mix" -> { (s, dir) =>
+      TextOps.sourceMix(Graft.table(s, dir, "documents"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.05, "src4" -> 0.05))
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    },
+
+    // Sequence packing: concat-then-chunk into 512-token training bins,
+    // shard-parallel; one row per document
+    "tx_seq_pack" -> { (s, dir) =>
+      TextOps.packSequences(Graft.table(s, dir, "documents"),
+        budget = 512L, shards = 8)
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -1142,6 +1166,82 @@ object SparkEntry {
         |SELECT d1, d2, s1.split AS split1, s2.split AS split2, jac
         |FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
         |WHERE s1.split <> s2.split""".stripMargin,
+
+    // quality formula identical to tx_analyze's; u = first 8 md5 hex
+    // digits of 'smp:<id>' over 2^32 (exact double in both engines);
+    // keep iff u < truncated quality
+    "tx_quality_sample" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |    len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> list_contains(['the','of','and','to','a','in','is','it'], x))) AS s_en,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS no_space,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+        |  FROM documents
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((
+        |      least(n_tokens / 100.0, 1.0) * 0.3 +
+        |      (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
+        |      least(s_en * 1.0 / n_tokens * 5.0, 1.0) * 0.2 +
+        |      (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0) / 1000000.0 AS q
+        |  FROM scored
+        |),
+        |u AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT q.doc_id, q.q, floor(u.u * 1000000.0) / 1000000.0 AS u
+        |FROM q JOIN u ON q.doc_id = u.doc_id
+        |WHERE u.u < q.q""".stripMargin,
+
+    // rates: share_s * M / n_s with M = min_s(n_s / share_s) — the
+    // largest no-upsampling corpus at the target shares; keep iff
+    // hash-uniform('mix:<id>') < rate
+    "tx_source_mix" ->
+      """WITH sh AS (
+        |  SELECT * FROM (VALUES
+        |    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.05 AS DOUBLE)),
+        |    ('src4', CAST(0.05 AS DOUBLE))) AS t(source, share)
+        |),
+        |cs AS (
+        |  SELECT d.source, COUNT(*) AS n, ANY_VALUE(s.share) AS share
+        |  FROM documents d JOIN sh s USING (source) GROUP BY 1
+        |),
+        |m AS (SELECT MIN(n / share) AS m FROM cs),
+        |rates AS (
+        |  SELECT source, LEAST(1.0, share * m.m / n) AS rate FROM cs, m
+        |)
+        |SELECT d.source, COUNT(*) AS kept
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |        / 4294967296.0 < r.rate
+        |GROUP BY 1""".stripMargin,
+
+    // shard = md5-hash of id mod 8; within-shard running token total in
+    // doc_id order; bin = tokens-before-this-doc integer-div 512
+    "tx_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
+        |FROM c""".stripMargin,
 
     "dd_minhash_pairs" ->
       """WITH tk AS (

@@ -299,6 +299,105 @@ object TextOps {
       .select(col("d1"), col("d2"), col("split1"), col("split2"), col("jac"))
   }
 
+  /** Deterministic uniform draw in [0, 1): the first 8 md5 hex digits of
+    * `salt:id`, divided by 2³². Pure function of the id — stable across
+    * runs, partitionings, and engines (DuckDB computes the identical
+    * value: both the 32-bit integer and the power-of-two division are
+    * exact doubles). Distinct salts give independent draws, so sampling
+    * decisions never correlate with the [[splitBucket]] assignment.
+    */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(md5(concat(lit(salt + ":"), id.cast("string"))).substr(1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Quality-weighted deterministic sampling: keep a document with
+    * probability equal to its (truncated) quality score — the standard
+    * quality-proportional resampling step of a pretraining pipeline, made
+    * REPRODUCIBLE by replacing `rand()` with [[hashUniform]] (a re-run,
+    * a different partitioning, or a different engine keeps exactly the
+    * same documents). One scan, per-row expressions only, no shuffle.
+    *
+    * The comparison uses the 6-decimal-truncated score (the same value
+    * [[analyze]] emits) so the keep decision is bit-identical across
+    * engines rather than hanging on the last ulp of a double.
+    *
+    * Output: (doc_id, q, u) for kept docs, u < q.
+    */
+  def qualitySample(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"),
+        hashUniform(col("doc_id"), "smp").as("u"))
+      .filter(col("u") < col("q"))
+
+  /** Deterministic source mixing to target proportions WITHOUT
+    * upsampling: the output is the largest corpus whose source shares
+    * match `shares`, obtained by downsampling every source to rate
+    * `share_s · M / n_s` where `M = min_s(n_s / share_s)` is the total
+    * size at which the scarcest source is fully consumed. The data-mixing
+    * step of a pretraining pipeline (domain reweighting), with
+    * [[hashUniform]] thresholding instead of `rand()` so membership is
+    * reproducible.
+    *
+    * Scale shape: per-source counts are one aggregation; the rate table
+    * is O(#sources) and broadcast; the keep pass is a single corpus scan
+    * with a per-row threshold — no sort, no corpus shuffle (an
+    * exact-count variant would need a per-source rank, i.e. a full sort;
+    * hash thresholding is the unbounded-corpus answer, within
+    * ±O(√n) of target counts).
+    *
+    * Sources missing from `shares` are dropped. Output: the kept docs
+    * (all input columns).
+    */
+  def sourceMix(docs: DataFrame, shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharesDf = shares.toSeq.toDF("source", "share")
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .join(sharesDf, Seq("source"))
+    val m = counts.agg(min(col("n") / col("share")).as("m"))
+    val rates = counts.crossJoin(broadcast(m))
+      .select(
+        col("source"),
+        least(lit(1.0), col("share") * col("m") / col("n")).as("rate"))
+    docs
+      .join(broadcast(rates), Seq("source"))
+      .filter(hashUniform(col("doc_id"), "mix") < col("rate"))
+      .drop("rate")
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences by concat-then-chunk — documents are laid out in doc_id
+    * order within a shard and each starts in bin
+    * `⌊(running_tokens_before_it) / budget⌋`. Packing is per-SHARD
+    * (shard = md5-hash of id mod `shards`), which is how distributed
+    * pretraining prep actually packs: each shard is an independent
+    * ordered stream, so the cumulative-sum window parallelizes across
+    * shards instead of serializing the corpus through one global sort.
+    *
+    * Output: (doc_id, shard, bin, n_tokens) — one row per document.
+    */
+  def packSequences(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard =
+      conv(md5(concat(lit("shard:"), col("doc_id").cast("string"))).substr(1, 8),
+        16, 10).cast("long") % shards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col("doc_id"),
+        shard.as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
+      .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.floor
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
@@ -171,6 +172,75 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(Long, Long, String, String, Double)].collect()
     graft.util.OpCaches.releaseAll(spark)
     assert(got.toSeq === Seq((0L, 16L, "train", "val", 1.0)))
+  }
+
+  test("hashUniform: in [0,1), id-deterministic, salt-independent") {
+    val d = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "text")
+    val us = d.select(
+      TextOps.hashUniform($"doc_id", "a").as("ua"),
+      TextOps.hashUniform($"doc_id", "b").as("ub"))
+      .as[(Double, Double)].collect()
+    assert(us.forall { case (a, b) => a >= 0.0 && a < 1.0 && b >= 0.0 && b < 1.0 })
+    // distinct salts give different draws (not a shifted copy)
+    assert(us.count { case (a, b) => math.abs(a - b) < 1e-9 } === 0)
+    // same salt, same id -> same draw on a re-run
+    val again = d.select(TextOps.hashUniform($"doc_id", "a")).as[Double].collect()
+    assert(again.toSeq === us.map(_._1).toSeq)
+  }
+
+  test("qualitySample keeps exactly the docs with u < truncated quality") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog and then some more"),
+      (2L, "a b"),
+      (3L, "the of and to a in is it the of and to a in is it"),
+      (4L, "!!! ??? ### $$$"))
+    val kept = TextOps.qualitySample(d)
+      .select($"doc_id", $"q", $"u").as[(Long, Double, Double)].collect()
+    assert(kept.forall { case (_, q, u) => u < q })
+    // reference check: recompute q and u independently and re-derive the set
+    val all = d.select(
+      $"doc_id",
+      (floor(TextOps.qualityScore($"text") * 1e6) / 1e6).as("q"),
+      TextOps.hashUniform($"doc_id", "smp").as("u"))
+      .as[(Long, Double, Double)].collect()
+    assert(kept.map(_._1).sorted.toSeq ===
+      all.filter { case (_, q, u) => u < q }.map(_._1).sorted.toSeq)
+  }
+
+  test("sourceMix: scarcest source fully kept, abundant source thresholded, " +
+      "unlisted source dropped") {
+    val rows =
+      (1L to 10L).map(i => (i, "t " * 5, "a")) ++
+        (11L to 50L).map(i => (i, "t " * 5, "b")) ++
+        (51L to 60L).map(i => (i, "t " * 5, "c"))
+    val d = rows.toDF("doc_id", "text", "source")
+    // shares 50/50, n_a=10, n_b=40 -> M=20, rate_a=1.0, rate_b=0.25
+    val kept = TextOps.sourceMix(d, Map("a" -> 0.5, "b" -> 0.5))
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("a", 0) === 10)       // rate 1.0: all kept
+    assert(bySrc.getOrElse("b", 0) < 40)         // rate 0.25: thresholded
+    assert(!bySrc.contains("c"))                 // not in shares: dropped
+    // the b survivors are exactly the hash-threshold set
+    val expectB = d.filter($"source" === "b")
+      .filter(TextOps.hashUniform($"doc_id", "mix") < 0.25)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.filter(_._2 == "b").map(_._1).sorted.toSeq === expectB.toSeq)
+  }
+
+  test("packSequences: concat-then-chunk bins from the running token total") {
+    // one shard -> a single doc_id-ordered stream; token counts 3, 4, 5
+    val d = docs((1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"))
+    val got = TextOps.packSequences(d, budget = 4L, shards = 1)
+      .select($"doc_id", $"shard", $"bin", $"n_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // cum before each doc: 0, 3, 7 -> bins 0, 0, 1
+    assert(got.toSeq === Seq((1L, 0L, 0L, 3L), (2L, 0L, 0L, 4L), (3L, 0L, 1L, 5L)))
+    // multi-shard: every doc appears once, shard ids within range
+    val sharded = TextOps.packSequences(d, budget = 4L, shards = 4)
+      .select($"doc_id", $"shard").as[(Long, Long)].collect()
+    assert(sharded.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(sharded.forall { case (_, s) => s >= 0 && s < 4 })
   }
 
   test("jaccardPairs maxShingleDf drops ubiquitous shingles") {
