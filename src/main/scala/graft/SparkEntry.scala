@@ -571,6 +571,19 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // Incremental near-dedup: the src10..src19 half of the corpus arrives
+    // as a NEW batch and is deduped against the existing src0..src9
+    // corpus (corpus docs never dropped; batch docs also deduped among
+    // themselves keep-min-id)
+    "dd_incremental_dedup" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      Dedup.incrementalNearDedup(
+          docs.filter(col("source").like("src1_")),
+          docs.filter(!col("source").like("src1_")),
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("doc_id"))
+    },
+
     // Duplicate groups: connected components over verified near-dup pairs
     // (iterative min-label propagation; oracle via recursive CTE)
     "dd_dup_groups" -> { (s, dir) =>
@@ -1373,6 +1386,68 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT d2 FROM ver)""".stripMargin,
+
+    // same LSH pipeline as dd_near_dedup over the full corpus, then the
+    // incremental drop rule: a src1x batch doc is dropped iff a verified
+    // partner is an src0..src9 corpus doc, or a smaller-id batch doc
+    "dd_incremental_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+        |),
+        |flags AS (SELECT doc_id, source LIKE 'src1_' AS isn FROM documents),
+        |ver2 AS (
+        |  SELECT v.d1, v.d2, f1.isn AS n1, f2.isn AS n2
+        |  FROM ver v JOIN flags f1 ON v.d1 = f1.doc_id
+        |             JOIN flags f2 ON v.d2 = f2.doc_id
+        |),
+        |dropped AS (
+        |  SELECT d2 AS doc_id FROM ver2 WHERE n2
+        |  UNION
+        |  SELECT d1 AS doc_id FROM ver2 WHERE n1 AND NOT n2
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE source LIKE 'src1_'
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
     "a5_percentiles" ->
       """SELECT l_linenumber,

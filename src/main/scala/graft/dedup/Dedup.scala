@@ -307,6 +307,65 @@ object Dedup {
     docs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL near-dedup: dedup a NEW batch against an EXISTING corpus
+    * — the daily-ingest production shape ([[nearDedup]] re-dedups the
+    * whole corpus each time; at 100 TB the corpus is deduped once and
+    * each day's crawl is deduped against it). A new doc is dropped iff
+    * some verified near-dup partner is an existing corpus doc, or a
+    * smaller-id doc of the same batch (the same one-step keep-min-id
+    * policy as [[nearDedup]]). Corpus docs are never dropped.
+    *
+    * Scale shape: the LSH bucket join is ASYMMETRIC — (corpus ∪ new) on
+    * one side, the new batch alone on the other — so candidate work is
+    * O(new × bucket occupancy), never corpus × corpus; in a real
+    * deployment the corpus side's signatures/buckets are precomputed
+    * once and revalidated incrementally. One shared shingle pass feeds
+    * signatures and the Jaccard verify, as in [[nearDedup]].
+    *
+    * Output: the surviving new docs (all input columns).
+    */
+  def incrementalNearDedup(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val tagged = newDocs.select(col("doc_id"), col("text"), lit(true).as("is_new"))
+      .unionByName(corpus.select(col("doc_id"), col("text"), lit(false).as("is_new")))
+    // one shingle pass over corpus ∪ new, keys + batch flag together
+    val keys = graft.util.OpCaches.cache(
+      tagged.select(
+        col("doc_id"),
+        col("is_new"),
+        graft.expr.ShingleKeys(TextOps.tokens(col("text")), n).as("keys")))
+    val sigs = keys
+      .filter(size(col("keys")) > 0)
+      .select(col("doc_id"), col("is_new"),
+        graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
+    val buckets = graft.util.OpCaches.cache(
+      lshBuckets(sigs, bands, numHashes / bands)
+        .join(keys.select(col("doc_id"), col("is_new")), "doc_id"))
+    // asymmetric candidates: every (partner p, new doc nd) sharing a
+    // bucket — old×old pairs are never formed
+    val cand = buckets.as("a")
+      .join(
+        buckets.filter(col("is_new")).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val ver = verifyJaccardKeys(keys.select(col("doc_id"), col("keys")), cand, threshold)
+    val dropped = ver
+      .join(keys.select(col("doc_id").as("d1"), col("is_new").as("p_new")), "d1")
+      // partner dominates when it is corpus, or an earlier doc of the batch
+      .filter(!col("p_new") || col("d1") < col("d2"))
+      .select(col("d2").as("doc_id"))
+      .distinct()
+    newDocs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Exact Jaccard for a given candidate-pair set (cheap: computes
     * similarity only for candidates, not all pairs).
     * Input pairs: (d1, d2). Output: (d1, d2, jac) with jac >= threshold.

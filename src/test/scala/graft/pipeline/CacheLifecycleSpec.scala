@@ -79,6 +79,14 @@ class CacheLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalNearDedup releases its key and bucket caches") {
+    assertReleased("incrementalNearDedup") {
+      Dedup.incrementalNearDedup(
+        docs.filter($"doc_id" > 2L), docs.filter($"doc_id" <= 2L),
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    }
+  }
+
   test("cosineLshNearDupPairs releases its signature cache") {
     assertReleased("cosineLshNearDupPairs") {
       Similarity.cosineLshNearDupPairs(

@@ -174,6 +174,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 16L, "train", "val", 1.0)))
   }
 
+  test("incrementalNearDedup: corpus dup dropped, batch-internal keep-min-id, " +
+      "corpus never dropped") {
+    val corpus = docs(
+      (1L, "a b c d e"),
+      (2L, "v w x y z"))
+    val batch = docs(
+      (10L, "a b c d e"),  // dup of corpus doc 1 -> dropped
+      (11L, "p q r s t"),  // dup pair within the batch: min id kept
+      (12L, "p q r s t"),  //   -> dropped
+      (13L, "fresh unique content nothing else"))
+    val kept = Dedup.incrementalNearDedup(batch, corpus,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    graft.util.OpCaches.releaseAll(spark)
+    assert(kept.toSeq === Seq(11L, 13L))
+  }
+
   test("hashUniform: in [0,1), id-deterministic, salt-independent") {
     val d = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "text")
     val us = d.select(
