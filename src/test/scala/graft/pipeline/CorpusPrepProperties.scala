@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.kmeans.SparkTestSession
+import graft.text.TextOps
+
+/** ScalaCheck properties for the corpus-preparation operators (sampling,
+  * mixing, packing) over random corpora. Kept to 10 cases per property —
+  * each case runs real Spark jobs.
+  */
+object CorpusPrepProperties extends Properties("corpusprep") {
+  lazy val spark = SparkTestSession.spark
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private val word = Gen.oneOf(
+    "the", "of", "and", "data", "spark", "row", "scan", "query", "x9", "z")
+  private val textGen =
+    Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpusGen = for {
+    n <- Gen.chooseNum(1, 30)
+    texts <- Gen.listOfN(n, textGen)
+    sources <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+  } yield texts.zip(sources).zipWithIndex.map { case ((t, s), i) =>
+    (i.toLong, t, s)
+  }
+
+  private def df(rows: List[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source")
+  }
+
+  property("packSequences partitions the corpus; bins are contiguous and " +
+      "every bin except a shard's last stays within budget of its start") =
+    forAll(corpusGen, Gen.chooseNum(5L, 50L), Gen.chooseNum(1, 4)) {
+      (rows, budget, shards) =>
+        val packed = TextOps.packSequences(df(rows), budget, shards)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        val everyDocOnce =
+          packed.map(_._1).sorted.toSeq == rows.map(_._1).sorted
+        val byShard = packed.groupBy(_._2)
+        val perShard = byShard.values.map { docs =>
+          val ordered = docs.sortBy(_._1)
+          // recompute the running layout: doc d starts at the tokens
+          // before it; its bin must be start/budget, bins non-decreasing
+          val starts = ordered.scanLeft(0L)(_ + _._4).init
+          ordered.zip(starts).forall { case ((_, _, bin, _), start) =>
+            bin == start / budget
+          }
+        }.forall(identity)
+        Prop(everyDocOnce) :| "every doc packed exactly once" &&
+          Prop(perShard) :| "bin = floor(start offset / budget) per shard"
+    }
+
+  property("sourceMix never upsamples and never emits unlisted sources") =
+    forAll(corpusGen) { rows =>
+      val d = df(rows)
+      val shares = Map("a" -> 0.6, "b" -> 0.4) // c unlisted
+      val inCounts = rows.groupBy(_._3).view.mapValues(_.size).toMap
+      if (!shares.keys.forall(inCounts.contains)) Prop.undecided
+      else {
+        val kept = TextOps.sourceMix(d, shares).collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+        val outCounts = kept.groupBy(_._2).view.mapValues(_.length).toMap
+        Prop(outCounts.keySet.subsetOf(shares.keySet)) :| "unlisted dropped" &&
+          Prop(shares.keys.forall(s =>
+            outCounts.getOrElse(s, 0) <= inCounts(s))) :| "no upsampling" &&
+          Prop(kept.map(_._1).distinct.length == kept.length) :| "no dup rows"
+      }
+    }
+
+  property("qualitySample output is the u<q subset and is id-stable " +
+      "under corpus reordering") =
+    forAll(corpusGen) { rows =>
+      val kept = TextOps.qualitySample(df(rows))
+        .collect().map(r => r.getLong(0)).sorted.toSeq
+      val keptShuffled = TextOps.qualitySample(df(rows.reverse))
+        .collect().map(r => r.getLong(0)).sorted.toSeq
+      Prop(kept == keptShuffled) :| "membership is a pure function of id+text"
+    }
+}
