@@ -11,6 +11,7 @@ import graft.streaming.StreamOps
 
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 final case class EvU(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+final case class Doc(doc_id: Long, text: String, source: String)
 
 /** Structured Streaming extensions: windowed aggregation with watermark,
   * stateless streaming assignment, and stateful incremental centroids via
@@ -46,6 +47,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch.exists { case (w, t, n, v) =>
         w == ts("2024-01-01 00:00:00") && t == "click" && n == 2 && v == 3.0
       })
+    } finally q.stop()
+  }
+
+  test("qualitySample runs unchanged on a stream " +
+      "(stateless hash decisions, batch ≡ streaming membership)") {
+    val rows = (1L to 40L).map(i =>
+      Doc(i, ("the of and data spark row " * (i.toInt % 7 + 1)).trim,
+        if (i % 2 == 0) "a" else "b"))
+    val batchDf = rows.toDF()
+    val batchSample = graft.text.TextOps.qualitySample(batchDf)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(rows: _*)
+    // the SAME operator over the stream: per-row hash decisions are
+    // stateless, so the plan is append-safe with zero state stores
+    val q = graft.text.TextOps.qualitySample(mem.toDF())
+      .writeStream.format("memory").queryName("stream_sample")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("stream_sample")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed === batchSample)
+      assert(streamed.nonEmpty && streamed.size < rows.size)
     } finally q.stop()
   }
 
