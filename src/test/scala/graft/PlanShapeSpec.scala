@@ -170,6 +170,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2)
   }
 
+  test("packSequences: one hash exchange on shard, no global (range) sort") {
+    val docs = Graft.table(spark, sf, "documents")
+    val plan = executed(
+      graft.text.TextOps.packSequences(docs, budget = 512L, shards = 8)).toString
+    // per-shard windows need exactly one hash repartition; a range
+    // exchange would mean the corpus serializes through a global sort
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected one hash exchange:\n${plan.take(1200)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort present:\n${plan.take(1200)}")
+  }
+
+  test("sourceMix joins the corpus to a broadcast rate table") {
+    val docs = Graft.table(spark, sf, "documents")
+    val plan = executed(graft.text.TextOps.sourceMix(docs,
+      Map("src0" -> 0.5, "src1" -> 0.5))).toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in:\n${plan.take(1200)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join present:\n${plan.take(1200)}")
+  }
+
   test("containmentPairs probes the corpus via a broadcast of the bench index") {
     val docs = Graft.table(spark, sf, "documents")
     val df = graft.dedup.Dedup.containmentPairs(
