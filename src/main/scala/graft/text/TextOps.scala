@@ -347,8 +347,11 @@ object TextOps {
     * hash thresholding is the unbounded-corpus answer, within
     * ±O(√n) of target counts).
     *
-    * Sources missing from `shares` are dropped. Output: the kept docs
-    * (all input columns).
+    * Sources missing from `shares` are dropped; a LISTED source absent
+    * from the corpus simply doesn't constrain M (rates are computed over
+    * the sources present), so the caller should validate coverage when
+    * the share map is authoritative. Output: the kept docs (all input
+    * columns).
     */
   def sourceMix(docs: DataFrame, shares: Map[String, Double]): DataFrame = {
     require(shares.nonEmpty && shares.values.forall(_ > 0),
