@@ -79,8 +79,20 @@ object Bench {
       }
       totals.toSeq
     }
+    // 1-min loadavg sampled after each timed pass: the end-of-run figure
+    // proved round 8's 11 s spread external, but only per-pass samples
+    // let a contaminated pass be flagged INDIVIDUALLY (a spike shows
+    // against the pass total it inflated)
+    def load1(): Double =
+      try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passes: Seq[Map[String, Double]] =
-      (1 to runs).map(_ => names.map(n => n -> runOnce(n)).toMap)
+      (1 to runs).map { _ =>
+        val p = names.map(n => n -> runOnce(n)).toMap
+        passLoads += load1()
+        p
+      }
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val med = names.map(n => n -> median(passes.map(_(n)))).toMap
@@ -148,6 +160,7 @@ object Bench {
         s""""query_mad":$mads,"sf":"$sfDir","runs":$runs,""" +
         s""""pass_totals":$totalsJson,"spread_sec":$spread,""" +
         s""""total_mad_sec":$totalMad,"warmup_totals":$warmupJson,""" +
+        s""""pass_loadavg":${passLoads.mkString("[", ",", "]")},""" +
         s""""loadavg_end":$loadAvg,"materialize":"noop"$scaleJson}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()

@@ -484,6 +484,16 @@ object SparkEntry {
           round(col("jac"), 6).as("jac"))
     },
 
+    // The corpus-scale form of the leakage audit: MinHash+LSH candidates
+    // (never a shingle self-join) filtered to cross-split pairs BEFORE
+    // the exact-Jaccard verify
+    "tx_split_leakage_lsh" -> { (s, dir) =>
+      TextOps.splitLeakageLsh(Graft.table(s, dir, "documents"),
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("d1"), col("d2"), col("split1"), col("split2"),
+          round(col("jac"), 6).as("jac"))
+    },
+
     // Quality-proportional deterministic sampling (hash-uniform draw vs
     // the truncated quality score; u reported truncated the same way)
     "tx_quality_sample" -> { (s, dir) =>
@@ -501,11 +511,29 @@ object SparkEntry {
         .groupBy(col("source")).agg(count(lit(1)).as("kept"))
     },
 
+    // Exact-count source mixing: every source keeps exactly ⌊share·M⌋
+    // docs (per-source rank over the hash-uniform draw — one extra
+    // exchange buys exactness over tx_source_mix's ±O(√n))
+    "tx_source_mix_exact" -> { (s, dir) =>
+      TextOps.sourceMixExact(Graft.table(s, dir, "documents"),
+          Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+            "src3" -> 0.05, "src4" -> 0.05))
+        .groupBy(col("source")).agg(count(lit(1)).as("kept"))
+    },
+
     // Sequence packing: concat-then-chunk into 512-token training bins,
     // shard-parallel; one row per document
     "tx_seq_pack" -> { (s, dir) =>
       TextOps.packSequences(Graft.table(s, dir, "documents"),
         budget = 512L, shards = 8)
+    },
+
+    // Sequence packing with the shard count SIZED from the corpus token
+    // mass (ceil(total/4096)) — per-shard sort work stays bounded as the
+    // corpus grows instead of a fixed shard count under-parallelizing it
+    "tx_seq_pack_sized" -> { (s, dir) =>
+      TextOps.packSequencesSized(Graft.table(s, dir, "documents"),
+        budget = 512L, targetTokensPerShard = 4096L)
     },
 
     // ---- training-data pipeline: deduplication --------------------------
@@ -582,6 +610,38 @@ object SparkEntry {
           docs.filter(!col("source").like("src1_")),
           n = 3, numHashes = 12, bands = 4, threshold = 0.5)
         .select(col("doc_id"))
+    },
+
+    // The PRODUCTION shape of incremental dedup: the corpus side's
+    // signatures are persisted to a parquet store once, and the batch
+    // dedups against the store — the corpus TEXT is never re-read on the
+    // incremental run (plan-locked in PlanShapeSpec). Same drop policy,
+    // same survivors as dd_incremental_dedup.
+    "dd_incremental_store" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val store = "target/graft_stores/sig_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Dedup.writeSignatureStore(
+        docs.filter(!col("source").like("src1_")),
+        n = 3, numHashes = 12, bands = 4, path = store)
+      Dedup.incrementalNearDedupFromStore(
+          docs.filter(col("source").like("src1_")), store,
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("doc_id"))
+    },
+
+    // C4-style sub-document dedup: split docs into paragraphs (synthetic
+    // 100-char spans joined by newlines — the fixture corpus is
+    // single-line), keep the globally-first occurrence of each distinct
+    // paragraph, reassemble; docs losing every paragraph are dropped
+    "dd_paragraph_dedup" -> { (s, dir) =>
+      val aug = Graft.table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat_ws("\n",
+            substring(col("text"), 1, 100),
+            substring(col("text"), 101, 100),
+            substring(col("text"), 201, 100)).as("text"))
+      Dedup.paragraphDedup(aug, sep = "\n")
     },
 
     // Duplicate groups: connected components over verified near-dup pairs
@@ -1180,6 +1240,65 @@ object SparkEntry {
         |FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
         |WHERE s1.split <> s2.split""".stripMargin,
 
+    // LSH leakage audit: the dd_minhash_pairs candidate pipeline, pairs
+    // filtered to cross-split BEFORE the exact-Jaccard verify at 0.5
+    "tx_split_leakage_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |),
+        |cc AS (
+        |  SELECT c.d1, c.d2, s1.split AS split1, s2.split AS split2
+        |  FROM cand c JOIN sp s1 ON c.d1 = s1.doc_id JOIN sp s2 ON c.d2 = s2.doc_id
+        |  WHERE s1.split <> s2.split
+        |)
+        |SELECT cc.d1, cc.d2, cc.split1, cc.split2,
+        |       ROUND(len(list_intersect(a.keys, b.keys))
+        |             / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))), 6) AS jac
+        |FROM cc JOIN skeys a ON cc.d1 = a.doc_id JOIN skeys b ON cc.d2 = b.doc_id
+        |WHERE len(list_intersect(a.keys, b.keys))
+        |      / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5""".stripMargin,
+
     // quality formula identical to tx_analyze's; u = first 8 md5 hex
     // digits of 'smp:<id>' over 2^32 (exact double in both engines);
     // keep iff u < truncated quality
@@ -1237,12 +1356,69 @@ object SparkEntry {
         |        / 4294967296.0 < r.rate
         |GROUP BY 1""".stripMargin,
 
+    // exact-count mixing: per-source targets ⌊share·M⌋, selected as the
+    // tgt lowest hash-uniform draws (doc_id tiebreak) per source
+    "tx_source_mix_exact" ->
+      """WITH sh AS (
+        |  SELECT * FROM (VALUES
+        |    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.05 AS DOUBLE)),
+        |    ('src4', CAST(0.05 AS DOUBLE))) AS t(source, share)
+        |),
+        |cs AS (
+        |  SELECT d.source, COUNT(*) AS n, ANY_VALUE(s.share) AS share
+        |  FROM documents d JOIN sh s USING (source) GROUP BY 1
+        |),
+        |m AS (SELECT MIN(n / share) AS m FROM cs),
+        |t AS (
+        |  SELECT source, CAST(floor(share * m.m) AS BIGINT) AS tgt FROM cs, m
+        |),
+        |r AS (
+        |  SELECT d.source, d.doc_id,
+        |         row_number() OVER (PARTITION BY d.source
+        |           ORDER BY CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                      / 4294967296.0,
+        |                    d.doc_id) AS rn
+        |  FROM documents d JOIN sh s USING (source)
+        |)
+        |SELECT r.source, COUNT(*) AS kept
+        |FROM r JOIN t USING (source)
+        |WHERE rn <= tgt
+        |GROUP BY 1""".stripMargin,
+
     // shard = md5-hash of id mod 8; within-shard running token total in
     // doc_id order; bin = tokens-before-this-doc integer-div 512
     "tx_seq_pack" ->
       """WITH t AS (
         |  SELECT doc_id,
         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, shard,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
+        |FROM c""".stripMargin,
+
+    // sized variant: shards = ceil(total corpus tokens / 4096), the same
+    // integer arithmetic sizedShards collects driver-side
+    "tx_seq_pack_sized" ->
+      """WITH tot AS (
+        |  SELECT SUM(len(string_split_regex(trim(text), '\s+'))) AS tt
+        |  FROM documents
+        |),
+        |ns AS (
+        |  SELECT CAST(greatest(1, (tt + 4095) // 4096) AS BIGINT) AS s FROM tot
+        |),
+        |t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % (SELECT s FROM ns) AS shard,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents
         |),
@@ -1448,6 +1624,97 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE source LIKE 'src1_'
         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
+    // the store variant must produce the SAME survivors — the store only
+    // changes WHERE the corpus signatures come from, not the pair set or
+    // the drop policy — so the oracle is dd_incremental_dedup's verbatim
+    "dd_incremental_store" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+        |),
+        |flags AS (SELECT doc_id, source LIKE 'src1_' AS isn FROM documents),
+        |ver2 AS (
+        |  SELECT v.d1, v.d2, f1.isn AS n1, f2.isn AS n2
+        |  FROM ver v JOIN flags f1 ON v.d1 = f1.doc_id
+        |             JOIN flags f2 ON v.d2 = f2.doc_id
+        |),
+        |dropped AS (
+        |  SELECT d2 AS doc_id FROM ver2 WHERE n2
+        |  UNION
+        |  SELECT d1 AS doc_id FROM ver2 WHERE n1 AND NOT n2
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE source LIKE 'src1_'
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
+    // paragraphs = the query's synthetic 100-char spans; first global
+    // occurrence (min (doc_id, pos)) of each normalized-paragraph md5
+    // survives; docs reassemble from surviving spans in position order
+    "dd_paragraph_dedup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10), substr(text, 1, 100),
+        |                   substr(text, 101, 100), substr(text, 201, 100)) AS text
+        |  FROM documents
+        |),
+        |parts AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ps FROM aug
+        |),
+        |paras AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para,
+        |         md5(regexp_replace(lower(trim(ps[i])), '\s+', ' ', 'g')) AS h
+        |  FROM parts, LATERAL (SELECT UNNEST(range(1, len(ps) + 1)) AS i) r
+        |  WHERE trim(ps[i]) <> ''
+        |),
+        |winners AS (
+        |  SELECT doc_id, pos, para FROM (
+        |    SELECT doc_id, pos, para,
+        |           row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM paras)
+        |  WHERE rn = 1
+        |)
+        |SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text
+        |FROM winners GROUP BY doc_id""".stripMargin,
 
     "a5_percentiles" ->
       """SELECT l_linenumber,

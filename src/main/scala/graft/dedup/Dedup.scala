@@ -126,13 +126,17 @@ object Dedup {
     * containment 1.0, and it is the benchmark side that must not leak
     * into training data).
     *
-    * Scale shape (100 TB corpus, benchmark = eval suites, ~10⁴–10⁶ rows):
-    * the benchmark's exploded shingle index is BROADCAST, so the corpus
-    * is one scan — explode, broadcast-hash-join (keys that match nothing
-    * are discarded map-side, no shuffle of corpus shingles), then a
-    * grouped count over the surviving (doc, bench) matches, which is
-    * bounded by true overlap, not corpus size. No self-join, no corpus
-    * shuffle.
+    * Scale shape (100 TB corpus, benchmark = eval suites): the
+    * benchmark's exploded shingle index is BROADCAST when it fits (its
+    * entry count — bench docs × distinct shingles, ~16 B each — stays
+    * under `maxBroadcastEntries`, i.e. benchmarks up to ~10⁴–10⁵ docs),
+    * so the corpus is one scan — explode, broadcast-hash-join (keys that
+    * match nothing are discarded map-side, no shuffle of corpus
+    * shingles), then a grouped count over the surviving (doc, bench)
+    * matches, which is bounded by true overlap, not corpus size. No
+    * self-join, no corpus shuffle. A larger benchmark index degrades
+    * GRACEFULLY to a shuffle join (corpus shingles exchange once)
+    * instead of force-broadcasting a multi-GB index into the driver.
     *
     * Output: (doc_id, bench_id, containment ≥ tau).
     */
@@ -140,7 +144,8 @@ object Dedup {
       corpus: DataFrame,
       benchmark: DataFrame,
       n: Int,
-      tau: Double): DataFrame = {
+      tau: Double,
+      maxBroadcastEntries: Long = 20000000L): DataFrame = {
     def exploded(docs: DataFrame, idAs: String): DataFrame =
       docShingleKeys(docs, n)
         .select(col("doc_id").as(idAs), explode(col("keys")).as("k"))
@@ -148,9 +153,15 @@ object Dedup {
     // cache: consumed twice (per-item sizes + the probe join); tracked so
     // the caller can release post-materialize
     val bench = graft.util.OpCaches.cache(exploded(benchmark, "bench_id"))
+    // size the broadcast decision on the REAL index cardinality (an O(1)
+    // scalar off the cache just built) — an unconditional hint would OOM
+    // the driver on an over-large benchmark rather than degrade
+    val benchEntries = bench.count()
+    val benchIndex =
+      if (benchEntries <= maxBroadcastEntries) broadcast(bench) else bench
     val bsz = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
     exploded(corpus, "doc_id")
-      .join(broadcast(bench), "shash")
+      .join(benchIndex, "shash")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("c"))
       .join(broadcast(bsz), "bench_id")
@@ -254,7 +265,7 @@ object Dedup {
     * OR-construction's equality self-join. Input must be cached: both
     * join sides read it.
     */
-  private def bucketCandidates(b: DataFrame): DataFrame =
+  private[graft] def bucketCandidates(b: DataFrame): DataFrame =
     b.as("a")
       .join(b.as("b"), Seq("band", "bucket"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -366,6 +377,192 @@ object Dedup {
     newDocs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  // ---------------------------------------------------------------------
+  // Persistent signature store
+  // ---------------------------------------------------------------------
+
+  /** Bucket-id ARRAY per signature (element b = band b's bucket) — the
+    * columnar layout [[lshBuckets]] posexplodes, kept un-exploded so it
+    * can be persisted compactly per doc.
+    */
+  private def bucketArray(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        md5(concat_ws(",",
+          transform(
+            slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))))
+
+  /** The persistable signature rows for a corpus: (doc_id, keys, sig,
+    * buckets) — everything the incremental path needs, so the corpus
+    * TEXT never has to be re-read. Docs with zero shingles are omitted
+    * (they can never enter an LSH bucket, hence never match).
+    */
+  def signatureRows(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    docShingleKeys(docs, n)
+      .filter(size(col("keys")) > 0)
+      .select(
+        col("doc_id"),
+        col("keys"),
+        graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
+      .withColumn("buckets", bucketArray(col("sig"), bands, numHashes / bands))
+  }
+
+  /** Persist the signature store for a corpus as parquet at `path` —
+    * done ONCE per corpus; every subsequent [[incrementalNearDedupFromStore]]
+    * run reads these rows instead of re-shingling 100 TB of text (the
+    * daily-ingest cost drops from O(corpus) text work to O(corpus)
+    * signature I/O + O(batch) text work). The (n, numHashes, bands)
+    * parameters must match between writer and readers — store layouts
+    * with different parameters are incompatible by construction (bucket
+    * ids hash the band slicing).
+    */
+  def writeSignatureStore(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      path: String): Unit =
+    signatureRows(docs, n, numHashes, bands)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a (surviving) batch's signatures to an existing store — the
+    * tail step of the daily loop: dedup the batch against the store, keep
+    * the survivors, append their signatures so tomorrow's batch dedups
+    * against corpus ∪ today. Same parameter-compatibility contract as
+    * [[writeSignatureStore]].
+    */
+  def appendToSignatureStore(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      path: String): Unit =
+    signatureRows(docs, n, numHashes, bands)
+      .write.mode("append").parquet(path)
+
+  /** [[incrementalNearDedup]] against a PERSISTED corpus signature store:
+    * identical output (same drop policy, same pair set), but the corpus
+    * side is read from `storePath` — (doc_id, keys, sig, buckets) parquet
+    * written by [[writeSignatureStore]] — so the corpus TEXT column is
+    * never touched: only the new batch is shingled. Corpus and batch
+    * doc_ids must be disjoint (same contract as the store itself: ids
+    * are the identity appends key on).
+    *
+    * Scale shape: candidate generation explodes store (doc_id, buckets)
+    * — column-pruned, no keys read — against the batch's buckets
+    * ASYMMETRICALLY (old×old pairs never form); the Jaccard verify then
+    * reads store (doc_id, keys) for just the candidate partners. At
+    * 100 TB the store scan is the only corpus-sized I/O, a fraction of
+    * the text it replaces, and both scans prune to exactly the columns
+    * they need.
+    */
+  def incrementalNearDedupFromStore(
+      newDocs: DataFrame,
+      storePath: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = newDocs.sparkSession
+    val store = spark.read.parquet(storePath)
+    // one shingle pass over the BATCH only (cache: buckets, keys, and the
+    // flags side all read it; OpCaches-tracked)
+    val batch = graft.util.OpCaches.cache(
+      signatureRows(newDocs, n, numHashes, bands))
+    def explodedBuckets(df: DataFrame): DataFrame =
+      df.select(
+        col("doc_id"),
+        posexplode(col("buckets")).as(Seq("band", "bucket")))
+    val newB = explodedBuckets(batch)
+    // asymmetric: (store ∪ batch) × batch within equal (band, bucket)
+    val cand = explodedBuckets(store.select(col("doc_id"), col("buckets")))
+      .unionByName(newB)
+      .as("a")
+      .join(newB.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .filter(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val keys = store.select(col("doc_id"), col("keys"))
+      .unionByName(batch.select(col("doc_id"), col("keys")))
+    val ver = verifyJaccardKeys(keys, cand, threshold)
+    // partner dominates when it is corpus (in the store, not the batch),
+    // or an earlier doc of the batch — resolved via a key-only batch-id
+    // probe, never a corpus-side join
+    val batchIds = batch.select(col("doc_id").as("d1"), lit(true).as("p_new"))
+    val dropped = ver
+      .join(batchIds, Seq("d1"), "left_outer")
+      // corpus partner: p_new is null (no batch row matched) — dominates
+      .filter(col("p_new").isNull || col("d1") < col("d2"))
+      .select(col("d2").as("doc_id"))
+      .distinct()
+    newDocs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // Sub-document (paragraph) exact dedup
+  // ---------------------------------------------------------------------
+
+  /** C4-style sub-document EXACT dedup: split every document into
+    * paragraphs on the literal separator `sep`, keep only the globally
+    * FIRST occurrence (minimum (doc_id, position)) of each distinct
+    * normalized paragraph, and reassemble each document from its
+    * surviving paragraphs in original order. Documents left with no
+    * paragraph are dropped (the C4 policy: an all-boilerplate page
+    * contributes nothing). This is the standard "remove duplicated
+    * lines/spans across the corpus" pass that document-level dedup
+    * cannot express — boilerplate headers, navigation text, and license
+    * blocks repeat across millions of otherwise-distinct pages.
+    *
+    * Scale shape: the dedup decision shuffles only (md5 hash, doc_id,
+    * pos) — 16-byte fingerprints and offsets, never paragraph text; the
+    * survivor offsets aggregate back to one O(#docs) array per doc and
+    * join the original documents once, where the reassembly re-splits
+    * in-row (`element_at(split(..))` — cheap projection, no second
+    * shuffle of text beyond the one join exchange every keep-semi-join
+    * operator here pays).
+    *
+    * Normalization (lowercase, whitespace collapse) applies to the MATCH
+    * key only; the emitted text keeps each surviving paragraph verbatim.
+    * Output: (doc_id, text).
+    */
+  def paragraphDedup(docs: DataFrame, sep: String = "\n"): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), quoted)).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      // project text away BEFORE the shuffle: the groupBy carries hashes
+      .select(
+        col("doc_id"),
+        col("pos"),
+        md5(TextOps.normalize(col("para"))).as("h"))
+    val winners = paras
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
+    val keepPos = winners
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("pos"))).as("keep"))
+    docs
+      .join(keepPos, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        concat_ws(sep,
+          transform(
+            col("keep"),
+            p => element_at(split(col("text"), quoted), p + 1))).as("text"))
+  }
+
   /** Exact Jaccard for a given candidate-pair set (cheap: computes
     * similarity only for candidates, not all pairs).
     * Input pairs: (d1, d2). Output: (d1, d2, jac) with jac >= threshold.
@@ -413,9 +610,19 @@ object Dedup {
     *
     * @param maxRounds safety bound only — log₂²(n) rounds suffice, so 50
     *   covers any realistic graph; exceeded ⇒ exception, never truncation.
+    * @param reliable checkpoint each round to the session's configured
+    *   `sparkContext.setCheckpointDir` (HDFS/object store) instead of
+    *   executor-local blocks. `localCheckpoint` blocks die with their
+    *   executor, so one lost executor mid-iteration fails a multi-hour
+    *   100 TB CC job; reliable checkpoints survive executor loss at the
+    *   price of a distributed-FS write per round. Same groups, same
+    *   round count — asserted in `TextDedupSpec`.
     */
-  def dupGroups(pairs: DataFrame, maxRounds: Int = 50): DataFrame =
-    dupGroupsWithRounds(pairs, maxRounds)._1
+  def dupGroups(
+      pairs: DataFrame,
+      maxRounds: Int = 50,
+      reliable: Boolean = false): DataFrame =
+    dupGroupsWithRounds(pairs, maxRounds, reliable)._1
 
   /** [[dupGroups]] plus the number of large-star/small-star rounds it took
     * to converge — the observable for the O(log²n) contract (a 50-node
@@ -424,23 +631,34 @@ object Dedup {
     */
   def dupGroupsWithRounds(
       pairs: DataFrame,
-      maxRounds: Int = 50): (DataFrame, Int) = {
-    // eager-checkpoint blocks are invisible to the CacheManager, so each
+      maxRounds: Int = 50,
+      reliable: Boolean = false): (DataFrame, Int) = {
+    if (reliable) require(
+      pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable dupGroups requires sparkContext.setCheckpointDir(...) " +
+        "(a fault-tolerant FS path); without it use reliable = false")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+    // eager-checkpoint storage is invisible to the CacheManager, so each
     // SUPERSEDED round is released explicitly the moment the next round
     // materializes — storage stays bounded at ~2 rounds of edges instead
-    // of every round accumulating until the async ContextCleaner runs
+    // of every round accumulating until the async ContextCleaner runs.
+    // (local mode: unpersist the blocks; reliable mode: delete the
+    // round's checkpoint files)
     def releaserOf(df: DataFrame): () => Unit =
-      org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(df)
-        .map(r => () => { r.unpersist(blocking = false); () })
-        .getOrElse(() => ())
+      if (reliable)
+        () => org.apache.spark.sql.graftshim.Bridge.cleanReliableCheckpoint(df)
+      else
+        org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(df)
+          .map(r => () => { r.unpersist(blocking = false); () })
+          .getOrElse(() => ())
     // canonical edges (u > v), no self-loops
-    var e = pairs
+    var e = ckpt(pairs
       .select(
         greatest(col("d1"), col("d2")).as("u"),
         least(col("d1"), col("d2")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     var releaseE = releaserOf(e)
 
     // large-star: every node connects its strictly-larger neighbors to the
@@ -489,7 +707,7 @@ object Dedup {
     var converged = prev._1 == 0L // no edges: nothing to contract
     while (round < maxRounds && !converged) {
       round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = ckpt(smallStar(largeStar(e)))
       val cur = checksum(next)
       converged = cur == prev
       prev = cur

@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
   * `BINARY` columns with typed metadata, batch-oriented decode/feature
   * extraction, and frame sampling.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment): `fakeDecodeFeatures` derives a deterministic 16-bin byte
-  * histogram so the Spark-side plumbing — schema, partitioning,
-  * batched-iterator shape, feature layout — is real and tested, and a real
-  * decoder (JPEG/PNG/PCM) drops in by replacing ONE function.
+  * Image formats (PNG, JPEG, BMP, GIF) decode REAL pixels via the JDK's
+  * `javax.imageio` — no native libraries. Audio/video formats have no JVM
+  * codec in this environment, so they route to a clearly-marked STUB:
+  * `fakeDecodeFeatures` derives a deterministic 16-bin byte histogram with
+  * the same fixed-width contract, and a real decoder (PCM/ffmpeg-backed)
+  * drops in by replacing ONE function.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
   * round-trip); decode runs via `mapPartitions` so a real implementation
@@ -104,11 +105,14 @@ object MultimodalOps {
   }
 
   /** Format-dispatched decode: JVM-decodable image formats get the real
-    * pixel path; everything else the deterministic stub histogram.
+    * pixel path (every standard JDK ships ImageIO readers for PNG, JPEG,
+    * BMP, GIF, and WBMP); everything else the deterministic stub
+    * histogram.
     */
   def decodeFeatures(format: String, payload: Array[Byte]): Array[Float] =
     format match {
-      case "image/png" | "image/bmp" | "image/gif" =>
+      case "image/png" | "image/bmp" | "image/gif" | "image/jpeg" |
+          "image/jpg" =>
         decodeImageFeatures(payload)
       case _ => fakeDecodeFeatures(payload)
     }

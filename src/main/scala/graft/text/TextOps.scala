@@ -299,6 +299,49 @@ object TextOps {
       .select(col("d1"), col("d2"), col("split1"), col("split2"), col("jac"))
   }
 
+  /** [[splitLeakage]] at CORPUS scale: the same cross-split near-dup
+    * audit, but candidate pairs come from the MinHash+LSH banded bucket
+    * join ([[graft.dedup.Dedup.nearDedup]]'s shared shingle pass) instead
+    * of the exact inverted-index self-join — at 100 TB the exact path's
+    * shingle self-join is quadratic in bucket occupancy even with a
+    * stop-shingle cap, while the banded join stays ~linear. Candidates
+    * are filtered to CROSS-SPLIT pairs before the exact-Jaccard verify
+    * (the split is a pure hash of doc_id, so the filter is a per-row
+    * expression on the candidate ids — no join, and same-split pairs
+    * never pay verification).
+    *
+    * Output: (d1, d2, split1, split2, jac) — the [[splitLeakage]] shape;
+    * recall is the LSH capture probability 1-(1-J^r)^b per pair instead
+    * of the exact path's 1.0 (the standard audit-at-scale trade).
+    */
+  def splitLeakageLsh(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    import graft.dedup.Dedup
+    // ONE shingle-key pass shared by signatures and the Jaccard verify
+    val keys = graft.util.OpCaches.cache(Dedup.docShingleKeys(docs, n))
+    val sigs = keys
+      .filter(size(col("keys")) > 0)
+      .select(
+        col("doc_id"),
+        graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
+    val b = graft.util.OpCaches.cache(
+      Dedup.lshBuckets(sigs, bands, numHashes / bands))
+    val crossSplit = Dedup.bucketCandidates(b)
+      .filter(assignSplit(col("d1")) =!= assignSplit(col("d2")))
+    Dedup.verifyJaccardKeys(keys, crossSplit, threshold)
+      .select(
+        col("d1"),
+        col("d2"),
+        assignSplit(col("d1")).as("split1"),
+        assignSplit(col("d2")).as("split2"),
+        col("jac"))
+  }
+
   /** Deterministic uniform draw in [0, 1): the first 8 md5 hex digits of
     * `salt:id`, divided by 2³². Pure function of the id — stable across
     * runs, partitionings, and engines (DuckDB computes the identical
@@ -340,12 +383,15 @@ object TextOps {
     * [[hashUniform]] thresholding instead of `rand()` so membership is
     * reproducible.
     *
-    * Scale shape: per-source counts are one aggregation; the rate table
-    * is O(#sources) and broadcast; the keep pass is a single corpus scan
-    * with a per-row threshold — no sort, no corpus shuffle (an
-    * exact-count variant would need a per-source rank, i.e. a full sort;
-    * hash thresholding is the unbounded-corpus answer, within
-    * ±O(√n) of target counts).
+    * Scale shape: per-source counts are ONE corpus aggregation whose
+    * O(#sources) result is collected to the driver (the rate arithmetic
+    * is a handful of scalars — leaving it as an uncached DataFrame
+    * consumed twice re-ran the corpus count scan per consumer); the rate
+    * table re-enters the plan as a broadcast literal, and the keep pass
+    * is a single corpus scan with a per-row threshold — two corpus scans
+    * total, no sort, no corpus shuffle. Hash thresholding is within
+    * ±O(√n) of target counts; [[sourceMixExact]] trades one extra
+    * exchange for exactness.
     *
     * Sources missing from `shares` are dropped; a LISTED source absent
     * from the corpus simply doesn't constrain M (rates are computed over
@@ -354,22 +400,71 @@ object TextOps {
     * columns).
     */
   def sourceMix(docs: DataFrame, shares: Map[String, Double]): DataFrame = {
-    require(shares.nonEmpty && shares.values.forall(_ > 0),
-      "shares must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val sharesDf = shares.toSeq.toDF("source", "share")
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .join(sharesDf, Seq("source"))
-    val m = counts.agg(min(col("n") / col("share")).as("m"))
-    val rates = counts.crossJoin(broadcast(m))
-      .select(
-        col("source"),
-        least(lit(1.0), col("share") * col("m") / col("n")).as("rate"))
+    val rates = sourceCounts(docs, shares) match {
+      case counts if counts.isEmpty => Seq.empty[(String, Double)]
+      case counts =>
+        val m = counts.map { case (s, cnt) => cnt / shares(s) }.min
+        counts.map { case (s, cnt) =>
+          s -> math.min(1.0, shares(s) * m / cnt)
+        }
+    }
     docs
-      .join(broadcast(rates), Seq("source"))
+      .join(broadcast(rates.toDF("source", "rate")), Seq("source"))
       .filter(hashUniform(col("doc_id"), "mix") < col("rate"))
       .drop("rate")
+  }
+
+  /** EXACT-count source mixing: like [[sourceMix]] but every source
+    * keeps exactly ⌊share_s · M⌋ documents (M = min_s(n_s / share_s)),
+    * selected as the per-source ⌊share·M⌋ lowest [[hashUniform]] draws
+    * (doc_id tiebreak) — still a pure function of the ids, so membership
+    * is reproducible across runs, partitionings, and engines. Some
+    * reweighting recipes need counts exact rather than ±O(√n).
+    *
+    * Cost of exactness: one extra exchange — a per-source `row_number`
+    * window, i.e. a hash partition by source plus a per-source sort. A
+    * source holding most of a 100 TB corpus serializes its sort through
+    * one partition, so at extreme scale prefer [[sourceMix]] unless
+    * exact counts are a hard requirement. Output: the kept docs (all
+    * input columns).
+    */
+  def sourceMixExact(docs: DataFrame, shares: Map[String, Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = sourceCounts(docs, shares) match {
+      case counts if counts.isEmpty => Seq.empty[(String, Long)]
+      case counts =>
+        val m = counts.map { case (s, cnt) => cnt / shares(s) }.min
+        counts.map { case (s, _) => s -> math.floor(shares(s) * m).toLong }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(hashUniform(col("doc_id"), "mix"), col("doc_id"))
+    docs
+      .join(broadcast(targets.toDF("source", "tgt")), Seq("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("tgt"))
+      .drop("rn", "tgt")
+  }
+
+  /** Per-source corpus counts for the sources listed in `shares` — one
+    * aggregation, O(#sources) rows collected (the shared first step of
+    * [[sourceMix]] / [[sourceMixExact]]).
+    */
+  private def sourceCounts(
+      docs: DataFrame,
+      shares: Map[String, Double]): Seq[(String, Long)] = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive")
+    docs
+      .filter(col("source").isInCollection(shares.keys.toSeq))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toSeq
   }
 
   /** Sequence packing: assign documents to fixed-token-budget training
@@ -400,6 +495,35 @@ object TextOps {
       .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
   }
+
+  /** Shard count for [[packSequences]] sized from the corpus itself:
+    * ceil(total corpus tokens / targetTokensPerShard). Each shard's
+    * running sum is a single-task sort, so a FIXED shard count is the
+    * same trap occupancy-sized LSH exists to avoid — at 100× the corpus
+    * each shard's sort is 100× bigger. Deriving shards from one token
+    * aggregate holds per-shard token mass at ~targetTokensPerShard
+    * regardless of corpus size. One corpus scan (sum of token counts,
+    * single-row collect), mirroring `Similarity.sizedBitsPerBand`.
+    */
+  def sizedShards(docs: DataFrame, targetTokensPerShard: Long): Int = {
+    require(targetTokensPerShard > 0, "targetTokensPerShard must be positive")
+    val total = docs
+      .agg(coalesce(sum(tokenCount(col("text")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    // integer ceil — reproducible verbatim in the oracle SQL
+    math.max(1L, (total + targetTokensPerShard - 1) / targetTokensPerShard).toInt
+  }
+
+  /** [[packSequences]] with the shard count derived by [[sizedShards]] —
+    * the deployed form: per-shard token mass (and thus the single-task
+    * sort each shard pays) stays ~targetTokensPerShard as the corpus
+    * grows, instead of growing linearly with it.
+    */
+  def packSequencesSized(
+      docs: DataFrame,
+      budget: Long,
+      targetTokensPerShard: Long): DataFrame =
+    packSequences(docs, budget, sizedShards(docs, targetTokensPerShard))
 
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).

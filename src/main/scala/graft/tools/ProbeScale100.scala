@@ -44,7 +44,11 @@ object ProbeScale100 {
       run(q, base, 32) // warm
       val b = math.min(run(q, base, 32), run(q, base, 32))
       // 100x data: scale partitions like a cluster would (bounded by a
-      // sane local cap; 256 keeps per-partition state ~10x the base)
+      // sane local cap; 256 keeps per-partition state ~10x the base).
+      // Warm the scaled side too — without it the first timed run pays
+      // cold parquet footer/page-cache reads of the freshly generated
+      // corpus and the min-of-2 can still be partially cold
+      run(q, out, 256) // warm
       val s = math.min(run(q, out, 256), run(q, out, 256))
       println(f"PROBE100 $q%-22s base=$b%7.2f s  x$replicas=$s%8.2f s  ratio=${s / b}%6.1f")
     }

@@ -28,4 +28,20 @@ object Bridge {
       case lr: LogicalRDD => Some(lr.rdd)
       case _ => None
     }
+
+  /** Delete the on-disk files behind a RELIABLY-checkpointed Dataset
+    * (`df.checkpoint(eager = true)`). Spark only deletes checkpoint files
+    * on context shutdown (or lazily via the async ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set), so an
+    * iterative operator that supersedes a round each iteration must
+    * delete eagerly to keep checkpoint storage bounded at ~2 rounds. The
+    * frame is unrecomputable afterwards — only release frames that are
+    * never used again. No-op for non-checkpoint plans or already-deleted
+    * files.
+    */
+  def cleanReliableCheckpoint(df: Dataset[_]): Unit =
+    checkpointedRdd(df).foreach { r =>
+      org.apache.spark.rdd.ReliableRDDCheckpointData
+        .cleanCheckpoint(r.sparkContext, r.id)
+    }
 }

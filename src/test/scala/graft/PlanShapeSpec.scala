@@ -192,6 +192,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus-side shuffle join present:\n${plan.take(1200)}")
   }
 
+  test("incrementalNearDedupFromStore never reads the corpus text " +
+      "(store scans prune to signature columns)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.dedup.Dedup
+    val docs = Graft.table(spark, sf, "documents")
+    val store = "target/test_sigstore"
+    Dedup.writeSignatureStore(docs.filter(col("source") =!= "src0"),
+      n = 3, numHashes = 12, bands = 4, path = store)
+    val df = Dedup.incrementalNearDedupFromStore(
+      docs.filter(col("source") === "src0"), store,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    // pre-AQE physical plan: AdaptiveSparkPlanExec hides its tree from
+    // collect() until execution; scan pruning is decided before AQE
+    val scans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    graft.util.OpCaches.releaseAll(spark)
+    val (storeScans, docScans) = scans.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("test_sigstore")))
+    assert(storeScans.nonEmpty, "corpus side must come from the store")
+    // the whole point of the store: the corpus side carries NO text column
+    assert(storeScans.forall(!_.schema.fieldNames.contains("text")),
+      s"store scan reads text: ${storeScans.map(_.schema.fieldNames.toSeq)}")
+    assert(storeScans.forall(
+      _.schema.fieldNames.toSet.subsetOf(Set("doc_id", "keys", "sig", "buckets"))))
+    // every documents scan is the batch side (filter pushed), so the only
+    // text read on the incremental run is O(batch)
+    assert(docScans.nonEmpty)
+    assert(docScans.forall(s => s.toString.contains("EqualTo(source,src0)") &&
+      !s.toString.contains("Not(EqualTo(source,src0))")),
+      "a documents scan without the batch filter would re-read the corpus")
+  }
+
+  test("splitLeakageLsh plan has no shingle self-join (banded buckets only)") {
+    val docs = Graft.table(spark, sf, "documents")
+    val plan = executed(graft.text.TextOps.splitLeakageLsh(docs,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5)).toString
+    graft.util.OpCaches.releaseAll(spark)
+    // the exact audit joins the exploded shingle index on `shash`; the
+    // corpus-scale variant must never build that join — candidates come
+    // from (band, bucket) equality
+    assert(!plan.contains("shash"), s"shingle self-join present:\n${plan.take(1200)}")
+    assert(plan.contains("band"), s"no banded join in:\n${plan.take(800)}")
+  }
+
   test("containmentPairs probes the corpus via a broadcast of the bench index") {
     val docs = Graft.table(spark, sf, "documents")
     val df = graft.dedup.Dedup.containmentPairs(
@@ -207,5 +251,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no broadcast probe join in:\n${plan.take(1200)}")
     assert(!plan.contains("SortMergeJoin"),
       s"corpus-side shuffle join present:\n${plan.take(1200)}")
+  }
+
+  test("containmentPairs degrades to a shuffle probe join past the " +
+      "broadcast bound, with identical results") {
+    import graft.dedup.Dedup
+    val docs = Graft.table(spark, sf, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("bench_id"), round(col("containment"), 9))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val broadcasted = rows(Dedup.containmentPairs(corpus, bench, n = 3, tau = 0.5))
+    graft.util.OpCaches.releaseAll(spark)
+    // past the bound the operator must not FORCE a broadcast: with the
+    // planner's own auto-broadcast off (a multi-GB index would be over
+    // its threshold too), the probe join falls back to sort-merge — a
+    // lingering broadcast() hint would force BHJ regardless of threshold
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fallbackDf = Dedup.containmentPairs(corpus, bench, n = 3, tau = 0.5,
+        maxBroadcastEntries = 0L)
+      assert(fallbackDf.queryExecution.sparkPlan.toString.contains("SortMergeJoin"),
+        "broadcast bound ignored: no shuffle-join fallback in the static plan")
+      val fallback = rows(fallbackDf)
+      graft.util.OpCaches.releaseAll(spark)
+      assert(fallback === broadcasted)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
   }
 }

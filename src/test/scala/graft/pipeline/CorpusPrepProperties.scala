@@ -73,6 +73,27 @@ object CorpusPrepProperties extends Properties("corpusprep") {
       }
     }
 
+  property("packSequencesSized: shards = ceil(total/target), mean shard " +
+      "mass <= target, and output equals packSequences at that count") =
+    forAll(corpusGen, Gen.chooseNum(20L, 200L)) { (rows, target) =>
+      val d = df(rows)
+      val shards = TextOps.sizedShards(d, target)
+      val total = rows.map(_._2.trim.split("\\s+").length.toLong).sum
+      val expectShards = math.max(1L, (total + target - 1) / target)
+      def packed(p: org.apache.spark.sql.DataFrame) =
+        p.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val sized = packed(TextOps.packSequencesSized(d, 16L, target))
+      val plain = packed(TextOps.packSequences(d, 16L, shards))
+      Prop(shards.toLong == expectShards) :| "shard count is the integer ceil" &&
+        Prop(sized == plain) :| "sized output == fixed-count output" &&
+        // the sizing invariant the operator exists for: average per-shard
+        // token mass cannot exceed the target (hash imbalance moves mass
+        // between shards but the COUNT is derived to bound the mean)
+        Prop(total <= shards.toLong * target) :| "mean shard mass bounded"
+    }
+
   property("qualitySample output is the u<q subset and is id-stable " +
       "under corpus reordering") =
     forAll(corpusGen) { rows =>

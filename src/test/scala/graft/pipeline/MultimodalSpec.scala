@@ -58,6 +58,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0) === 0.5f && got(15) === 0.5f)
   }
 
+  test("decodeFeatures: JPEG decodes real pixels, not the byte-histogram stub") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos),
+      "JDK ImageIO JPEG writer missing")
+    val jpg = baos.toByteArray
+    val f = MultimodalOps.decodeFeatures("image/jpeg", jpg)
+    // uniform gray (lum 128) survives lossy JPEG as (near-)uniform gray:
+    // real-pixel luminance concentrates in bin 8 — the stub's histogram of
+    // compressed JFIF bytes cannot produce this
+    assert(math.abs(f.sum - 1.0f) < 1e-3)
+    assert(f(8) > 0.9f, s"expected real-pixel luminance in bin 8: ${f.toSeq}")
+    assert(f.toSeq !== MultimodalOps.fakeDecodeFeatures(jpg).toSeq)
+    // end-to-end dispatch through extractFeatures
+    val df = Seq((1L, jpg, "image/jpeg", jpg.length.toLong))
+      .toDF("media_id", "media", "format", "n_bytes")
+    val got = MultimodalOps.extractFeatures(df)
+      .select($"features").as[Array[Float]].head()
+    assert(got(8) > 0.9f)
+  }
+
   test("decodeFeatures: non-image formats keep the stub histogram") {
     val payload = "aaaa".getBytes("UTF-8")
     assert(

@@ -191,6 +191,134 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(11L, 13L))
   }
 
+  test("paragraphDedup: first global occurrence survives; all-dup docs drop") {
+    val d = docs(
+      (1L, "intro one\nshared boilerplate\nbody one"),
+      (2L, "shared boilerplate\nbody two"),
+      (3L, "Shared   BOILERPLATE"), // normalized dup of (1, pos 1) only
+      (4L, "body two\nbody two"))   // cross-doc dup of (2, pos 1), twice
+    val got = Dedup.paragraphDedup(d).as[(Long, String)].collect().toMap
+    // (1,1) is the global first "shared boilerplate"; (2,1) the first "body two"
+    assert(got(1L) === "intro one\nshared boilerplate\nbody one")
+    assert(got(2L) === "body two")
+    assert(!got.contains(3L)) // every paragraph was seen earlier -> dropped
+    assert(!got.contains(4L))
+  }
+
+  test("paragraphDedup: match key is normalized, emitted text verbatim; " +
+      "empty paragraphs never count as duplicates") {
+    val d = docs(
+      (1L, "Keep  ME\n\nalso this"),  // empty middle paragraph
+      (2L, "keep me\nunique tail"))   // normalized dup of (1, pos 0)
+    val got = Dedup.paragraphDedup(d).as[(Long, String)].collect().toMap
+    assert(got(1L) === "Keep  ME\nalso this") // verbatim survivor, empty gone
+    assert(got(2L) === "unique tail")
+  }
+
+  test("signature store: fromStore matches incrementalNearDedup; " +
+      "appending survivors extends the corpus") {
+    val corpus = docs(
+      (1L, "a b c d e"),
+      (2L, "v w x y z"))
+    val batch = docs(
+      (10L, "a b c d e"),  // dup of stored corpus doc 1 -> dropped
+      (11L, "p q r s t"),  // batch-internal dup pair: min id kept
+      (12L, "p q r s t"),  //   -> dropped
+      (13L, "fresh unique content nothing else"))
+    val store = java.nio.file.Files.createTempDirectory("sigstore").toString
+    Dedup.writeSignatureStore(corpus, n = 3, numHashes = 12, bands = 4, store)
+    val kept = Dedup.incrementalNearDedupFromStore(batch, store,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    graft.util.OpCaches.releaseAll(spark)
+    assert(kept.toSeq === Seq(11L, 13L)) // same survivors as the text path
+    // the daily tail step: append today's survivors, dedup tomorrow's batch
+    Dedup.appendToSignatureStore(batch.filter($"doc_id".isin(11L, 13L)),
+      n = 3, numHashes = 12, bands = 4, store)
+    val batch2 = docs(
+      (20L, "fresh unique content nothing else"), // dup of APPENDED doc 13
+      (21L, "now for something new entirely today"))
+    val kept2 = Dedup.incrementalNearDedupFromStore(batch2, store,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      .select($"doc_id").as[Long].collect().sorted
+    graft.util.OpCaches.releaseAll(spark)
+    assert(kept2.toSeq === Seq(21L))
+  }
+
+  test("dupGroups reliable mode: same groups and rounds; checkpoint files " +
+      "are released eagerly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (gl, roundsLocal) = Dedup.dupGroupsWithRounds(chain)
+    val local = gl.as[(Long, Long)].collect().toMap
+    graft.util.OpCaches.releaseAll(spark)
+    val (gr, roundsReliable) = Dedup.dupGroupsWithRounds(chain, reliable = true)
+    val reliable = gr.as[(Long, Long)].collect().toMap
+    graft.util.OpCaches.releaseAll(spark)
+    assert(reliable === local)
+    assert(roundsReliable === roundsLocal)
+    // superseded rounds were deleted during the run, the final round by
+    // releaseAll: nothing rdd-* may survive in the checkpoint dir
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(_.getFileName.toString.startsWith("rdd-")).toList
+    assert(leftovers.isEmpty, s"checkpoint dirs not cleaned: $leftovers")
+  }
+
+  test("splitLeakageLsh: LSH candidates find the planted cross-split pair; " +
+      "same-split near-dups never surface") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      (0L, t),
+      (16L, t),                              // dup of 0, val vs train
+      (1L, "one two three four five six"),
+      (3L, "one two three four five six"),   // dup of 1, both train
+      (19L, "lone wolf text nothing else here"))
+    val got = TextOps.splitLeakageLsh(d, n = 3, numHashes = 12, bands = 4,
+        threshold = 0.5)
+      .select($"d1", $"d2", $"split1", $"split2", $"jac")
+      .as[(Long, Long, String, String, Double)].collect()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got.toSeq === Seq((0L, 16L, "train", "val", 1.0)))
+  }
+
+  test("splitLeakageLsh on the fixture is a subset of the exact audit " +
+      "(LSH recall trades against the self-join)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = TextOps.splitLeakageLsh(d, n = 3, numHashes = 12, bands = 4,
+        threshold = 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    val exact = TextOps.splitLeakage(d, n = 3, threshold = 0.5)
+      .select($"d1", $"d2").as[(Long, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    assert(lsh.subsetOf(exact), s"LSH reported non-pairs: ${lsh -- exact}")
+    assert(lsh.nonEmpty, "fixture plants cross-split near-dups; LSH found none")
+  }
+
+  test("sourceMixExact: per-source counts are exactly floor(share*M)") {
+    val rows =
+      (1L to 10L).map(i => (i, "t " * 5, "a")) ++
+        (11L to 50L).map(i => (i, "t " * 5, "b")) ++
+        (51L to 60L).map(i => (i, "t " * 5, "c"))
+    val d = rows.toDF("doc_id", "text", "source")
+    // M = min(10/0.5, 40/0.5) = 20 -> targets a = b = floor(0.5*20) = 10
+    val kept = TextOps.sourceMixExact(d, Map("a" -> 0.5, "b" -> 0.5))
+      .select($"doc_id", $"source").as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.map(_._1).sorted.toSeq).toMap
+    assert(bySrc("a").length === 10)
+    assert(bySrc("b").length === 10)          // EXACT, not ±O(√n)
+    assert(!bySrc.contains("c"))
+    // membership = the 10 lowest hash-uniform draws of b (id tiebreak)
+    val expectB = d.filter($"source" === "b")
+      .select($"doc_id", TextOps.hashUniform($"doc_id", "mix").as("u"))
+      .as[(Long, Double)].collect().sortBy(r => (r._2, r._1)).take(10)
+      .map(_._1).sorted.toSeq
+    assert(bySrc("b") === expectB)
+  }
+
   test("hashUniform: in [0,1), id-deterministic, salt-independent") {
     val d = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "text")
     val us = d.select(
