@@ -115,6 +115,47 @@ object SparkEntry {
     s"$base,\n$rounds"
   }
 
+  /** IVF top-k as SQL (5-round Lloyd quantizer at k=8, nprobe=2, k=5) —
+    * shared verbatim by `sm_ann_ivf_topk` (inline quantizer) and
+    * `sm_ann_ivf_store` (persisted index): the store path answers
+    * identically by construction.
+    */
+  private lazy val ivfTopkSql: String =
+    s"""WITH ${nLloydCtes(5, 8)},
+       |cells AS (
+       |  SELECT e.pid AS cid_id, e.v AS cv, a.cid AS cell FROM emb e, LATERAL (
+       |    SELECT c.cid,
+       |           list_sum(list_transform(range(1, len(e.v) + 1),
+       |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       |    FROM nc5 c ORDER BY d2, c.cid LIMIT 1
+       |  ) a
+       |),
+       |q AS (
+       |  SELECT e.pid AS qid, e.v AS qv, p.cell
+       |  FROM emb e, LATERAL (
+       |    SELECT c.cid AS cell,
+       |           list_sum(list_transform(range(1, len(e.v) + 1),
+       |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+       |    FROM nc5 c ORDER BY d2, c.cid LIMIT 2
+       |  ) p
+       |  WHERE e.pid < 10
+       |),
+       |ivfscored AS (
+       |  SELECT q.qid, c.cid_id AS cid,
+       |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.cv[i]))
+       |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
+       |     * sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i])))) AS sim
+       |  FROM q JOIN cells c USING (cell)
+       |  WHERE c.cid_id != q.qid
+       |),
+       |ivfranked AS (
+       |  SELECT qid, cid, sim,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+       |  FROM ivfscored
+       |)
+       |SELECT qid, cid, ROUND(sim, 6) AS sim, rank
+       |FROM ivfranked WHERE rank <= 5""".stripMargin
+
   /** Fixed-iteration 2-D Lloyd under the f32 wire funnel as a generated
     * CTE chain — the SQL mirror of [[graft.kmeans.Lloyd.iterateF32]]:
     * coordinates rounded through REAL once at parse, and every updated
@@ -536,6 +577,23 @@ object SparkEntry {
         budget = 512L, targetTokensPerShard = 4096L)
     },
 
+    // Deterministic global training-order shuffle into 8 shards: id-pure
+    // hash draw fixes each doc's (shard, position) — the same order every
+    // run, every engine, every partitioning; one hash exchange + per-shard
+    // sort, no global sort
+    "tx_shuffle_shards" -> { (s, dir) =>
+      TextOps.shuffleShards(Graft.table(s, dir, "documents"), shards = 8)
+    },
+
+    // BM25 top-k keyword search straight off the documents table (the
+    // retrieval half of a RAG stack): one corpus scan builds the pruned
+    // postings, df re-enters as an O(#terms) broadcast, top-k is
+    // TakeOrdered — never a global sort
+    "tx_bm25_topk" -> { (s, dir) =>
+      TextOps.bm25TopK(Graft.table(s, dir, "documents"),
+        Seq("customer", "vector", "stream"), k = 10)
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -745,6 +803,37 @@ object SparkEntry {
       Similarity.ivfTopK(queries, all, k = 5, nlist = 8, nprobe = 2)
         .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rank"))
+    },
+
+    // The PRODUCTION shape of IVF search: writeIvfIndex persists the
+    // quantizer + norm-precomputed cell assignments once; queries run
+    // FROM the store, so the corpus embeddings are never re-read,
+    // re-clustered, or re-normed at query time (plan-locked in
+    // PlanShapeSpec). Same results as sm_ann_ivf_topk — build once,
+    // search many.
+    "sm_ann_ivf_store" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val store = "target/graft_stores/ivf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.writeIvfIndex(all, nlist = 8, path = store)
+      val queries = all.filter(col("id") < 10)
+      Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
+    // SemDeDup (Abbas et al. 2023): embeddings coarse-clustered by the
+    // engine's own k-means (8 cells, fixed 5 iterations — the quantizer
+    // unrolls into the SQL oracle), cosine near-dups >= 0.45 pruned
+    // WITHIN cells only, keep-min-id. The web-scale semantic-dedup
+    // layout: pairwise work confined to cells (Σ|cell|², one shuffle on
+    // the cell id), never all-pairs.
+    "sm_semdedup" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.semDedup(vecs, nlist = 8, threshold = 0.45)
+        .select(col("id"), col("cell"))
     },
 
     // MLlib MinHashLSH production path. The hash seeds are MLlib-internal,
@@ -1431,6 +1520,56 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
         |FROM c""".stripMargin,
+
+    // u = first 8 md5 hex digits of 'shuf:<id>' over 2^32 (the
+    // hashUniform mirror); shard = floor(u*8), pos = rank within shard
+    // under (u, doc_id) order
+    "tx_shuffle_shards" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(floor(u * 8) AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY CAST(floor(u * 8) AS INT)
+        |                          ORDER BY u, doc_id) AS INT) AS pos
+        |FROM u""".stripMargin,
+
+    // BM25 (k1=1.2, b=0.75, +1-smoothed ln idf) over whitespace tokens;
+    // avgdl from exact integer sums; per-doc term weights folded in
+    // lexical term order (list_sum over an ORDER BY term list — the same
+    // left fold the Spark side runs), score floor-truncated at 6 decimals
+    "tx_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['customer','vector','stream'], x)) AS qt
+        |  FROM documents
+        |),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(qt) AS term FROM base)
+        |  GROUP BY doc_id, dl, term
+        |),
+        |dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |),
+        |w AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * t.tf * (1.2 + 1.0)
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / (s.s * 1.0 / s.n))) AS w
+        |  FROM tf t JOIN dfreq d USING (term), stats s
+        |),
+        |scored AS (
+        |  SELECT doc_id, list_sum(list(w ORDER BY term)) AS raw
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT doc_id, floor(raw * 1000000.0) / 1000000.0 AS score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "dd_minhash_pairs" ->
       """WITH tk AS (
@@ -2163,41 +2302,35 @@ object SparkEntry {
     // their nearest cell, each query probes its 2 nearest cells, and the
     // per-query rank runs over the probed cells only — the exact mirror
     // of Similarity.ivfTopK
-    "sm_ann_ivf_topk" ->
+    "sm_ann_ivf_topk" -> ivfTopkSql,
+
+    // the persisted-index path answers IDENTICALLY to the inline one (the
+    // store holds the same quantizer + assignments), so it shares the
+    // oracle verbatim
+    "sm_ann_ivf_store" -> ivfTopkSql,
+
+    // same Lloyd-cell assignment as the IVF oracle; near-dup pairs form
+    // only within equal cells, the higher id of each pair at sim >= 0.45
+    // drops — the SQL mirror of Similarity.semDedup
+    "sm_semdedup" ->
       s"""WITH ${nLloydCtes(5, 8)},
          |cells AS (
-         |  SELECT e.pid AS cid_id, e.v AS cv, a.cid AS cell FROM emb e, LATERAL (
+         |  SELECT e.pid AS id, e.v, a.cid AS cell FROM emb e, LATERAL (
          |    SELECT c.cid,
          |           list_sum(list_transform(range(1, len(e.v) + 1),
          |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
          |    FROM nc5 c ORDER BY d2, c.cid LIMIT 1
          |  ) a
          |),
-         |q AS (
-         |  SELECT e.pid AS qid, e.v AS qv, p.cell
-         |  FROM emb e, LATERAL (
-         |    SELECT c.cid AS cell,
-         |           list_sum(list_transform(range(1, len(e.v) + 1),
-         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
-         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 2
-         |  ) p
-         |  WHERE e.pid < 10
-         |),
-         |ivfscored AS (
-         |  SELECT q.qid, c.cid_id AS cid,
-         |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.cv[i]))
-         |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
-         |     * sqrt(list_sum(list_transform(range(1, len(c.cv)+1), i -> c.cv[i]*c.cv[i])))) AS sim
-         |  FROM q JOIN cells c USING (cell)
-         |  WHERE c.cid_id != q.qid
-         |),
-         |ivfranked AS (
-         |  SELECT qid, cid, sim,
-         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
-         |  FROM ivfscored
+         |dropped AS (
+         |  SELECT DISTINCT b.id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+         |        / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+         |         * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]))))
+         |        >= 0.45
          |)
-         |SELECT qid, cid, ROUND(sim, 6) AS sim, rank
-         |FROM ivfranked WHERE rank <= 5""".stripMargin,
+         |SELECT id, cell FROM cells WHERE id NOT IN (SELECT id FROM dropped)""".stripMargin,
 
     // same plane formula as sm_cosine_lsh_neardup, 8 planes; the bucket is
     // the FULL 8-bit signature (lshTopK searches only the query's bucket)

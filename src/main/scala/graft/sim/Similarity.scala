@@ -188,6 +188,23 @@ object Similarity {
     val cells = OpsN.assignN(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
+    ivfProbeScore(queries, cells, model, k, nprobe)
+  }
+
+  /** The probe+score half of IVF search, shared by [[ivfTopK]] (inline
+    * quantizer) and [[ivfTopKFromStore]] (persisted index): each query
+    * explodes into its `nprobe` nearest cells (centroids ride as plan
+    * literals — O(nlist·d) doubles), the exploded query side broadcasts,
+    * and scoring touches only the probed cells' rows. `cells` must carry
+    * (cid_id, cv, cn, cell) with the norm PREcomputed — from the store
+    * that means the norm is read, not recomputed.
+    */
+  private def ivfProbeScore(
+      queries: DataFrame,
+      cells: DataFrame,
+      model: Seq[graft.kmeans.CentroidN],
+      k: Int,
+      nprobe: Int): DataFrame = {
     // query side: nprobe nearest cells per query, exploded
     val probeCells = (q: Column) =>
       slice(
@@ -214,6 +231,131 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid_id").as("cid"), col("sim"), col("rank"))
+  }
+
+  /** Persist an IVF index for [[ivfTopKFromStore]]: `path/centroids` holds
+    * the quantizer (cell, cv — O(nlist) rows) and `path/cells` the
+    * assigned corpus (cid_id, cv, cn, cell) with norms precomputed, so
+    * query time never re-clusters, re-assigns, or re-norms — and never
+    * reads the original embeddings table (plan-locked in PlanShapeSpec).
+    * The same split a FAISS-style serving layout uses: build once, search
+    * many. Parquet both sides; `cells` is what a real deployment would
+    * additionally partition by `cell` on disk — at 100 TB pass
+    * `partitionCells = true` so each probe prunes to its cell's files
+    * instead of scanning the full index.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame,
+      nlist: Int,
+      path: String,
+      maxIter: Int = 5,
+      partitionCells: Boolean = false): Unit = {
+    import graft.kmeans.{LloydN, OpsN}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
+    val model = LloydN.iterateN(pts, nlist, maxIter)
+    model.map(c => (c.cid, c.features.toSeq)).toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val cells = OpsN.assignN(pts, model)
+      .select(col("pid").as("cid_id"), col("features").as("cv"),
+        norm(col("features")).as("cn"), col("cid").as("cell"))
+    val out = cells.write.mode("overwrite")
+    (if (partitionCells) out.partitionBy("cell") else out)
+      .parquet(s"$path/cells")
+  }
+
+  /** [[ivfTopK]] against a PERSISTED index written by [[writeIvfIndex]]:
+    * identical output (same quantizer, same probe policy — asserted in
+    * SimilaritySpec), but the corpus embeddings are never touched. The
+    * centroids load is O(nlist) driver rows (they re-enter the plan as
+    * literals, exactly as the inline path inlines its freshly fit model);
+    * the cells scan reads only (cid_id, cv, cn, cell) from the store.
+    */
+  def ivfTopKFromStore(
+      queries: DataFrame,
+      path: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val model = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => graft.kmeans.CentroidN(
+        r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+      .sortBy(_.cid)
+      .toSeq
+    require(model.nonEmpty, s"empty IVF centroid store at $path/centroids")
+    require(nprobe >= 1 && nprobe <= model.size,
+      s"need 1 <= nprobe <= ${model.size} (stored nlist)")
+    ivfProbeScore(queries, spark.read.parquet(s"$path/cells"), model, k, nprobe)
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by
+    * coarse-clustering the embedding space with the engine's own k-means
+    * ([[graft.kmeans.LloydN]], fixed iterations — deterministic and
+    * SQL-oracle-unrollable), then comparing cosine similarity only WITHIN
+    * each cluster and dropping the higher id of every pair at or above
+    * `threshold` (keep-min-id, this library's uniform drop policy; the
+    * paper's choice of representative is a pluggable detail, the layout is
+    * the contribution). This is how semantic near-dedup runs at web scale:
+    * the quadratic pairwise step collapses from n² to Σ|cell|², the
+    * within-cell join is one shuffle on the cell id, and no all-pairs path
+    * exists at any corpus size.
+    *
+    * `nlist` must grow with the corpus for per-cell occupancy to stay
+    * bounded — the same fixed-parameter trap [[sizedBitsPerBand]] names;
+    * [[semDedupSized]] derives it from a corpus count.
+    * Input: (id, vec). Output: surviving (id, cell).
+    */
+  def semDedup(
+      vectors: DataFrame,
+      nlist: Int,
+      threshold: Double,
+      maxIter: Int = 5): DataFrame = {
+    import graft.kmeans.{LloydN, OpsN}
+    val pts = vectors.select(col("id").as("pid"), col("vec").as("features"))
+    val model = LloydN.iterateN(pts, nlist, maxIter)
+    // cache: both sides of the within-cell self-join and the surviving
+    // anti-join read the assignment (else it computes three times);
+    // OpCaches-tracked for post-materialize release
+    val cells = graft.util.OpCaches.cache(
+      OpsN.assignN(pts, model).select(
+        col("pid").as("id"), col("features").as("v"),
+        norm(col("features")).as("nn"), col("cid").as("cell")))
+    val dropped = cells
+      .select(col("cell"), col("id").as("d1"), col("v").as("v1"),
+        col("nn").as("n1"))
+      .join(
+        cells.select(col("cell"), col("id").as("d2"), col("v").as("v2"),
+          col("nn").as("n2")),
+        Seq("cell"))
+      .filter(col("d1") < col("d2"))
+      .filter(
+        when(col("n1") * col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+          >= threshold)
+      .select(col("d2").as("id"))
+      .distinct()
+    cells.select(col("id"), col("cell")).join(dropped, Seq("id"), "left_anti")
+  }
+
+  /** [[semDedup]] with `nlist` derived from the corpus size at a target
+    * per-cell occupancy (⌈n / targetCellSize⌉): within-cell pairwise work
+    * stays ~n·targetCellSize — linear in the corpus — instead of n²/nlist
+    * with a fixed cell count. One O(n) count decides nlist before the
+    * quantizer runs; integer-exact, so an external oracle derives the same
+    * nlist from the same row count.
+    */
+  def semDedupSized(
+      vectors: DataFrame,
+      threshold: Double,
+      targetCellSize: Long = 4096L,
+      maxIter: Int = 5): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize=$targetCellSize")
+    val n = vectors.count()
+    val nlist = math.max((n + targetCellSize - 1) / targetCellSize, 1L).toInt
+    semDedup(vectors, nlist, threshold, maxIter)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with

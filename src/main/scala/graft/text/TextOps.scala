@@ -525,6 +525,117 @@ object TextOps {
       targetTokensPerShard: Long): DataFrame =
     packSequences(docs, budget, sizedShards(docs, targetTokensPerShard))
 
+  /** Deterministic global training-order shuffle into shards: every
+    * document draws a [[hashUniform]] position, lands in shard
+    * ⌊u·shards⌋, and takes its rank within the shard under (u, doc_id)
+    * order — the "shuffle the corpus once, write S shard files, readers
+    * stream them round-robin" step every pretraining run needs between
+    * prep and ingestion. Replacing `rand()` with the id-pure hash makes
+    * the ORDER itself reproducible: a re-run, a different partitioning,
+    * or a different engine shuffles the corpus into exactly the same
+    * sequence (and an appended corpus leaves old docs' draws unchanged).
+    *
+    * Scale shape: one scan + one hash exchange on `shard` + a per-shard
+    * sort for the rank — no global sort, no single-task order-by; shards
+    * must scale with the corpus for the per-shard sorts to stay bounded
+    * ([[shuffleShardsSized]]). Output: (doc_id, shard, pos), pos 1-based
+    * within shard.
+    */
+  def shuffleShards(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("u"), col("doc_id"))
+    docs
+      .select(col("doc_id"), hashUniform(col("doc_id"), "shuf").as("u"))
+      .withColumn("shard", floor(col("u") * shards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  /** [[shuffleShards]] with the shard count derived from a corpus count
+    * at a target docs-per-shard (⌈n / targetDocsPerShard⌉) — per-shard
+    * sort mass stays ~targetDocsPerShard as the corpus grows. Same
+    * integer-exact sizing discipline as [[sizedShards]].
+    */
+  def shuffleShardsSized(
+      docs: DataFrame,
+      targetDocsPerShard: Long = 1000000L): DataFrame = {
+    require(targetDocsPerShard > 0, "targetDocsPerShard must be positive")
+    val n = docs.count()
+    shuffleShards(docs,
+      math.max(1L, (n + targetDocsPerShard - 1) / targetDocsPerShard).toInt)
+  }
+
+  /** BM25 top-k keyword search (Robertson/Spärck Jones; the Lucene
+    * `k1`/`b` parameterization with the +1-smoothed idf): score every
+    * document holding at least one query term and return the `k` best.
+    * The retrieval half of a RAG / corpus-inspection stack, run straight
+    * on the documents table — no external index.
+    *
+    * Scale shape: ONE corpus scan projects (doc_id, dl, query-term hits)
+    * — the `isInCollection` membership test prunes the posting explode to
+    * O(matches), never materializing the full inverted index; corpus
+    * count and total length reduce off that same cached projection; the
+    * per-term document frequencies are an O(#terms) aggregate joined back
+    * as a broadcast; and the final top-k is TakeOrdered (per-partition
+    * heaps + driver merge of k rows), not a global sort. Shuffled bytes:
+    * (doc_id, term, tf) for matching docs only.
+    *
+    * Scoring is floor-truncated to 6 decimals (the library's cross-engine
+    * determinism discipline — see [[analyze]]); ties rank by ascending
+    * doc_id. Output: (doc_id, score), best first.
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      queryTerms: Seq[String],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    val terms = queryTerms.distinct
+    // cache: the stats aggregate, the tf explode, and nothing else read
+    // the corpus — text is scanned exactly once; OpCaches-tracked
+    val base = graft.util.OpCaches.cache(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          size(col("t")).cast("long").as("dl"),
+          filter(col("t"), x => x.isInCollection(terms)).as("qt")))
+    // N and avgdl from exact integer sums (one scalar row): integer
+    // summation is order-independent, so avgdl = sum/count is the SAME
+    // double in any engine — an avg() of doubles would not be
+    val stats = base.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+    val n = stats.getLong(0)
+    val avgdl =
+      if (n == 0L) 1.0 else stats.getLong(1).toDouble / n.toDouble
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qt")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(broadcast(dfreq.select(col("term"), col("idf"))), Seq("term"))
+      .withColumn("w",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      // per-doc weights folded in LEXICAL TERM ORDER, not sum(): double
+      // addition is order-sensitive and sum()'s partial-aggregation order
+      // is partitioning-dependent — the sorted left fold makes the score
+      // bit-deterministic across runs, partitionings, and engines
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("raw"))
+      .select(col("doc_id"), (floor(col("raw") * 1e6) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

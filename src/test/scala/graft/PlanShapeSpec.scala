@@ -224,6 +224,69 @@ class PlanShapeSpec extends AnyFunSuite {
       "a documents scan without the batch filter would re-read the corpus")
   }
 
+  test("ivfTopKFromStore reads the index store, not the corpus embeddings " +
+      "(norms read, not recomputed)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.kmeans.OpsN
+    import graft.sim.Similarity
+    val all = OpsN.pointsFromEmbeddings(Graft.table(spark, sf, "embeddings"))
+      .select(col("pid").as("id"), col("features").as("vec"))
+    val store = "target/test_ivfstore"
+    Similarity.writeIvfIndex(all, nlist = 4, path = store)
+    val df = Similarity.ivfTopKFromStore(
+      all.filter(col("id") < 10), store, k = 5, nprobe = 2)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    val (storeScans, embScans) = scans.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("test_ivfstore")))
+    assert(storeScans.nonEmpty, "corpus side must come from the index store")
+    // the store already holds the norm: the cells scan reads it as a
+    // column instead of re-deriving it from cv per query run
+    assert(storeScans.exists(_.schema.fieldNames.contains("cn")),
+      s"store scan misses the precomputed norm: ${storeScans.map(_.schema.fieldNames.toSeq)}")
+    // every embeddings scan is the QUERY side (pid<10 pushed to parquet) —
+    // an unfiltered embeddings scan would mean the corpus is re-read
+    assert(embScans.nonEmpty)
+    assert(embScans.forall(_.toString.contains("LessThan(vec_id,10)")),
+      "an embeddings scan without the query filter re-reads the corpus")
+  }
+
+  test("semDedup: within-cell equality join only — no cartesian or " +
+      "nested-loop pair generation") {
+    import graft.kmeans.OpsN
+    val vecs = OpsN.pointsFromEmbeddings(Graft.table(spark, sf, "embeddings"))
+      .select(col("pid").as("id"), col("features").as("vec"))
+    val df = graft.sim.Similarity.semDedup(vecs, nlist = 4, threshold = 0.45)
+    val plan = executed(df).toString
+    graft.util.OpCaches.releaseAll(spark)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs path in semDedup plan:\n${plan.take(1200)}")
+  }
+
+  test("shuffleShards: one hash exchange on shard, no global (range) sort") {
+    val docs = Graft.table(spark, sf, "documents")
+    val plan = executed(
+      graft.text.TextOps.shuffleShards(docs, shards = 8)).toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected one hash exchange:\n${plan.take(1200)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort present:\n${plan.take(1200)}")
+  }
+
+  test("bm25TopK: broadcast idf join, TakeOrdered top-k (no global sort)") {
+    val docs = Graft.table(spark, sf, "documents")
+    val df = graft.text.TextOps.bm25TopK(docs, Seq("customer", "vector"), k = 10)
+    val plan = executed(df).toString
+    graft.util.OpCaches.releaseAll(spark)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k is not TakeOrdered:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"idf table not broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("splitLeakageLsh plan has no shingle self-join (banded buckets only)") {
     val docs = Graft.table(spark, sf, "documents")
     val plan = executed(graft.text.TextOps.splitLeakageLsh(docs,

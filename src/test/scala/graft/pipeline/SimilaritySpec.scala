@@ -186,4 +186,71 @@ class SimilaritySpec extends AnyFunSuite {
     // every LSH result is a genuine corpus vector with sim computed
     assert(lsh.forall { case (q, c) => q != c })
   }
+
+  test("ivfTopKFromStore matches inline ivfTopK; norms read, not recomputed") {
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val queries = pts.filter($"id" < 10)
+    val store = "target/graft_stores/ivf_spec"
+    Similarity.writeIvfIndex(pts, nlist = 8, path = store)
+    val inline = Similarity.ivfTopK(queries, pts, k = 5, nlist = 8, nprobe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val stored = Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(stored === inline)
+    // the cells scan reads the stored norm column instead of re-deriving it
+    val plan = Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ivf_spec/cells"))
+  }
+
+  test("ivfTopKFromStore validates nprobe against the stored nlist") {
+    val store = "target/graft_stores/ivf_spec2"
+    val pts = vecs((0L to 7L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
+    Similarity.writeIvfIndex(pts, nlist = 4, path = store)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromStore(pts, store, k = 2, nprobe = 9)
+    }
+    assert(e.getMessage.contains("nprobe"))
+  }
+
+  test("semDedup drops within-cell near-dups keep-min-id, keeps distinct docs") {
+    // two tight groups far apart: k-means (nlist=2) separates them; each
+    // group's parallel vectors dedup to the min id; the orthogonal
+    // straggler in group B survives
+    val d = vecs(
+      (1L, Seq(10.0, 0.0, 0.0)),
+      (2L, Seq(20.0, 0.0, 0.0)),   // parallel to 1 -> dropped
+      (3L, Seq(0.0, 10.0, 0.0)),
+      (4L, Seq(0.0, 30.0, 0.0)),   // parallel to 3 -> dropped
+      (5L, Seq(0.0, 0.1, 9.0)))    // near 3's cell but not similar -> kept
+    val kept = Similarity.semDedup(d, nlist = 2, threshold = 0.99)
+      .select($"id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 5L))
+  }
+
+  test("semDedup only compares within cells: cross-cell duplicates survive") {
+    // identical vectors planted in corpora whose k-means split assigns
+    // them to different cells would survive; here we assert the converse
+    // observable — the pair set semDedup prunes equals the within-cell
+    // subset of the exact near-dup pairs
+    val pts = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val cells = Similarity.semDedup(pts, nlist = 4, threshold = 0.45)
+    val keptIds = cells.select($"id").as[Long].collect().toSet
+    val exact = Similarity.cosineNearDupPairs(pts, threshold = 0.45)
+      .select($"d1", $"d2").as[(Long, Long)].collect()
+    // every dropped doc is the max side of SOME exact near-dup pair
+    val dropped = pts.select($"id").as[Long].collect().toSet -- keptIds
+    assert(dropped.forall(d => exact.exists { case (a, b) => b == d && a < d }))
+    // sized variant with target forcing ceil(n/target) == 4 agrees exactly
+    val n = pts.count()
+    val target = (n + 3) / 4
+    val sized = Similarity.semDedupSized(pts, threshold = 0.45,
+        targetCellSize = target)
+      .select($"id").as[Long].collect().toSet
+    assert(sized === keptIds)
+  }
 }

@@ -352,6 +352,60 @@ class TextDedupSpec extends AnyFunSuite {
       all.filter { case (_, q, u) => u < q }.map(_._1).sorted.toSeq)
   }
 
+  test("shuffleShards: a permutation into shards with consecutive 1-based " +
+      "positions, reproducible across runs") {
+    val d = (1L to 120L).map(i => (i, "x")).toDF("doc_id", "text")
+    val got = TextOps.shuffleShards(d, shards = 4)
+      .as[(Long, Int, Int)].collect()
+    // every doc exactly once, shards in range
+    assert(got.map(_._1).sorted.toSeq === (1L to 120L))
+    assert(got.forall { case (_, s, _) => s >= 0 && s < 4 })
+    // within each shard, pos is exactly 1..n_shard and follows (u, id) order
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length))
+    }
+    // id-pure: a re-run lands every doc in the same (shard, pos)
+    val again = TextOps.shuffleShards(d, shards = 4)
+      .as[(Long, Int, Int)].collect()
+    assert(again.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+    // sized variant: target of 30 docs/shard over 120 docs => 4 shards,
+    // identical output
+    val sized = TextOps.shuffleShardsSized(d, targetDocsPerShard = 30L)
+      .as[(Long, Int, Int)].collect()
+    assert(sized.sortBy(_._1).toSeq === got.sortBy(_._1).toSeq)
+  }
+
+  test("bm25TopK: term-bearing docs score, rarer terms weigh more, " +
+      "k bounds the output") {
+    val d = docs(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark spark spark and more spark"),
+      (3L, "the cluster runs jobs"),
+      (4L, "nothing relevant here at all"))
+    val got = TextOps.bm25TopK(d, Seq("spark", "cluster"), k = 10)
+      .as[(Long, Double)].collect()
+    // doc 4 holds no query term: absent
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L))
+    assert(got.forall(_._2 > 0.0))
+    // doc 1 holds BOTH terms: must beat doc 3 (one term, same df)
+    val score = got.toMap
+    assert(score(1L) > score(3L))
+    // k truncates in score order
+    val top1 = TextOps.bm25TopK(d, Seq("spark", "cluster"), k = 1)
+      .as[(Long, Double)].collect()
+    assert(top1.length === 1 && top1.head._1 === got.head._1)
+  }
+
+  test("bm25TopK: tf saturates (k1) — ten repeats score below 10x one hit") {
+    val d = docs(
+      (1L, ("spark " * 10) + "a b c d e f g h i"),
+      (2L, "spark a b c d e f g h i j k l m n o p q r"))
+    val score = TextOps.bm25TopK(d, Seq("spark"), k = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(score(1L) < 10.0 * score(2L))
+    assert(score(1L) > score(2L))
+  }
+
   test("sourceMix: scarcest source fully kept, abundant source thresholded, " +
       "unlisted source dropped") {
     val rows =
