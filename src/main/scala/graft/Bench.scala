@@ -110,10 +110,14 @@ object Bench {
     // the signal this exists to catch)
     // sm_cosine_lsh_sized vs sm_cosine_lsh_neardup is the designed
     // contrast: fixed 4-bit buckets grow candidates ~n²/16 (quadratic),
-    // the occupancy-sized variant holds them ~linear
+    // the occupancy-sized variant holds them ~linear; sm_semdedup vs
+    // sm_semdedup_sized is the same contrast for the semantic-dedup
+    // head (fixed 8 cells → within-cell pairs grow n²/8; sized holds
+    // occupancy ~64 so pairs stay ~64n)
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_dup_groups", "sm_cosine_lsh_neardup",
-      "sm_cosine_lsh_sized", "sm_ann_ivf_topk")
+      "sm_cosine_lsh_sized", "sm_ann_ivf_topk",
+      "sm_semdedup", "sm_semdedup_sized")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")

@@ -115,6 +115,44 @@ object SparkEntry {
     s"$base,\n$rounds"
   }
 
+  /** [[nLloydCtes]] with the CELL COUNT derived from the corpus row count
+    * (GREATEST((n + target - 1) // target, 1) — the integer-exact mirror
+    * of `Similarity.semDedupSized`): the init CTE takes the first `nl`
+    * rows via a scalar-subquery LIMIT, everything else is
+    * count-independent (assignment is an argmin over whatever centroids
+    * exist; updates group by assigned cell).
+    */
+  private def nLloydCtesSized(iters: Int, targetCellSize: Long): String = {
+    val base =
+      s"""emb AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nlv AS (
+         |  SELECT GREATEST((COUNT(*) + ${targetCellSize - 1}) // $targetCellSize, 1) AS nl
+         |  FROM emb
+         |),
+         |nc0 AS (
+         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid, v
+         |  FROM (SELECT pid, v FROM emb ORDER BY pid LIMIT (SELECT nl FROM nlv))
+         |)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""na$r AS (
+         |  SELECT e.pid, e.v, a.cid FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc${r - 1} c ORDER BY d2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |nc$r AS (
+         |  SELECT cid, list(m ORDER BY i) AS v FROM (
+         |    SELECT cid, i, AVG(v[CAST(i AS INT)]) AS m
+         |    FROM na$r, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
+         |    GROUP BY cid, i
+         |  ) GROUP BY cid
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$rounds"
+  }
+
   /** IVF top-k as SQL (5-round Lloyd quantizer at k=8, nprobe=2, k=5) —
     * shared verbatim by `sm_ann_ivf_topk` (inline quantizer) and
     * `sm_ann_ivf_store` (persisted index): the store path answers
@@ -833,6 +871,19 @@ object SparkEntry {
       val vecs = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
       Similarity.semDedup(vecs, nlist = 8, threshold = 0.45)
+        .select(col("id"), col("cell"))
+    },
+
+    // The DEPLOYED form of SemDeDup: the cell count derives from the
+    // corpus size (ceil(n/64)) so per-cell occupancy — and with it the
+    // within-cell pairwise volume — stays ~n·64 as the corpus grows,
+    // where a fixed cell count goes quadratic (n²/nlist); the same
+    // sizing discipline as sm_cosine_lsh_sized, with the same designed
+    // fixed-vs-sized contrast in the bench's scale block
+    "sm_semdedup_sized" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.semDedupSized(vecs, threshold = 0.45, targetCellSize = 64L)
         .select(col("id"), col("cell"))
     },
 
@@ -2314,6 +2365,28 @@ object SparkEntry {
     // drops — the SQL mirror of Similarity.semDedup
     "sm_semdedup" ->
       s"""WITH ${nLloydCtes(5, 8)},
+         |cells AS (
+         |  SELECT e.pid AS id, e.v, a.cid AS cell FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |dropped AS (
+         |  SELECT DISTINCT b.id
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+         |        / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+         |         * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i]))))
+         |        >= 0.45
+         |)
+         |SELECT id, cell FROM cells WHERE id NOT IN (SELECT id FROM dropped)""".stripMargin,
+
+    // same pruning, cell count GREATEST((n+63)//64, 1) derived in-query —
+    // the integer-exact mirror of semDedupSized's driver-side sizing
+    "sm_semdedup_sized" ->
+      s"""WITH ${nLloydCtesSized(5, 64L)},
          |cells AS (
          |  SELECT e.pid AS id, e.v, a.cid AS cell FROM emb e, LATERAL (
          |    SELECT c.cid,

@@ -50,8 +50,12 @@ object LloydN {
       require(centroids.nonEmpty, s"fewer than 1 point available for k=$k init")
       var i = 0
       while (i < iters) {
+        // adaptive formulation: a corpus-SIZED quantizer (k ~ n/occupancy,
+        // cf. Similarity.semDedupSized) would otherwise pay a k-deep
+        // literal codegen chain per iteration — fitting, not the pairwise
+        // step, then dominates the whole operator
         centroids = OpsN.collectCentroidsN(
-          OpsN.updateN(OpsN.assignN(cached, centroids)).drop("n"))
+          OpsN.updateN(OpsN.assignNAdaptive(cached, centroids)).drop("n"))
         i += 1
       }
       centroids

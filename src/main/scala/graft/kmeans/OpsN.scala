@@ -92,6 +92,28 @@ object OpsN {
       best.as("dist2"))
   }
 
+  /** [[assignN]] while the centroid set fits a literal codegen chain
+    * (k ≤ `literalBound`), [[assignCrossJoinN]] past it: the literal
+    * chain inlines k·d doubles and a k-deep when-chain into one codegen
+    * span — unbeatable at small k (zero shuffle) but compilation and
+    * plan size grow linearly with k, which is what made a corpus-sized
+    * quantizer (k ~ n/occupancy) dominate runtime before this switch.
+    * Same distances, same lowest-cid tiebreak either way; downstream
+    * aggregation order (and so last-ulp mean noise) can differ, which is
+    * why every ORACLE-checked path runs at k ≤ literalBound.
+    */
+  def assignNAdaptive(
+      points: DataFrame,
+      centroids: Seq[CentroidN],
+      literalBound: Int = 64): DataFrame =
+    if (centroids.size <= literalBound) assignN(points, centroids)
+    else {
+      val spark = points.sparkSession
+      import spark.implicits._
+      assignCrossJoinN(points,
+        centroids.map(c => (c.cid, c.features.toSeq)).toDF("cid", "features"))
+    }
+
   /** Broadcast-join formulation for centroid sets too large to inline as a
     * plan literal. Per-row argmin via `min_by`-style struct min under a
     * groupBy on a generated row id.

@@ -316,11 +316,15 @@ object Similarity {
     import graft.kmeans.{LloydN, OpsN}
     val pts = vectors.select(col("id").as("pid"), col("vec").as("features"))
     val model = LloydN.iterateN(pts, nlist, maxIter)
+    // assignNAdaptive: the literal least/when chain while the quantizer
+    // fits a codegen span, the broadcast cross-join argmin past it (same
+    // distances, same lowest-cid tiebreak — invisible to results)
+    val assigned = OpsN.assignNAdaptive(pts, model)
     // cache: both sides of the within-cell self-join and the surviving
     // anti-join read the assignment (else it computes three times);
     // OpCaches-tracked for post-materialize release
     val cells = graft.util.OpCaches.cache(
-      OpsN.assignN(pts, model).select(
+      assigned.select(
         col("pid").as("id"), col("features").as("v"),
         norm(col("features")).as("nn"), col("cid").as("cell")))
     val dropped = cells

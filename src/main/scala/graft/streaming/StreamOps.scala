@@ -292,6 +292,57 @@ object StreamOps {
       try f finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Continuous-ingest near-dedup: each micro-batch of documents dedups
+    * against the PERSISTED signature store
+    * ([[graft.dedup.Dedup.incrementalNearDedupFromStore]] — the corpus
+    * text is never re-read), survivors append to `outPath`, and the
+    * survivors' signatures append back to the store so LATER batches
+    * dedup against earlier ones. This is the streaming topology of the
+    * daily-ingest path: the dedup "state" lives in the parquet store, not
+    * in Structured Streaming state, so it is unbounded-corpus-safe
+    * (streaming state stores replicate per-key state in executor memory;
+    * a corpus-sized key set does not fit, a parquet store does) and a
+    * restart resumes from checkpoint + store contents.
+    *
+    * foreachBatch is the right harness here because the batch is joined
+    * against an EXTERNAL, batch-updated table — not against keyed
+    * streaming state. Runs to completion over currently-available input
+    * (`Trigger.AvailableNow`); an unbounded deployment starts the same
+    * plan with a processing-time trigger. Batch order decides which of
+    * two cross-batch near-dups survives (earlier batch wins — same
+    * corpus-dominates policy as the store API); within a batch the
+    * keep-min-id policy applies as in the batch operator.
+    */
+  def runStreamingDedupAgainstStore(
+      stream: DataFrame,
+      storePath: String,
+      outPath: String,
+      checkpointDir: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // survivors are consumed twice (sink append + signature append):
+        // cache, then release before the next micro-batch
+        val kept = graft.util.OpCaches.cache(
+          graft.dedup.Dedup.incrementalNearDedupFromStore(
+            batch, storePath, n, numHashes, bands, threshold))
+        kept.write.mode("append").parquet(outPath)
+        graft.dedup.Dedup.appendToSignatureStore(
+          kept, n, numHashes, bands, storePath)
+        graft.util.OpCaches.releaseAll(spark)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
   /** Shared core of the two runners: watermark both sides (required for
     * Spark to bound join state) and build the time-bounded inner join.
     */

@@ -76,6 +76,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("runStreamingDedupAgainstStore: micro-batches dedup against the " +
+      "store and extend it for later batches") {
+    import graft.dedup.Dedup
+    val base = "target/stream_store_dedup"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    val t3 = "red orange yellow green blue indigo violet purple pink black"
+    Dedup.writeSignatureStore(Seq(Doc(1L, t1, "c")).toDF(),
+      n = 3, numHashes = 12, bands = 4, path = store)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // batch 1: a dup of the corpus doc (dropped against the store) and a
+    // new doc (kept, signatures appended)
+    mem.addData(Doc(10L, t1, "s"), Doc(11L, t2, "s"))
+    StreamOps.runStreamingDedupAgainstStore(mem.toDF(), store, out, ckpt,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      === Set(11L))
+    // batch 2 (same checkpoint: only NEW input processes): a dup of batch
+    // 1's survivor — dropped via the signatures batch 1 appended — and a
+    // fresh doc
+    mem.addData(Doc(20L, t2, "s"), Doc(21L, t3, "s"))
+    StreamOps.runStreamingDedupAgainstStore(mem.toDF(), store, out, ckpt,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
+      === Set(11L, 21L))
+    // the store now carries the corpus doc plus both survivors
+    assert(spark.read.parquet(store).select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 11L, 21L))
+  }
+
   test("Graft.events truncates nanos to micros by integer division") {
     val sf = "/root/testdata/sf0.001"
     val raw = spark.read.parquet(s"$sf/events.parquet")
