@@ -477,11 +477,28 @@ object Dedup {
     // flags side all read it; OpCaches-tracked)
     val batch = graft.util.OpCaches.cache(
       signatureRows(newDocs, n, numHashes, bands))
+    newDocs.join(incrementalDroppedIds(batch, store, threshold),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The signature-level core of [[incrementalNearDedupFromStore]]: the
+    * batch doc_ids DROPPED against the store (corpus partner dominates;
+    * within the batch, keep-min-id). Exposed so callers that already
+    * hold the batch's [[signatureRows]] — the streaming runner reuses
+    * them to append survivors' signatures — don't shingle the batch a
+    * second time. `batchSigs` should be cached by the caller when it is
+    * consumed again (it is read by both the bucket join and the verify
+    * keys here). Output: (doc_id).
+    */
+  def incrementalDroppedIds(
+      batchSigs: DataFrame,
+      store: DataFrame,
+      threshold: Double): DataFrame = {
     def explodedBuckets(df: DataFrame): DataFrame =
       df.select(
         col("doc_id"),
         posexplode(col("buckets")).as(Seq("band", "bucket")))
-    val newB = explodedBuckets(batch)
+    val newB = explodedBuckets(batchSigs)
     // asymmetric: (store ∪ batch) × batch within equal (band, bucket)
     val cand = explodedBuckets(store.select(col("doc_id"), col("buckets")))
       .unionByName(newB)
@@ -492,19 +509,18 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     val keys = store.select(col("doc_id"), col("keys"))
-      .unionByName(batch.select(col("doc_id"), col("keys")))
+      .unionByName(batchSigs.select(col("doc_id"), col("keys")))
     val ver = verifyJaccardKeys(keys, cand, threshold)
     // partner dominates when it is corpus (in the store, not the batch),
     // or an earlier doc of the batch — resolved via a key-only batch-id
     // probe, never a corpus-side join
-    val batchIds = batch.select(col("doc_id").as("d1"), lit(true).as("p_new"))
-    val dropped = ver
+    val batchIds = batchSigs.select(col("doc_id").as("d1"), lit(true).as("p_new"))
+    ver
       .join(batchIds, Seq("d1"), "left_outer")
       // corpus partner: p_new is null (no batch row matched) — dominates
       .filter(col("p_new").isNull || col("d1") < col("d2"))
       .select(col("d2").as("doc_id"))
       .distinct()
-    newDocs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   // ---------------------------------------------------------------------

@@ -62,6 +62,34 @@ object LloydN {
     } finally cached.unpersist(blocking = false)
   }
 
+  /** [[iterateN]] with the quantizer fit on a DETERMINISTIC hash-sample
+    * of ~`sampleCap` points: at corpus scale a k-means fit is otherwise
+    * `iters` FULL corpus passes, while standard practice (FAISS trains
+    * coarse quantizers on a bounded subsample) caps the training set —
+    * assignment downstream still sees every row. The sample is id-pure
+    * (md5-hash uniform on pid, no RNG state), so the fitted quantizer is
+    * identical across runs, partitionings, and engines; `sampleCap >= n`
+    * keeps the sample = the corpus, making the fit BIT-IDENTICAL to
+    * [[iterateN]] (property-tested) — which is why oracle-checked paths
+    * can route through this with a cap above the fixture sizes. One
+    * O(n) count decides the rate; init is first-K by pid OF THE SAMPLE.
+    */
+  def iterateNSampled(
+      points: DataFrame,
+      k: Int,
+      iters: Int,
+      sampleCap: Long): Seq[CentroidN] = {
+    require(sampleCap > 0, s"sampleCap=$sampleCap")
+    val n = points.count()
+    val pts =
+      if (n <= sampleCap) points
+      else points.filter(
+        graft.text.TextOps.hashUniform(
+          org.apache.spark.sql.functions.col("pid"), "qfit")
+          < sampleCap.toDouble / n.toDouble)
+    iterateN(pts, k, iters)
+  }
+
   def transform(points: DataFrame, result: KMeansResultN): DataFrame =
     OpsN.assignN(points, result.centroids)
 }

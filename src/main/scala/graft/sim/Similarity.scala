@@ -174,18 +174,22 @@ object Similarity {
       k: Int,
       nlist: Int,
       nprobe: Int,
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 5,
+      fitSampleCap: Long = 100000L): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
     import graft.kmeans.{LloydN, OpsN}
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
     // fixed-iteration quantizer (no early stop): deterministic AND
-    // unrollable into an exact SQL oracle, cf. LloydN.iterateN
-    val model = LloydN.iterateN(pts, nlist, maxIter)
+    // unrollable into an exact SQL oracle, cf. LloydN.iterateN. The fit
+    // trains on a deterministic hash-sample of <= fitSampleCap points
+    // (FAISS-style) — below the cap the sample IS the corpus, so
+    // oracle-checked fixture runs are bit-identical to an uncapped fit
+    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap)
     // corpus side: cell assignment (shuffle-free projection). The norm is
     // computed HERE, below the probe join, so it costs O(d) once per
     // corpus row — not once per (query-probe × corpus-row) candidate
     // (same hoist as lshTopK's signature projection).
-    val cells = OpsN.assignN(pts, model)
+    val cells = OpsN.assignNAdaptive(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
     ivfProbeScore(queries, cells, model, k, nprobe)
@@ -249,20 +253,56 @@ object Similarity {
       nlist: Int,
       path: String,
       maxIter: Int = 5,
-      partitionCells: Boolean = false): Unit = {
+      partitionCells: Boolean = false,
+      fitSampleCap: Long = 100000L): Unit = {
     import graft.kmeans.{LloydN, OpsN}
     val spark = corpus.sparkSession
     import spark.implicits._
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
-    val model = LloydN.iterateN(pts, nlist, maxIter)
+    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap)
     model.map(c => (c.cid, c.features.toSeq)).toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val cells = OpsN.assignN(pts, model)
+    val cells = OpsN.assignNAdaptive(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
     val out = cells.write.mode("overwrite")
     (if (partitionCells) out.partitionBy("cell") else out)
       .parquet(s"$path/cells")
+  }
+
+  /** Append a new batch to an existing IVF index: the batch is assigned
+    * with the STORED quantizer (centroids are immutable post-build — the
+    * standard IVF serving contract; rebuild via [[writeIvfIndex]] when
+    * distribution drift warrants) and its rows append to `path/cells`.
+    * The daily loop of a growing ANN corpus: O(batch) assignment work,
+    * the existing index is never rewritten. Exactly-once is the
+    * caller's contract (a re-run of the same batch appends duplicates),
+    * same as [[graft.dedup.Dedup.appendToSignatureStore]].
+    */
+  def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
+    import graft.kmeans.OpsN
+    val spark = newVectors.sparkSession
+    val model = readIvfCentroids(spark, path)
+    OpsN.assignNAdaptive(
+        newVectors.select(col("id").as("pid"), col("vec").as("features")),
+        model)
+      .select(col("pid").as("cid_id"), col("features").as("cv"),
+        norm(col("features")).as("cn"), col("cid").as("cell"))
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
+  private def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[graft.kmeans.CentroidN] = {
+    val model = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => graft.kmeans.CentroidN(
+        r.getInt(r.fieldIndex("cell")),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+      .sortBy(_.cid)
+      .toSeq
+    require(model.nonEmpty, s"empty IVF centroid store at $path/centroids")
+    model
   }
 
   /** [[ivfTopK]] against a PERSISTED index written by [[writeIvfIndex]]:
@@ -278,14 +318,7 @@ object Similarity {
       k: Int,
       nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
-    val model = spark.read.parquet(s"$path/centroids")
-      .collect()
-      .map(r => graft.kmeans.CentroidN(
-        r.getInt(r.fieldIndex("cell")),
-        r.getSeq[Double](r.fieldIndex("cv")).toArray))
-      .sortBy(_.cid)
-      .toSeq
-    require(model.nonEmpty, s"empty IVF centroid store at $path/centroids")
+    val model = readIvfCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= model.size,
       s"need 1 <= nprobe <= ${model.size} (stored nlist)")
     ivfProbeScore(queries, spark.read.parquet(s"$path/cells"), model, k, nprobe)
@@ -312,10 +345,13 @@ object Similarity {
       vectors: DataFrame,
       nlist: Int,
       threshold: Double,
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 5,
+      fitSampleCap: Long = 100000L): DataFrame = {
     import graft.kmeans.{LloydN, OpsN}
     val pts = vectors.select(col("id").as("pid"), col("vec").as("features"))
-    val model = LloydN.iterateN(pts, nlist, maxIter)
+    // FAISS-style sample-capped fit: below the cap (every oracle fixture)
+    // the sample is the corpus — bit-identical to an uncapped fit
+    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap)
     // assignNAdaptive: the literal least/when chain while the quantizer
     // fits a codegen span, the broadcast cross-join argmin past it (same
     // distances, same lowest-cid tiebreak — invisible to results)
@@ -355,11 +391,12 @@ object Similarity {
       vectors: DataFrame,
       threshold: Double,
       targetCellSize: Long = 4096L,
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 5,
+      fitSampleCap: Long = 100000L): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize=$targetCellSize")
     val n = vectors.count()
     val nlist = math.max((n + targetCellSize - 1) / targetCellSize, 1L).toInt
-    semDedup(vectors, nlist, threshold, maxIter)
+    semDedup(vectors, nlist, threshold, maxIter, fitSampleCap)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with

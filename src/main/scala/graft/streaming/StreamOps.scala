@@ -324,15 +324,21 @@ object StreamOps {
       threshold: Double): Unit = {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.dedup.Dedup
         val spark = batch.sparkSession
-        // survivors are consumed twice (sink append + signature append):
-        // cache, then release before the next micro-batch
-        val kept = graft.util.OpCaches.cache(
-          graft.dedup.Dedup.incrementalNearDedupFromStore(
-            batch, storePath, n, numHashes, bands, threshold))
-        kept.write.mode("append").parquet(outPath)
-        graft.dedup.Dedup.appendToSignatureStore(
-          kept, n, numHashes, bands, storePath)
+        // ONE shingle pass per micro-batch: the signature rows feed the
+        // dedup (bucket join + verify keys) AND the store append — the
+        // survivors' signatures are filtered from this cache instead of
+        // re-shingling the surviving text
+        val sigs = graft.util.OpCaches.cache(
+          Dedup.signatureRows(batch, n, numHashes, bands))
+        val dropped = graft.util.OpCaches.cache(
+          Dedup.incrementalDroppedIds(
+            sigs, spark.read.parquet(storePath), threshold))
+        batch.join(dropped, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(outPath)
+        sigs.join(dropped, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(storePath)
         graft.util.OpCaches.releaseAll(spark)
         ()
       }

@@ -89,6 +89,29 @@ class NDimSpec extends AnyFunSuite {
     assert(r.centroids.head.features.length === 64)
   }
 
+  test("iterateNSampled: cap >= n is bit-identical to iterateN; " +
+      "cap < n is deterministic and fits on the hash-sample") {
+    val pts = OpsN.pointsFromEmbeddings(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val full = LloydN.iterateN(pts, k = 4, iters = 3)
+    val capped = LloydN.iterateNSampled(pts, k = 4, iters = 3,
+      sampleCap = 100000L)
+    // the cap exceeds the corpus: the sample IS the corpus, so the fit
+    // must be EXACTLY the uncapped one (this is what keeps oracle paths
+    // unchanged under the production default cap)
+    assert(capped.map(c => (c.cid, c.features.toSeq)) ===
+      full.map(c => (c.cid, c.features.toSeq)))
+    // under the cap: a genuine subsample fits, id-pure so a re-run is
+    // identical; k centroids of the right dimension come back
+    val s1 = LloydN.iterateNSampled(pts, k = 4, iters = 3, sampleCap = 100L)
+    val s2 = LloydN.iterateNSampled(pts, k = 4, iters = 3, sampleCap = 100L)
+    assert(s1.map(c => (c.cid, c.features.toSeq)) ===
+      s2.map(c => (c.cid, c.features.toSeq)))
+    assert(s1.nonEmpty && s1.forall(_.features.length === 64))
+    // and it genuinely differs from the full fit (different training set)
+    assert(s1.map(_.features.toSeq) !== full.map(_.features.toSeq))
+  }
+
   test("MLlib wrapper fits and assigns every point") {
     val pts = OpsN.pointsFromEmbeddings(
       spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))

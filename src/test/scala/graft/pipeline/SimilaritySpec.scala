@@ -205,6 +205,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("ivf_spec/cells"))
   }
 
+  test("appendToIvfIndex: batch assigned with the stored quantizer, " +
+      "index grows, appended vectors become searchable") {
+    val store = "target/graft_stores/ivf_append_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(store))
+    val corpus = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    Similarity.writeIvfIndex(corpus, nlist = 4, path = store)
+    val centroidsBefore = spark.read.parquet(s"$store/centroids").collect()
+    val nCells = spark.read.parquet(s"$store/cells").count()
+    // append a batch: a clone of corpus vector 0 under a fresh id
+    val v0 = corpus.filter($"id" === 0).select($"vec")
+      .as[Array[Double]].head()
+    val batch = Seq((100000L, v0)).toDF("id", "vec")
+    Similarity.appendToIvfIndex(batch, store)
+    // quantizer untouched, cells grew by the batch
+    assert(spark.read.parquet(s"$store/centroids").collect().toSeq
+      === centroidsBefore.toSeq)
+    assert(spark.read.parquet(s"$store/cells").count() === nCells + 1)
+    // the appended clone is now the top hit for its twin's query
+    val top = Similarity.ivfTopKFromStore(
+        corpus.filter($"id" === 0), store, k = 1, nprobe = 1)
+      .select($"cid", $"sim").as[(Long, Double)].collect()
+    assert(top.length === 1)
+    assert(top.head._1 === 100000L && math.abs(top.head._2 - 1.0) < 1e-12)
+  }
+
   test("ivfTopKFromStore validates nprobe against the stored nlist") {
     val store = "target/graft_stores/ivf_spec2"
     val pts = vecs((0L to 7L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
