@@ -632,6 +632,12 @@ object SparkEntry {
         Seq("customer", "vector", "stream"), k = 10)
     },
 
+    // Top-20 token bigrams with counts (vocabulary / collocation pass):
+    // one scan, map-side-combined count aggregate, TakeOrdered top-k
+    "tx_ngram_topk" -> { (s, dir) =>
+      TextOps.ngramTopK(Graft.table(s, dir, "documents"), n = 2, k = 20)
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -1621,6 +1627,22 @@ object SparkEntry {
         |)
         |SELECT doc_id, floor(raw * 1000000.0) / 1000000.0 AS score
         |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // space-joined token bigrams (the shingles projection), counted and
+    // ranked (count desc, ngram asc)
+    "tx_ngram_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |),
+        |g AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(0, len(t) - 1), i -> t[i + 1] || ' ' || t[i + 2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM toks
+        |)
+        |SELECT ngram, COUNT(*) AS cnt FROM g
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
 
     "dd_minhash_pairs" ->
       """WITH tk AS (

@@ -278,17 +278,28 @@ object Similarity {
     * the existing index is never rewritten. Exactly-once is the
     * caller's contract (a re-run of the same batch appends duplicates),
     * same as [[graft.dedup.Dedup.appendToSignatureStore]].
+    *
+    * `partitionCells` must MATCH the layout [[writeIvfIndex]] was given —
+    * appending flat files into a `cell=`-partitioned store (or vice
+    * versa) silently splits the index across two incompatible layouts,
+    * the same writer/reader parameter contract the signature store
+    * documents.
     */
-  def appendToIvfIndex(newVectors: DataFrame, path: String): Unit = {
+  def appendToIvfIndex(
+      newVectors: DataFrame,
+      path: String,
+      partitionCells: Boolean = false): Unit = {
     import graft.kmeans.OpsN
     val spark = newVectors.sparkSession
     val model = readIvfCentroids(spark, path)
-    OpsN.assignNAdaptive(
+    val rows = OpsN.assignNAdaptive(
         newVectors.select(col("id").as("pid"), col("vec").as("features")),
         model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
-      .write.mode("append").parquet(s"$path/cells")
+    val out = rows.write.mode("append")
+    (if (partitionCells) out.partitionBy("cell") else out)
+      .parquet(s"$path/cells")
   }
 
   private def readIvfCentroids(

@@ -636,6 +636,24 @@ object TextOps {
       .limit(k)
   }
 
+  /** Corpus-wide token n-gram frequency top-k — the vocabulary /
+    * LM-prep counting pass (top collocations, boilerplate phrase
+    * discovery). One corpus scan explodes the in-row [[shingles]]
+    * projection; the count is a partial+final hash aggregate (map-side
+    * combine, so the shuffle carries one row per DISTINCT n-gram per
+    * partition, not per occurrence); the top-k is TakeOrdered, never a
+    * global sort. Ties rank by n-gram ascending. Output: (ngram, cnt).
+    */
+  def ngramTopK(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    docs
+      .select(explode(shingles(tokens(col("text")), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

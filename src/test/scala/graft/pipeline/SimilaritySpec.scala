@@ -236,6 +236,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.head._1 === 100000L && math.abs(top.head._2 - 1.0) < 1e-12)
   }
 
+  test("cell-partitioned IVF store: write + append keep one layout, " +
+      "queries match the flat store") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    val flat = "target/graft_stores/ivf_flat_spec"
+    val part = "target/graft_stores/ivf_part_spec"
+    Seq(flat, part).foreach(p => rm(new java.io.File(p)))
+    val corpus = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val batch = corpus.filter($"id" >= 490)
+      .select(($"id" + 100000L).as("id"), $"vec")
+    Similarity.writeIvfIndex(corpus, nlist = 4, path = flat)
+    Similarity.appendToIvfIndex(batch, flat)
+    Similarity.writeIvfIndex(corpus, nlist = 4, path = part,
+      partitionCells = true)
+    Similarity.appendToIvfIndex(batch, part, partitionCells = true)
+    val q = corpus.filter($"id" < 5)
+    val a = Similarity.ivfTopKFromStore(q, flat, k = 5, nprobe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.ivfTopKFromStore(q, part, k = 5, nprobe = 2)
+      .select($"qid", $"cid", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+    // the partitioned layout is real: cells live under cell= directories
+    val dirs = new java.io.File(s"$part/cells").listFiles
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("cell=")))
+  }
+
   test("ivfTopKFromStore validates nprobe against the stored nlist") {
     val store = "target/graft_stores/ivf_spec2"
     val pts = vecs((0L to 7L).map(i => i -> Seq(i * 1.0, 1.0)): _*)

@@ -396,6 +396,20 @@ class TextDedupSpec extends AnyFunSuite {
     assert(top1.length === 1 && top1.head._1 === got.head._1)
   }
 
+  test("ngramTopK: bigram counts across docs, ties rank by ngram, " +
+      "short docs contribute nothing") {
+    val d = docs(
+      (1L, "a b c"),
+      (2L, "a b d"),
+      (3L, "x"))
+    val got = TextOps.ngramTopK(d, n = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b", 2L), ("b c", 1L), ("b d", 1L)))
+    // k truncates after the (cnt desc, ngram asc) order
+    assert(TextOps.ngramTopK(d, n = 2, k = 1)
+      .as[(String, Long)].collect().toSeq === Seq(("a b", 2L)))
+  }
+
   test("bm25TopK: tf saturates (k1) — ten repeats score below 10x one hit") {
     val d = docs(
       (1L, ("spark " * 10) + "a b c d e f g h i"),
