@@ -28,7 +28,7 @@ object ProbeScale100 {
 
     val queries = Seq(
       "dd_near_dedup", "dd_incremental_dedup", "sm_cosine_lsh_sized",
-      "sm_ann_lsh_sized", "sm_ann_ivf_topk")
+      "sm_ann_lsh_sized", "sm_ann_ivf_topk", "sm_semdedup_sized")
 
     def run(name: String, dir: String, parts: Int): Double = {
       spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
