@@ -78,9 +78,12 @@ object LloydN {
       points: DataFrame,
       k: Int,
       iters: Int,
-      sampleCap: Long): Seq[CentroidN] = {
+      sampleCap: Long,
+      knownCount: Option[Long] = None): Seq[CentroidN] = {
     require(sampleCap > 0, s"sampleCap=$sampleCap")
-    val n = points.count()
+    // callers that already counted (e.g. a sized operator deriving k from
+    // n) pass the count through — one corpus count total, not two
+    val n = knownCount.getOrElse(points.count())
     val pts =
       if (n <= sampleCap) points
       else points.filter(

@@ -357,12 +357,16 @@ object Similarity {
       nlist: Int,
       threshold: Double,
       maxIter: Int = 5,
-      fitSampleCap: Long = 100000L): DataFrame = {
+      fitSampleCap: Long = 100000L,
+      knownCount: Option[Long] = None): DataFrame = {
     import graft.kmeans.{LloydN, OpsN}
     val pts = vectors.select(col("id").as("pid"), col("vec").as("features"))
     // FAISS-style sample-capped fit: below the cap (every oracle fixture)
-    // the sample is the corpus — bit-identical to an uncapped fit
-    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap)
+    // the sample is the corpus — bit-identical to an uncapped fit.
+    // knownCount forwards a count the caller already ran (semDedupSized)
+    // so the sizing+sampling pair costs ONE corpus count, not two
+    val model =
+      LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, knownCount)
     // assignNAdaptive: the literal least/when chain while the quantizer
     // fits a codegen span, the broadcast cross-join argmin past it (same
     // distances, same lowest-cid tiebreak — invisible to results)
@@ -407,7 +411,7 @@ object Similarity {
     require(targetCellSize > 0, s"targetCellSize=$targetCellSize")
     val n = vectors.count()
     val nlist = math.max((n + targetCellSize - 1) / targetCellSize, 1L).toInt
-    semDedup(vectors, nlist, threshold, maxIter, fitSampleCap)
+    semDedup(vectors, nlist, threshold, maxIter, fitSampleCap, Some(n))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with
