@@ -112,6 +112,18 @@ case class ArraySqDist(left: Expression, right: Expression) extends ArrayFoldExp
 }
 
 object ArrayVector {
+  /** A constant vector as ONE Literal plan node. `array(lit, lit, …)`
+    * builds d Literal children under a CreateArray that the optimizer
+    * must fold (and canonicalize, and codegen) element by element; with
+    * K centroids × d dims × a K-deep argmin chain that snowballed to
+    * ~10⁵-node trees whose ANALYSIS dominated every Lloyd iteration
+    * (round-10 probe: 1.25 s/iteration on 2000 rows — all plan overhead).
+    * `typedlit` carries the same ArrayData as a single leaf: identical
+    * values, identical evaluation, ~K·d× smaller trees.
+    */
+  def vecLit(xs: Seq[Double]): Column =
+    org.apache.spark.sql.functions.typedlit(xs)
+
   /** Column API: codegen'd dot product. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b)))

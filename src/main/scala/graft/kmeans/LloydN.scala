@@ -84,14 +84,28 @@ object LloydN {
     // callers that already counted (e.g. a sized operator deriving k from
     // n) pass the count through — one corpus count total, not two
     val n = knownCount.getOrElse(points.count())
+    // the sample must SUPPLY k centroids: a corpus-sized k (semDedupSized
+    // derives k ~ n/occupancy) eventually exceeds any fixed cap, and a
+    // sample smaller than k would silently fit fewer centroids — cell
+    // occupancy then regrows ~n/|sample| and the within-cell pairwise
+    // work goes quadratic again. Scale the effective cap to k times a
+    // minimum per-centroid mass (FAISS trains on >= 39 points per
+    // centroid for the same reason); below the cap the sample is still
+    // the corpus, so oracle-checked fixture runs are unchanged.
+    val effectiveCap = math.max(sampleCap, k.toLong * minPointsPerCentroid)
     val pts =
-      if (n <= sampleCap) points
+      if (n <= effectiveCap) points
       else points.filter(
         graft.text.TextOps.hashUniform(
           org.apache.spark.sql.functions.col("pid"), "qfit")
-          < sampleCap.toDouble / n.toDouble)
+          < effectiveCap.toDouble / n.toDouble)
     iterateN(pts, k, iters)
   }
+
+  /** Minimum expected sample points per requested centroid when the fit
+    * is hash-sampled — FAISS's `min_points_per_centroid` default.
+    */
+  val minPointsPerCentroid: Long = 39L
 
   def transform(points: DataFrame, result: KMeansResultN): DataFrame =
     OpsN.assignN(points, result.centroids)

@@ -78,18 +78,36 @@ object OpsN {
     // CodegenFallback). First matching `when` in ascending cid order gives
     // the lowest-cid tiebreak.
     val sorted = centroids.sortBy(_.cid)
-    val dists = sorted.map(c =>
-      dist2N(col("features"), array(c.features.toIndexedSeq.map(lit(_)): _*)))
-    val best = if (dists.size == 1) dists.head else least(dists: _*)
-    val cid = sorted.zip(dists).tail.foldLeft(
-      when(dists.head === best, lit(sorted.head.cid))) {
-      case (acc, (c, dd)) => acc.when(dd === best, lit(c.cid))
+    // THREE chained projections (distances → least → argmin chain), each
+    // referencing the previous stage's ATTRIBUTES: inlining everything
+    // into one select duplicates the full least(K sqdists) tree into all
+    // K when-branches — a K²·d expression whose per-EXECUTION codegen
+    // walk (source generation + subexpression elimination runs on every
+    // doExecute, only janino compilation is cached) was ~1 s per Lloyd
+    // iteration at K=32, d=64 (round-10 probe). CollapseProject keeps the
+    // stages apart (non-cheap aliases referenced more than once don't
+    // collapse), whole-stage codegen still fuses them into one span, and
+    // the arithmetic — hence every emitted value — is unchanged.
+    // one Literal node per centroid (not d CreateArray children): leaf
+    // size sets the tree's analysis + codegen cost — see ArrayVector.vecLit
+    val dn = sorted.indices.map(i => s"__gd$i")
+    val p1 = points.select(
+      col("pid") +: col("features") +: sorted.zip(dn).map { case (c, nm) =>
+        dist2N(col("features"),
+          graft.expr.ArrayVector.vecLit(c.features.toIndexedSeq)).as(nm)
+      }: _*)
+    val best =
+      if (dn.size == 1) col(dn.head) else least(dn.map(col): _*)
+    val p2 = p1.withColumn("__gbest", best)
+    val cid = sorted.zip(dn).tail.foldLeft(
+      when(col(dn.head) === col("__gbest"), lit(sorted.head.cid))) {
+      case (acc, (c, nm)) => acc.when(col(nm) === col("__gbest"), lit(c.cid))
     }
-    points.select(
+    p2.select(
       col("pid"),
       col("features"),
       cid.cast("int").as("cid"),
-      best.as("dist2"))
+      col("__gbest").as("dist2"))
   }
 
   /** [[assignN]] while the centroid set fits a literal codegen chain

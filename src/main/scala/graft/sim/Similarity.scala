@@ -86,7 +86,7 @@ object Similarity {
   def lshSignature(vec: Column, planes: Array[Array[Double]]): Column =
     concat(
       planes.map { plane =>
-        val planeLit = array(plane.toIndexedSeq.map(lit(_)): _*)
+        val planeLit = graft.expr.ArrayVector.vecLit(plane.toIndexedSeq)
         when(dot(vec, planeLit) >= 0, lit("1")).otherwise(lit("0"))
       }.toSeq: _*)
 
@@ -216,7 +216,8 @@ object Similarity {
           array(model.map(c =>
             struct(
               graft.expr.ArrayVector
-                .sqDist(q, array(c.features.toIndexedSeq.map(lit(_)): _*)).as("d2"),
+                .sqDist(q, graft.expr.ArrayVector.vecLit(c.features.toIndexedSeq))
+                .as("d2"),
               lit(c.cid).as("cell"))): _*)),
         1, nprobe)
     val q = broadcast(
