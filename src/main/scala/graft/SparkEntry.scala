@@ -638,6 +638,14 @@ object SparkEntry {
       TextOps.ngramTopK(Graft.table(s, dir, "documents"), n = 2, k = 20)
     },
 
+    // The web-scale variant: count floor (pruned before ranking, exact
+    // above the floor, shardable) — identical head to tx_ngram_topk
+    // whenever the k-th count clears the floor
+    "tx_ngram_pruned" -> { (s, dir) =>
+      TextOps.ngramTopKPruned(
+        Graft.table(s, dir, "documents"), n = 2, k = 20, minCount = 3L)
+    },
+
     // ---- training-data pipeline: deduplication --------------------------
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
@@ -1643,6 +1651,22 @@ object SparkEntry {
         |)
         |SELECT ngram, COUNT(*) AS cnt FROM g
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    // same bigram count with the floor applied before ranking
+    "tx_ngram_pruned" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+        |),
+        |g AS (
+        |  SELECT unnest(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(0, len(t) - 1), i -> t[i + 1] || ' ' || t[i + 2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM toks
+        |)
+        |SELECT ngram, COUNT(*) AS cnt FROM g
+        |GROUP BY ngram HAVING COUNT(*) >= 3
+        |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
 
     "dd_minhash_pairs" ->
       """WITH tk AS (

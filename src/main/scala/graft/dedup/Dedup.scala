@@ -472,13 +472,63 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = newDocs.sparkSession
-    val store = spark.read.parquet(storePath)
+    val store = readSignatureStore(spark, storePath)
     // one shingle pass over the BATCH only (cache: buckets, keys, and the
     // flags side all read it; OpCaches-tracked)
     val batch = graft.util.OpCaches.cache(
       signatureRows(newDocs, n, numHashes, bands))
     newDocs.join(incrementalDroppedIds(batch, store, threshold),
       Seq("doc_id"), "left_anti")
+  }
+
+  /** Read a signature store regardless of file layout: flat part-files
+    * ([[writeSignatureStore]] / [[appendToSignatureStore]]) and the
+    * per-batch segment directories the streaming runner
+    * ([[graft.streaming.StreamOps.runStreamingDedupAgainstStore]])
+    * overwrites — `recursiveFileLookup` reads both without partition
+    * inference, so mixing the two writers against one store stays valid.
+    */
+  def readSignatureStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storePath)
+
+  /** Compact a signature store in place: daily [[appendToSignatureStore]]
+    * runs and streaming batch segments each add a handful of small
+    * parquet files, and after months of appends the store read pays more
+    * in file listing + footer opens + tiny row groups than in bytes.
+    * Rewrites all rows into ⌈rows / targetFileRows⌉ files (coalesce — a
+    * file-merge read, no shuffle) at a temp sibling, then swaps it in
+    * (rename old out, rename new in, delete old). Results are
+    * set-identical; only the file layout changes (asserted in
+    * DedupStoreSpec). Run OFFLINE with respect to the store: the swap
+    * window is not atomic for concurrent readers, and compacting
+    * between a crashed streaming batch and its replay folds the batch's
+    * segment into the flat files, which the replay would then self-match.
+    */
+  def compactSignatureStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      targetFileRows: Long = 4L * 1024 * 1024): Unit = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val rows = readSignatureStore(spark, storePath)
+    val total = rows.count()
+    val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
+      .min(Int.MaxValue.toLong).toInt
+    val tmp = s"$storePath.__compacting"
+    val old = s"$storePath.__precompact"
+    rows.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    if (!fs.rename(root, new org.apache.hadoop.fs.Path(old)))
+      throw new java.io.IOException(s"compaction swap failed: $storePath")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), root))
+      throw new java.io.IOException(
+        s"compaction swap failed restoring $storePath — previous store " +
+          s"preserved at $old")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    ()
   }
 
   /** The signature-level core of [[incrementalNearDedupFromStore]]: the

@@ -19,6 +19,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Dot product of two ARRAY<DOUBLE> columns — codegen'd
     * [[graft.expr.ArrayDot]] (left fold, order-stable, bit-identical to
     * DuckDB's `list_sum(list_transform(...))`).
@@ -260,9 +262,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
-    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap)
+    // count once here, forward into the sampled fit (which would
+    // otherwise count), and RECORD it: the fit count is the baseline the
+    // append path's refit check compares index growth against
+    val n = pts.count()
+    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, Some(n))
     model.map(c => (c.cid, c.features.toSeq)).toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((n, nlist)).toDF("fit_count", "nlist")
+      .write.mode("overwrite").parquet(s"$path/meta")
     val cells = OpsN.assignNAdaptive(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
@@ -285,11 +293,26 @@ object Similarity {
     * versa) silently splits the index across two incompatible layouts,
     * the same writer/reader parameter contract the signature store
     * documents.
+    *
+    * '''Refit discipline.''' The stored quantizer only fits the
+    * distribution and density it was trained on: once appends grow the
+    * index well past the fit-time corpus, per-cell occupancy multiplies
+    * and every probe's within-cell scan creeps back toward the
+    * fixed-parameter saturation the sized operators exist to avoid —
+    * silently, because the index still "works". So each append compares
+    * the post-append row count against the fit count recorded by
+    * [[writeIvfIndex]] (`path/meta`): past `maxGrowthFactor` (FAISS lore
+    * says re-train somewhere around 2–10× growth; default 4×) it WARNS,
+    * or refuses when `refuseBeyondGrowth` is set, naming the remedy —
+    * re-run [[writeIvfIndex]] to refit on the grown corpus. Indexes
+    * written before `meta` existed skip the check (logged once).
     */
   def appendToIvfIndex(
       newVectors: DataFrame,
       path: String,
-      partitionCells: Boolean = false): Unit = {
+      partitionCells: Boolean = false,
+      maxGrowthFactor: Double = 4.0,
+      refuseBeyondGrowth: Boolean = false): Unit = {
     import graft.kmeans.OpsN
     val spark = newVectors.sparkSession
     val model = readIvfCentroids(spark, path)
@@ -298,9 +321,43 @@ object Similarity {
         model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
+    checkIvfGrowth(spark, path, newVectors.count(),
+      maxGrowthFactor, refuseBeyondGrowth)
     val out = rows.write.mode("append")
     (if (partitionCells) out.partitionBy("cell") else out)
       .parquet(s"$path/cells")
+  }
+
+  /** [[appendToIvfIndex]]'s growth check: post-append rows vs the
+    * recorded fit count. Row counts are parquet-footer metadata reads,
+    * not data scans.
+    */
+  private def checkIvfGrowth(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batchCount: Long,
+      maxGrowthFactor: Double,
+      refuseBeyondGrowth: Boolean): Unit = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) {
+      log.warn(s"IVF index at $path has no meta (pre-refit-check layout); " +
+        "growth vs fit cannot be checked — rebuild with writeIvfIndex to " +
+        "record the fit count")
+    } else {
+      val fitCount = spark.read.parquet(s"$path/meta")
+        .select(col("fit_count")).head().getLong(0)
+      val afterAppend = spark.read.parquet(s"$path/cells").count() + batchCount
+      if (fitCount > 0 && afterAppend > maxGrowthFactor * fitCount) {
+        val msg = s"IVF index at $path has grown to $afterAppend rows, > " +
+          f"$maxGrowthFactor%.1fx its fit-time corpus of $fitCount rows: " +
+          "cell occupancy is drifting past what the stored quantizer was " +
+          "trained for (probe cost rises with the largest cells). Refit " +
+          "with writeIvfIndex on the grown corpus."
+        if (refuseBeyondGrowth) throw new IllegalStateException(msg)
+        else log.warn(msg)
+      }
+    }
   }
 
   private def readIvfCentroids(

@@ -295,14 +295,32 @@ object StreamOps {
   /** Continuous-ingest near-dedup: each micro-batch of documents dedups
     * against the PERSISTED signature store
     * ([[graft.dedup.Dedup.incrementalNearDedupFromStore]] — the corpus
-    * text is never re-read), survivors append to `outPath`, and the
-    * survivors' signatures append back to the store so LATER batches
-    * dedup against earlier ones. This is the streaming topology of the
+    * text is never re-read), survivors land under `outPath`, and the
+    * survivors' signatures extend the store so LATER batches dedup
+    * against earlier ones. This is the streaming topology of the
     * daily-ingest path: the dedup "state" lives in the parquet store, not
     * in Structured Streaming state, so it is unbounded-corpus-safe
     * (streaming state stores replicate per-key state in executor memory;
     * a corpus-sized key set does not fit, a parquet store does) and a
     * restart resumes from checkpoint + store contents.
+    *
+    * '''Exactly-once sinks under at-least-once foreachBatch.''' A
+    * replayed micro-batch (crash between the two writes, or a
+    * checkpoint-recovered restart re-running the last uncommitted batch)
+    * must not double-write. Both sinks are therefore written as one
+    * OVERWRITTEN segment directory per batch id — `outPath/batch-…` and
+    * `storePath/batch-…` — and the store read EXCLUDES the current
+    * batch's own segment, so a replay sees exactly the pre-batch store
+    * state, recomputes the identical survivor set, and overwrites both
+    * segments with identical content. (Reading the store naively would
+    * break replay a second way: the first attempt's appended signatures
+    * would self-match the replayed batch and drop every survivor.)
+    * A missing `storePath` bootstraps as an empty store, so a cold start
+    * needs no out-of-band [[graft.dedup.Dedup.writeSignatureStore]] call;
+    * an existing flat store written by that API is read alongside the
+    * batch segments. Read either sink root with
+    * [[graft.dedup.Dedup.readSignatureStore]]-style recursive listing
+    * (`spark.read.option("recursiveFileLookup", true)`).
     *
     * foreachBatch is the right harness here because the batch is joined
     * against an EXTERNAL, batch-updated table — not against keyed
@@ -323,30 +341,80 @@ object StreamOps {
       bands: Int,
       threshold: Double): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.dedup.Dedup
-        val spark = batch.sparkSession
-        // ONE shingle pass per micro-batch: the signature rows feed the
-        // dedup (bucket join + verify keys) AND the store append — the
-        // survivors' signatures are filtered from this cache instead of
-        // re-shingling the surviving text
-        val sigs = graft.util.OpCaches.cache(
-          Dedup.signatureRows(batch, n, numHashes, bands))
-        val dropped = graft.util.OpCaches.cache(
-          Dedup.incrementalDroppedIds(
-            sigs, spark.read.parquet(storePath), threshold))
-        batch.join(dropped, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(outPath)
-        sigs.join(dropped, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(storePath)
-        graft.util.OpCaches.releaseAll(spark)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatchAgainstStore(
+          batch, batchId, storePath, outPath, n, numHashes, bands, threshold)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination()
     finally q.stop()
+  }
+
+  /** One micro-batch of [[runStreamingDedupAgainstStore]] — deterministic
+    * and idempotent in (batch contents, batchId, pre-batch store state):
+    * re-executing it (foreachBatch replay) overwrites both segment
+    * directories with identical rows. Package-visible so the replay
+    * property is testable without faking a stream failure.
+    */
+  private[graft] def dedupBatchAgainstStore(
+      batch: DataFrame,
+      batchId: Long,
+      storePath: String,
+      outPath: String,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double): Unit = {
+    import graft.dedup.Dedup
+    val spark = batch.sparkSession
+    val segment = f"batch-$batchId%09d"
+    // ONE shingle pass per micro-batch: the signature rows feed the
+    // dedup (bucket join + verify keys) AND the store segment — the
+    // survivors' signatures are filtered from this cache instead of
+    // re-shingling the surviving text
+    val sigs = graft.util.OpCaches.cache(
+      Dedup.signatureRows(batch, n, numHashes, bands))
+    val store = readStoreSegmentsExcept(spark, storePath, segment, sigs)
+    val dropped = graft.util.OpCaches.cache(
+      Dedup.incrementalDroppedIds(sigs, store, threshold))
+    batch.join(dropped, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/$segment")
+    sigs.join(dropped, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$storePath/$segment")
+    graft.util.OpCaches.releaseAll(spark)
+    ()
+  }
+
+  /** Read every signature-store file under `root` EXCEPT the segment
+    * directory `exclude`: flat part-files (a [[graft.dedup.Dedup
+    * .writeSignatureStore]] bootstrap) and other batches' segment dirs.
+    * Missing or empty roots yield an empty frame (cold start). The read
+    * uses the template's schema explicitly — no inference, so a
+    * half-written (crashed, uncommitted) segment directory with no data
+    * files is harmless — and prunes to the template's columns.
+    */
+  private def readStoreSegmentsExcept(
+      spark: SparkSession,
+      root: String,
+      exclude: String,
+      template: DataFrame): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val empty = template.limit(0)
+    if (!fs.exists(rootPath)) empty
+    else {
+      val paths = fs.listStatus(rootPath).toIndexedSeq
+        .filter { st =>
+          val name = st.getPath.getName
+          !name.startsWith("_") && !name.startsWith(".") && name != exclude
+        }
+        .map(_.getPath.toString)
+      if (paths.isEmpty) empty
+      else spark.read.schema(template.schema).parquet(paths: _*)
+        .select(template.columns.map(col).toIndexedSeq: _*)
+    }
   }
 
   /** Shared core of the two runners: watermark both sides (required for

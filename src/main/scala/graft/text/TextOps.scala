@@ -654,6 +654,43 @@ object TextOps {
       .limit(k)
   }
 
+  /** [[ngramTopK]] with a count floor for web-scale vocabularies. The
+    * exact variant's shuffle carries one row per distinct n-gram per map
+    * partition — and distinct n-grams grow ~O(corpus tokens) (Heaps'
+    * law never flattens for n ≥ 2), so at 100 TB the exchange itself is
+    * corpus-sized. The floor cuts what survives the aggregate: counts
+    * below `minCount` are dropped before the top-k ordering, which
+    * bounds the TakeOrdered input, and — the part that matters
+    * operationally — makes the pass SHARDABLE: counts are
+    * shard-additive, and an n-gram with global count >= minCount has
+    * count >= ⌈minCount/#shards⌉ in at least one shard, so running this
+    * per shard with that reduced floor and re-aggregating the union
+    * never loses a qualifying n-gram while shipping only each shard's
+    * above-floor head. (Pruning the map-side partials directly would be
+    * unsound for the same reason in reverse — a frequent n-gram can sit
+    * below any per-partition floor on every partition.)
+    *
+    * Exactness guarantee: the result is EXACTLY the global top-k among
+    * n-grams with count >= minCount; whenever the true k-th most
+    * frequent n-gram has count >= minCount, it equals
+    * `ngramTopK(docs, n, k)`. Frequency distributions are Zipfian: the
+    * top-k counts for any useful k sit orders of magnitude above a
+    * floor like 5, so the floor discards only the singleton-dominated
+    * tail the top-k could never reach.
+    */
+  def ngramTopKPruned(
+      docs: DataFrame, n: Int, k: Int, minCount: Long): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minCount >= 1, "minCount must be >= 1")
+    docs
+      .select(explode(shingles(tokens(col("text")), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -267,6 +267,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(dirs.exists(_.startsWith("cell=")))
   }
 
+  test("appendToIvfIndex refit discipline: appends past maxGrowthFactor x " +
+      "the recorded fit count refuse when asked to, append otherwise") {
+    val store = "target/graft_stores/ivf_growth_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(store))
+    val corpus = vecs((0L to 9L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
+    Similarity.writeIvfIndex(corpus, nlist = 2, path = store)
+    // meta records the fit-time corpus size
+    assert(spark.read.parquet(s"$store/meta")
+      .select($"fit_count").as[Long].head() === 10L)
+    // growth to 2x of fit: under the 4x default, appends fine
+    val b1 = vecs((100L to 109L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
+    Similarity.appendToIvfIndex(b1, store, refuseBeyondGrowth = true)
+    assert(spark.read.parquet(s"$store/cells").count() === 20L)
+    // a batch that would take the index past 4x the fit count: refused
+    // when the flag is set, store untouched
+    val big = vecs((200L to 230L).map(i => i -> Seq(i * 1.0, 1.0)): _*)
+    val e = intercept[IllegalStateException] {
+      Similarity.appendToIvfIndex(big, store, refuseBeyondGrowth = true)
+    }
+    assert(e.getMessage.contains("writeIvfIndex"))
+    assert(spark.read.parquet(s"$store/cells").count() === 20L)
+    // default policy warns but appends (results stay searchable)
+    Similarity.appendToIvfIndex(big, store)
+    assert(spark.read.parquet(s"$store/cells").count() === 51L)
+  }
+
   test("ivfTopKFromStore validates nprobe against the stored nlist") {
     val store = "target/graft_stores/ivf_spec2"
     val pts = vecs((0L to 7L).map(i => i -> Seq(i * 1.0, 1.0)): _*)

@@ -92,6 +92,10 @@ class StreamingSpec extends AnyFunSuite {
     Dedup.writeSignatureStore(Seq(Doc(1L, t1, "c")).toDF(),
       n = 3, numHashes = 12, bands = 4, path = store)
 
+    def ids(path: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .select($"doc_id").as[Long].collect().toSet
+
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[Doc]
     // batch 1: a dup of the corpus doc (dropped against the store) and a
@@ -99,19 +103,60 @@ class StreamingSpec extends AnyFunSuite {
     mem.addData(Doc(10L, t1, "s"), Doc(11L, t2, "s"))
     StreamOps.runStreamingDedupAgainstStore(mem.toDF(), store, out, ckpt,
       n = 3, numHashes = 12, bands = 4, threshold = 0.5)
-    assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
-      === Set(11L))
+    assert(ids(out) === Set(11L))
     // batch 2 (same checkpoint: only NEW input processes): a dup of batch
     // 1's survivor — dropped via the signatures batch 1 appended — and a
     // fresh doc
     mem.addData(Doc(20L, t2, "s"), Doc(21L, t3, "s"))
     StreamOps.runStreamingDedupAgainstStore(mem.toDF(), store, out, ckpt,
       n = 3, numHashes = 12, bands = 4, threshold = 0.5)
-    assert(spark.read.parquet(out).select($"doc_id").as[Long].collect().toSet
-      === Set(11L, 21L))
+    assert(ids(out) === Set(11L, 21L))
     // the store now carries the corpus doc plus both survivors
-    assert(spark.read.parquet(store).select($"doc_id").as[Long].collect().toSet
-      === Set(1L, 11L, 21L))
+    assert(ids(store) === Set(1L, 11L, 21L))
+  }
+
+  test("dedupBatchAgainstStore: replaying a micro-batch (at-least-once " +
+      "foreachBatch) leaves both sinks byte-identical, and a missing " +
+      "store cold-starts as empty") {
+    val base = "target/stream_store_replay"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"; val out = s"$base/out"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten"
+    def read(path: String) =
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+    def snapshot(path: String): Seq[String] =
+      read(path).collect().map(_.toString).sorted.toSeq
+
+    // batch 0 runs against a NONEXISTENT store: cold start, everything
+    // (modulo within-batch dups) survives
+    StreamOps.dedupBatchAgainstStore(
+      Seq(Doc(1L, t1, "c"), Doc(2L, t1, "c")).toDF(), 0L,
+      store, out, n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    assert(read(out).select($"doc_id").as[Long].collect().toSet === Set(1L))
+
+    // batch 1: one cross-batch dup (dropped), one fresh survivor
+    StreamOps.dedupBatchAgainstStore(
+      Seq(Doc(10L, t1, "s"), Doc(11L, t2, "s")).toDF(), 1L,
+      store, out, n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    val outAfter = snapshot(out)
+    val storeAfter = snapshot(store)
+    assert(read(out).select($"doc_id").as[Long].collect().toSet
+      === Set(1L, 11L))
+
+    // REPLAY batch 1 (same contents, same id — what foreachBatch does
+    // after a crash between the two writes or a checkpoint-recovered
+    // restart): both sinks must come out identical, not doubled, and
+    // the first attempt's store segment must not self-match the batch
+    StreamOps.dedupBatchAgainstStore(
+      Seq(Doc(10L, t1, "s"), Doc(11L, t2, "s")).toDF(), 1L,
+      store, out, n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    assert(snapshot(out) === outAfter)
+    assert(snapshot(store) === storeAfter)
   }
 
   test("Graft.events truncates nanos to micros by integer division") {

@@ -245,6 +245,51 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept2.toSeq === Seq(21L))
   }
 
+  test("compactSignatureStore: file count drops, dedup results and store " +
+      "rows identical pre/post") {
+    val corpus = docs(
+      (1L, "a b c d e"),
+      (2L, "v w x y z"))
+    val store = java.nio.file.Files.createTempDirectory("sigcompact").toString
+    Dedup.writeSignatureStore(corpus, n = 3, numHashes = 12, bands = 4, store)
+    // simulate the daily loop's small-file buildup: several tiny appends
+    (0 until 4).foreach { day =>
+      Dedup.appendToSignatureStore(
+        docs((100L + day, s"day $day fresh content entirely new $day")),
+        n = 3, numHashes = 12, bands = 4, store)
+    }
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val batch = docs(
+      (200L, "a b c d e"),                      // dup of corpus doc 1
+      (201L, "day 2 fresh content entirely new 2"), // dup of appended doc
+      (202L, "genuinely novel words here only"))
+    def survivors(): Seq[Long] = {
+      val s = Dedup.incrementalNearDedupFromStore(batch, store,
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      graft.util.OpCaches.releaseAll(spark)
+      s
+    }
+    val filesBefore = parquetFiles(store)
+    val rowsBefore = Dedup.readSignatureStore(spark, store)
+      .collect().map(_.toString).sorted.toSeq
+    val before = survivors()
+    Dedup.compactSignatureStore(spark, store, targetFileRows = 1000L)
+    assert(parquetFiles(store) === 1) // 7 rows, one file
+    assert(parquetFiles(store) < filesBefore)
+    assert(Dedup.readSignatureStore(spark, store)
+      .collect().map(_.toString).sorted.toSeq === rowsBefore)
+    assert(survivors() === before)
+    assert(before === Seq(202L))
+    // swap leftovers are gone
+    assert(!new java.io.File(s"$store.__compacting").exists)
+    assert(!new java.io.File(s"$store.__precompact").exists)
+  }
+
   test("dupGroups reliable mode: same groups and rounds; checkpoint files " +
       "are released eagerly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
