@@ -636,6 +636,115 @@ object TextOps {
       .limit(k)
   }
 
+  /** Persist a BM25 postings index for [[bm25TopKFromStore]] — the
+    * build-once/search-many shape of keyword retrieval, mirroring the
+    * signature store ([[graft.dedup.Dedup.writeSignatureStore]]) and the
+    * IVF store ([[graft.sim.Similarity.writeIvfIndex]]): [[bm25TopK]]
+    * re-tokenizes the whole corpus on EVERY query batch, which a search
+    * service pays per call; this pays it once.
+    *
+    * Layout at `path`:
+    *   - `postings/` — (term, doc_id, dl, tf), the full inverted index,
+    *     partitioned by `tbucket = pmod(hash(term), nBuckets)`: a query
+    *     prunes to the few buckets its terms hash into (partition-level
+    *     file pruning), while directory count stays `nBuckets`, not
+    *     vocabulary-sized.
+    *   - `terms/`    — (term, df), same bucketing.
+    *   - `stats/`    — one row (n, sum_dl) of exact integer sums, so
+    *     query time derives the identical avgdl double the inline path
+    *     computes.
+    *
+    * One corpus text scan builds all three (the postings aggregate is
+    * cached; terms and nothing else reduce off it).
+    */
+  def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // ONE text scan: the tokenized doc-level frame feeds stats AND the
+    // posting explode (OpCaches-tracked, as bm25TopK's base is)
+    val base = graft.util.OpCaches.cache(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          col("t")))
+    val postings = graft.util.OpCaches.cache(
+      base
+        .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("double").as("tf")))
+    // stats over ALL docs (zero-token docs included — the inline path's
+    // N counts them too), exact integer sums so avgdl is engine-stable
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    postings
+      .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$path/postings")
+    postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$path/terms")
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** [[bm25TopK]] FROM a persisted index written by [[writeBm25Index]]:
+    * identical output (same stats, same idf, same ordered fold, same
+    * truncation — asserted query-for-query in the correctness gate), but
+    * query time never touches the corpus text: it reads one O(1) stats
+    * row, the queried terms' `terms/` rows, and the queried terms'
+    * postings — pruned first to the terms' hash-bucket PARTITIONS (the
+    * bucket ids come from running the writer's own `hash(term)`
+    * expression over the O(#terms) query list), then to the terms
+    * within. Everything downstream of the postings filter is the inline
+    * path's plan: broadcast idf join, ordered fold, TakeOrdered top-k.
+    */
+  def bm25TopKFromStore(
+      spark: org.apache.spark.sql.SparkSession,
+      queryTerms: Seq[String],
+      path: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(k > 0, "k must be positive")
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    // the writer's bucket ids for these terms — same hash() expression,
+    // evaluated over the O(#terms) query list, never driver-reimplemented
+    val qBuckets = terms.toDF("term")
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("tbucket"))
+      .distinct().as[Int].collect().toSeq
+    val stats = spark.read.parquet(s"$path/stats").collect()(0)
+    val n = stats.getLong(stats.fieldIndex("n"))
+    val sumDl = if (stats.isNullAt(stats.fieldIndex("sum_dl"))) 0L
+      else stats.getLong(stats.fieldIndex("sum_dl"))
+    val avgdl = if (n == 0L) 1.0 else sumDl.toDouble / n.toDouble
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tbucket").isin(qBuckets: _*) &&
+        col("term").isInCollection(terms))
+    val dfreq = spark.read.parquet(s"$path/terms")
+      .filter(col("tbucket").isin(qBuckets: _*) &&
+        col("term").isInCollection(terms))
+      .withColumn("idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.join(broadcast(dfreq.select(col("term"), col("idf"))), Seq("term"))
+      .withColumn("w",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col("doc_id"))
+      // same lexical-term-order fold as [[bm25TopK]] — bit-deterministic
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w")).as("raw"))
+      .select(col("doc_id"), (floor(col("raw") * 1e6) / 1e6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Corpus-wide token n-gram frequency top-k — the vocabulary /
     * LM-prep counting pass (top collocations, boilerplate phrase
     * discovery). One corpus scan explodes the in-row [[shingles]]

@@ -251,6 +251,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "an embeddings scan without the query filter re-reads the corpus")
   }
 
+  test("bm25TopKFromStore reads postings + terms partitions, never the " +
+      "corpus text; the bucket filter prunes partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.text.TextOps
+    val docs = Graft.table(spark, sf, "documents")
+    val store = "target/test_bm25store"
+    TextOps.writeBm25Index(docs, store)
+    val df = TextOps.bm25TopKFromStore(
+      spark, Seq("customer", "vector", "stream"), store, k = 10)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    graft.util.OpCaches.releaseAll(spark)
+    // query time touches ONLY the store: no documents.parquet scan at all
+    assert(scans.nonEmpty)
+    assert(scans.forall(
+      _.relation.location.rootPaths.exists(_.toString.contains("test_bm25store"))),
+      s"non-store scan at query time: ${scans.map(_.relation.location.rootPaths.mkString)}")
+    assert(scans.forall(!_.schema.fieldNames.contains("text")))
+    // the term-hash-bucket partition filter reaches every store scan, so
+    // a query reads its terms' buckets, not the whole index
+    assert(scans.forall(_.toString.contains("tbucket")),
+      "store scans without a tbucket partition filter read the full index")
+  }
+
   test("semDedup: within-cell equality join only — no cartesian or " +
       "nested-loop pair generation") {
     import graft.kmeans.OpsN

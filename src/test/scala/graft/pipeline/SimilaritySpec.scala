@@ -297,6 +297,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$store/cells").count() === 51L)
   }
 
+  test("oracle fixture guard: sized queries stay on the literal assign " +
+      "path at correctness-gate scale") {
+    // sm_semdedup_sized's oracle equivalence silently DEPENDS on
+    // nlist = ceil(n / targetCellSize) <= assignNAdaptive's literalBound
+    // at the fixture scale: past the bound the crossjoin path takes over,
+    // whose aggregation-order (last-ulp) differences break hash equality
+    // with the unrolled SQL oracle. This assertion turns a fixture growth
+    // into THIS failure instead of an opaque oracle hash mismatch.
+    // (Constants mirror SparkEntry's sm_semdedup_sized: targetCellSize=64,
+    // and assignNAdaptive's default literalBound=64.)
+    val targetCellSize = 64L
+    val literalBound = 64
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val nlist = math.max((n + targetCellSize - 1) / targetCellSize, 1L)
+      assert(nlist <= literalBound,
+        s"$dir: embeddings fixture has grown to $n rows -> sized nlist " +
+          s"$nlist exceeds literalBound $literalBound; sm_semdedup_sized's " +
+          "oracle check would flip to the crossjoin path and hash-mismatch. " +
+          "Raise literalBound in the query or re-derive the sized oracle.")
+    }
+  }
+
   test("ivfTopKFromStore validates nprobe against the stored nlist") {
     val store = "target/graft_stores/ivf_spec2"
     val pts = vecs((0L to 7L).map(i => i -> Seq(i * 1.0, 1.0)): _*)

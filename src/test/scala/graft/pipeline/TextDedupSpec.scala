@@ -455,6 +455,34 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq === Seq(("a b", 2L)))
   }
 
+  test("bm25 store: bm25TopKFromStore reproduces bm25TopK exactly; " +
+      "ngramTopKPruned floors the exact counts") {
+    val d = docs(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark spark spark and more spark"),
+      (3L, "the cluster runs jobs"),
+      (4L, "nothing relevant here at all"))
+    val store = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    TextOps.writeBm25Index(d, store, nBuckets = 8)
+    val inline = TextOps.bm25TopK(d, Seq("spark", "cluster"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val stored = TextOps.bm25TopKFromStore(
+        spark, Seq("spark", "cluster"), store, k = 10, nBuckets = 8)
+      .as[(Long, Double)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    assert(stored === inline) // same rows, same order, bit-equal scores
+    // pruned n-gram counting: same head as exact when the floor is below
+    // the k-th count; above it, only the floored rows remain
+    val ng = docs((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+    assert(TextOps.ngramTopKPruned(ng, n = 2, k = 10, minCount = 2)
+      .as[(String, Long)].collect().toSeq
+      === Seq(("a b", 3L), ("b c", 2L)))
+    assert(TextOps.ngramTopKPruned(ng, n = 2, k = 10, minCount = 1)
+      .as[(String, Long)].collect().toSeq
+      === TextOps.ngramTopK(ng, n = 2, k = 10)
+        .as[(String, Long)].collect().toSeq)
+  }
+
   test("bm25TopK: tf saturates (k1) — ten repeats score below 10x one hit") {
     val d = docs(
       (1L, ("spark " * 10) + "a b c d e f g h i"),
