@@ -21,7 +21,17 @@ import org.apache.spark.sql.SparkSession
   *   - `clearCache()` before every run: the dedup/similarity operators
   *     persist shared sub-plans, and Spark's CacheManager matches by
   *     canonicalized plan, so without it run N>1 would silently re-read
-  *     run 1's cache and measure only the tail of each pipeline.
+  *     run 1's cache and measure only the tail of each pipeline;
+  *   - per-pass CONTAMINATION GATE: a timed pass is rejected and re-run
+  *     (within a retry budget) when its post-pass 1-min loadavg exceeds
+  *     `SPARK_GRAFT_LOAD_GATE` (default 5.0 ≈ 2x this box's ~2.5
+  *     I/O-wait idle) OR its total exceeds `SPARK_GRAFT_PASS_OUTLIER`
+  *     (default 1.4) x the best pass seen — box noise is one-sided, so
+  *     a far-above-best total is contamination by construction.
+  *     Rejections are reported; an exhausted budget accepts remaining
+  *     passes with their loads visible. The 10x scale block instead
+  *     relies on min-of-N (its own saturated load defeats loadavg
+  *     gating there).
   *
   * After the per-query passes, a SCALE-SMOKE block re-times the four
   * dedup/ANN heads against a ~10× structure-preserving replication of the
@@ -86,13 +96,48 @@ object Bench {
     def load1(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // CONTAMINATION GATE (round-10, after the r9 artifact was
+    // contamination-dominated: total MAD 29.5 s vs 0.87 s in r8, end
+    // loadavg 25.9 — an artifact that cannot certify round-over-round
+    // performance): a timed pass is REJECTED and re-run, within a retry
+    // budget, when either
+    //   (a) its post-pass 1-min loadavg exceeds `SPARK_GRAFT_LOAD_GATE`
+    //       (default 5.0 ≈ 2x this box's ~2.5 I/O-wait idle), or
+    //   (b) its total exceeds `SPARK_GRAFT_PASS_OUTLIER` (default 1.4)
+    //       x the best total seen so far (last warm-up included).
+    // (b) exists because (a) alone provably misses real events: the
+    // first gated r10 run caught a 314.9 s pass (clean ≈ 90 s) whose
+    // end-of-pass loadavg had already decayed to 4.6 — under the gate.
+    // Box noise here is ONE-SIDED (I/O-wait only ever adds time), so a
+    // total far above the best pass is contamination by construction,
+    // never a property of the code under test. Rejected (total, load)
+    // pairs are reported — evidence of what was excluded, not silence —
+    // and when the budget runs out remaining passes are accepted with
+    // their loads visible, so a permanently-loaded box degrades to the
+    // old behavior rather than spinning forever.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "5.0").toDouble
+    val passOutlier =
+      sys.env.getOrElse("SPARK_GRAFT_PASS_OUTLIER", "1.4").toDouble
+    var gateRetries = sys.env.getOrElse("SPARK_GRAFT_GATE_RETRIES", "6").toInt
+    val rejectedPasses = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val passes: Seq[Map[String, Double]] =
-      (1 to runs).map { _ =>
-        val p = names.map(n => n -> runOnce(n)).toMap
-        passLoads += load1()
-        p
+    val passBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    var bestTotal =
+      if (warmupTotals.nonEmpty) warmupTotals.last else Double.MaxValue
+    while (passBuf.length < runs) {
+      val p = names.map(n => n -> runOnce(n)).toMap
+      val l = load1()
+      val t = p.values.sum
+      bestTotal = math.min(bestTotal, t)
+      if ((l > loadGate || t > passOutlier * bestTotal) && gateRetries > 0) {
+        gateRetries -= 1
+        rejectedPasses += ((t, l))
+      } else {
+        passBuf += p
+        passLoads += l
       }
+    }
+    val passes: Seq[Map[String, Double]] = passBuf.toSeq
 
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
     val med = names.map(n => n -> median(passes.map(_(n)))).toMap
@@ -114,10 +159,14 @@ object Bench {
     // sm_semdedup_sized is the same contrast for the semantic-dedup
     // head (fixed 8 cells → within-cell pairs grow n²/8; sized holds
     // occupancy ~64 so pairs stay ~64n)
+    // the two persisted-store paths ride along (round-10): their
+    // O(corpus) build + O(batch) query composition is re-measured per
+    // round like the inline siblings', instead of resting on plan locks
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_dup_groups", "sm_cosine_lsh_neardup",
       "sm_cosine_lsh_sized", "sm_ann_ivf_topk",
-      "sm_semdedup", "sm_semdedup_sized")
+      "sm_semdedup", "sm_semdedup_sized",
+      "dd_incremental_store", "sm_ann_ivf_store")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
@@ -133,16 +182,25 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }
         scaleQueries.foreach(runScale) // warm-up (JIT + footer cache)
-        // min of 3: the box's I/O-wait spikes are one-sided (they only
-        // ever ADD time), and a spike landing on both of 2 runs turned a
-        // linear 7x ratio into an apparent-superlinear 12x in round 8
-        val times = scaleQueries.map(n => n -> Seq.fill(3)(runScale(n)).min)
+        // min of N (default 3): the box's I/O-wait spikes are one-sided
+        // (they only ever ADD time), and a spike landing on both of 2
+        // runs turned a linear 7x ratio into an apparent-superlinear 12x
+        // in round 8. No loadavg gate HERE: back-to-back 10x-corpus runs
+        // saturate local[32] by design, so 1-min loadavg cannot separate
+        // our own load from contamination (the first gated r10 run
+        // burned its whole scale retry budget on self-load while
+        // min-of-3 still produced clean ratios) — min over extra runs is
+        // the right guard; widen SPARK_GRAFT_SCALE_RUNS if a ratio
+        // looks off.
+        val scaleRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+        val times =
+          scaleQueries.map(n => n -> Seq.fill(scaleRuns)(runScale(n)).min)
         val sq = times.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
         val ratios = times.map { case (n, t) =>
           s"\"$n\":${if (med(n) > 0) t / med(n) else -1.0}"
         }.mkString("{", ",", "}")
         s""","scale":{"base":"$sfDir","replicas":$scaleReplicas,""" +
-          s""""queries":$sq,"ratio_vs_base":$ratios}"""
+          s""""queries":$sq,"ratio_vs_base":$ratios,"runs":$scaleRuns}"""
       } catch {
         case e: Throwable => s""","scale":{"error":"${e.getClass.getName}"}"""
       }
@@ -159,12 +217,15 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ").take(3).mkString("[", ",", "]")
       catch { case _: Exception => "[]" }
+    val rejectedJson = rejectedPasses
+      .map { case (t, l) => s"[$t,$l]" }.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_mad":$mads,"sf":"$sfDir","runs":$runs,""" +
         s""""pass_totals":$totalsJson,"spread_sec":$spread,""" +
         s""""total_mad_sec":$totalMad,"warmup_totals":$warmupJson,""" +
         s""""pass_loadavg":${passLoads.mkString("[", ",", "]")},""" +
+        s""""load_gate":$loadGate,"rejected_passes":$rejectedJson,""" +
         s""""loadavg_end":$loadAvg,"materialize":"noop"$scaleJson}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
