@@ -516,19 +516,8 @@ object Dedup {
     val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
       .min(Int.MaxValue.toLong).toInt
     val tmp = s"$storePath.__compacting"
-    val old = s"$storePath.__precompact"
     rows.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    if (!fs.rename(root, new org.apache.hadoop.fs.Path(old)))
-      throw new java.io.IOException(s"compaction swap failed: $storePath")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), root))
-      throw new java.io.IOException(
-        s"compaction swap failed restoring $storePath — previous store " +
-          s"preserved at $old")
-    fs.delete(new org.apache.hadoop.fs.Path(old), true)
-    ()
+    graft.util.StoreFiles.swapInto(spark, storePath, tmp)
   }
 
   /** The signature-level core of [[incrementalNearDedupFromStore]]: the

@@ -360,6 +360,40 @@ object Similarity {
     }
   }
 
+  /** Compact an IVF index's `cells` after a season of
+    * [[appendToIvfIndex]] runs — each daily append adds a handful of
+    * small parquet files (per cell, in the partitioned layout), and the
+    * probe-time scan eventually pays more in listing + footers than
+    * bytes; the signature store has the same maintenance pass
+    * ([[graft.dedup.Dedup.compactSignatureStore]]). Flat layout
+    * coalesces to ⌈rows / targetFileRows⌉ files; the `cell=`-partitioned
+    * layout repartitions BY CELL first, so each cell directory collapses
+    * to one file while partition pruning is preserved. The quantizer,
+    * meta, and search results are untouched (asserted in
+    * SimilaritySpec). Same offline contract as the swap it shares:
+    * run with no readers and no in-flight appends.
+    */
+  def compactIvfCells(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      partitionCells: Boolean = false,
+      targetFileRows: Long = 4L * 1024 * 1024): Unit = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val cellsPath = s"$path/cells"
+    val rows = spark.read.parquet(cellsPath)
+    val tmp = s"$cellsPath.__compacting"
+    if (partitionCells)
+      rows.repartition(col("cell")).write.mode("overwrite")
+        .partitionBy("cell").parquet(tmp)
+    else {
+      val total = rows.count()
+      val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
+        .min(Int.MaxValue.toLong).toInt
+      rows.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    }
+    graft.util.StoreFiles.swapInto(spark, cellsPath, tmp)
+  }
+
   private def readIvfCentroids(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[graft.kmeans.CentroidN] = {

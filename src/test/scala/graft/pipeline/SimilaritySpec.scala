@@ -320,6 +320,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("compactIvfCells: file count drops in both layouts, search results " +
+      "and quantizer identical pre/post") {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val corpus = graft.kmeans.OpsN.pointsFromEmbeddings(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+      .select($"pid".as("id"), $"features".as("vec"))
+    val q = corpus.filter($"id" < 5)
+    Seq(false, true).foreach { part =>
+      val store = s"target/graft_stores/ivf_compact_$part"
+      rm(new java.io.File(store))
+      Similarity.writeIvfIndex(corpus, nlist = 4, path = store,
+        partitionCells = part)
+      // a week of daily appends: small files accumulate
+      (0 until 3).foreach { day =>
+        val batch = corpus.filter($"id" >= 490)
+          .select(($"id" + 100000L * (day + 1)).as("id"), $"vec")
+        Similarity.appendToIvfIndex(batch, store, partitionCells = part)
+      }
+      val before = Similarity.ivfTopKFromStore(q, store, k = 5, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq
+      val centroidsBefore =
+        spark.read.parquet(s"$store/centroids").collect().toSeq
+      val filesBefore = parquetFiles(s"$store/cells")
+      Similarity.compactIvfCells(spark, store, partitionCells = part)
+      assert(parquetFiles(s"$store/cells") < filesBefore)
+      assert(Similarity.ivfTopKFromStore(q, store, k = 5, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq === before)
+      assert(spark.read.parquet(s"$store/centroids").collect().toSeq
+        === centroidsBefore)
+      if (part) {
+        // partition pruning survives: cells still live under cell= dirs,
+        // one file each after compaction
+        val dirs = new java.io.File(s"$store/cells").listFiles
+          .filter(_.isDirectory).filter(_.getName.startsWith("cell="))
+        assert(dirs.nonEmpty)
+        assert(dirs.forall(d =>
+          d.listFiles.count(_.getName.endsWith(".parquet")) === 1))
+      }
+      assert(!new java.io.File(s"$store/cells.__compacting").exists)
+      assert(!new java.io.File(s"$store/cells.__precompact").exists)
+    }
+  }
+
   test("ivfTopKFromStore validates nprobe against the stored nlist") {
     val store = "target/graft_stores/ivf_spec2"
     val pts = vecs((0L to 7L).map(i => i -> Seq(i * 1.0, 1.0)): _*)

@@ -483,6 +483,38 @@ class TextDedupSpec extends AnyFunSuite {
         .as[(String, Long)].collect().toSeq)
   }
 
+  test("ngramTopKPruned shard pattern: a per-shard floor of " +
+      "ceil(minCount/#shards) never loses a globally-qualifying n-gram") {
+    // the documented scale recipe: count per shard with the reduced
+    // floor, union the shard heads as CANDIDATES, then an exact pass
+    // (here: the global aggregate restricted to candidates) — membership
+    // is the guarantee (counts come from the second pass, not the union)
+    val rows = (1L to 30L).map { i =>
+      val body =
+        if (i % 3 == 0) "common phrase here"  // 10 docs, every shard
+        else if (i % 7 == 0) "rare pair only" // 4 docs, uneven shards
+        else s"unique text $i"
+      (i, body)
+    }
+    val all = docs(rows: _*)
+    val minCount = 4
+    val nShards = 3
+    val perShardFloor = (minCount + nShards - 1) / nShards // = 2
+    val candidates = (0 until nShards)
+      .map(s => TextOps.ngramTopKPruned(
+        all.filter($"doc_id" % nShards === s), n = 2, k = 1000,
+        minCount = perShardFloor))
+      .reduce(_.unionByName(_))
+      .select($"ngram").distinct()
+      .as[String].collect().toSet
+    val qualifying = TextOps.ngramTopKPruned(
+        all, n = 2, k = 1000, minCount = minCount)
+      .as[(String, Long)].collect().toSeq
+    assert(qualifying.nonEmpty)
+    assert(qualifying.map(_._1).toSet.subsetOf(candidates),
+      s"lost qualifying n-grams: ${qualifying.map(_._1).toSet -- candidates}")
+  }
+
   test("bm25TopK: tf saturates (k1) — ten repeats score below 10x one hit") {
     val d = docs(
       (1L, ("spark " * 10) + "a b c d e f g h i"),
