@@ -645,6 +645,21 @@ object SparkEntry {
         s, Seq("customer", "vector", "stream"), store, k = 10)
     },
 
+    // The daily-ingest shape of the same store: build on half the
+    // corpus, appendToBm25Index the other half (one tokenize pass over
+    // the batch; postings + df-delta + stats segments summed at read) —
+    // the result must be bit-identical to indexing the full corpus,
+    // so the oracle is tx_bm25_store's
+    "tx_bm25_append" -> { (s, dir) =>
+      val store = "target/graft_stores/bm25app_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = Graft.table(s, dir, "documents")
+      TextOps.writeBm25Index(d.filter(col("doc_id") % 2 === 0), store)
+      TextOps.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), store)
+      TextOps.bm25TopKFromStore(
+        s, Seq("customer", "vector", "stream"), store, k = 10)
+    },
+
     // Top-20 token bigrams with counts (vocabulary / collocation pass):
     // one scan, map-side-combined count aggregate, TakeOrdered top-k
     "tx_ngram_topk" -> { (s, dir) =>
@@ -1652,6 +1667,39 @@ object SparkEntry {
     // the store-backed path must reproduce the inline scores exactly —
     // same oracle as tx_bm25_topk
     "tx_bm25_store" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['customer','vector','stream'], x)) AS qt
+        |  FROM documents
+        |),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(qt) AS term FROM base)
+        |  GROUP BY doc_id, dl, term
+        |),
+        |dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |),
+        |w AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * t.tf * (1.2 + 1.0)
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / (s.s * 1.0 / s.n))) AS w
+        |  FROM tf t JOIN dfreq d USING (term), stats s
+        |),
+        |scored AS (
+        |  SELECT doc_id, list_sum(list(w ORDER BY term)) AS raw
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT doc_id, floor(raw * 1000000.0) / 1000000.0 AS score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // build-on-half + append-half must be bit-identical to indexing the
+    // full corpus — same oracle again
+    "tx_bm25_append" ->
       """WITH base AS (
         |  SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,

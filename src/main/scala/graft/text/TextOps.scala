@@ -650,9 +650,15 @@ object TextOps {
     *     file pruning), while directory count stays `nBuckets`, not
     *     vocabulary-sized.
     *   - `terms/`    — (term, df), same bucketing.
-    *   - `stats/`    — one row (n, sum_dl) of exact integer sums, so
-    *     query time derives the identical avgdl double the inline path
-    *     computes.
+    *   - `stats/`    — (n, sum_dl, n_buckets) rows of exact integer
+    *     sums, so query time derives the identical avgdl double the
+    *     inline path computes. The store is LOG-STRUCTURED: each
+    *     [[appendToBm25Index]] batch adds a stats segment row and
+    *     per-term df deltas, and readers sum them — so `stats/` and
+    *     `terms/` are multisets of contributions, not snapshots.
+    *     `n_buckets` rides in stats so append and query derive the
+    *     writer's bucketing from the store itself (a mis-passed bucket
+    *     count cannot silently mis-prune).
     *
     * One corpus text scan builds all three (the postings aggregate is
     * cached; terms and nothing else reduce off it).
@@ -660,7 +666,42 @@ object TextOps {
   def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = docs.sparkSession
-    import spark.implicits._
+    writeBm25Segment(docs, path, nBuckets, overwrite = true)
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** Append a batch of documents to a BM25 index written by
+    * [[writeBm25Index]] — the daily-ingest tail of the search loop, the
+    * same shape as [[graft.dedup.Dedup.appendToSignatureStore]] and
+    * [[graft.sim.Similarity.appendToIvfIndex]]: one tokenize pass over
+    * the BATCH, never a corpus re-read. Postings rows append as-is;
+    * `terms/` gains the batch's per-term df DELTAS and `stats/` one
+    * (n, sum_dl) segment row — both summed at read by
+    * [[bm25TopKFromStore]], so an appended store answers queries
+    * bit-identically to a full rebuild over the union (asserted in
+    * TextDedupSpec). The bucket count comes from the store's own stats,
+    * so a batch cannot mis-bucket. `doc_id`s must be NEW to the store —
+    * re-appending a document double-counts its tf, df, and stats
+    * contributions. Parquet `append` is not transactional: a failed
+    * append can leave a partial segment; exactly-once is the caller's
+    * contract, as with the sibling stores. Small segments accumulate
+    * files — [[compactBm25Index]] folds them.
+    */
+  def appendToBm25Index(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    writeBm25Segment(docs, path, storedBucketCount(spark, path),
+      overwrite = false)
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** One corpus/batch tokenize pass fanned into the three store
+    * components (shared by [[writeBm25Index]] / [[appendToBm25Index]];
+    * caller releases the OpCaches entries after both writes land).
+    */
+  private def writeBm25Segment(
+      docs: DataFrame, path: String, nBuckets: Int,
+      overwrite: Boolean): Unit = {
+    val mode = if (overwrite) "overwrite" else "append"
     // ONE text scan: the tokenized doc-level frame feeds stats AND the
     // posting explode (OpCaches-tracked, as bm25TopK's base is)
     val base = graft.util.OpCaches.cache(
@@ -676,17 +717,72 @@ object TextOps {
     // stats over ALL docs (zero-token docs included — the inline path's
     // N counts them too), exact integer sums so avgdl is engine-stable
     base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode(mode).parquet(s"$path/stats")
     postings
       .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tbucket")
+      .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$path/postings")
     postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
       .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
-      .write.mode("overwrite").partitionBy("tbucket")
+      .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$path/terms")
-    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** The bucket count a store was written with, from its own stats
+    * segments (every segment records it; a mixed store is corrupt and
+    * refused).
+    */
+  private def storedBucketCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val bs = spark.read.parquet(s"$path/stats")
+      .select(col("n_buckets")).distinct().collect().map(_.getInt(0))
+    require(bs.length == 1,
+      s"BM25 store at $path has inconsistent bucket counts: " +
+        bs.sorted.mkString(","))
+    bs(0)
+  }
+
+  /** Compact a BM25 index in place: daily [[appendToBm25Index]] runs
+    * each add a stats segment row, per-term df-delta rows, and a
+    * handful of small postings files per bucket; after months the
+    * store read pays more in file listing + footer opens + per-term
+    * delta rows than in bytes. Folds `stats/` to one row, `terms/` to
+    * one row per term (the summed df the reader would compute), and
+    * rewrites `postings/` hash-distributed on `tbucket` into
+    * ⌈rows / targetFileRows⌉ tasks — each bucket lands in exactly one
+    * task, so every partition directory compacts to a single file —
+    * then swaps the rewrite in. Query results are bit-identical
+    * pre/post (asserted in TextDedupSpec). Run OFFLINE: the swap
+    * window is not atomic for concurrent readers, same contract as
+    * [[graft.dedup.Dedup.compactSignatureStore]].
+    */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileRows: Long = 4L * 1024 * 1024): Unit = {
+    require(targetFileRows > 0, "targetFileRows must be positive")
+    val nBuckets = storedBucketCount(spark, path)
+    val tmp = s"$path.__compacting"
+    val postings = spark.read.parquet(s"$path/postings")
+    val total = postings.count()
+    val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
+      .min(Int.MaxValue.toLong).toInt
+    postings.repartition(nFiles, col("tbucket"))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$tmp/postings")
+    spark.read.parquet(s"$path/terms")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(nFiles, col("tbucket"))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$tmp/terms")
+    spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$tmp/stats")
+    graft.util.StoreFiles.swapInto(spark, path, tmp)
   }
 
   /** [[bm25TopK]] FROM a persisted index written by [[writeBm25Index]]:
@@ -699,6 +795,12 @@ object TextOps {
     * expression over the O(#terms) query list), then to the terms
     * within. Everything downstream of the postings filter is the inline
     * path's plan: broadcast idf join, ordered fold, TakeOrdered top-k.
+    *
+    * The store may carry [[appendToBm25Index]] segments: stats rows and
+    * per-term df deltas are summed here (an O(#segments) scalar and an
+    * O(#terms-rows) aggregate), so build+append stores answer
+    * bit-identically to a full rebuild. The bucket count comes from the
+    * store's own stats.
     */
   def bm25TopKFromStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -706,21 +808,24 @@ object TextOps {
       path: String,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75,
-      nBuckets: Int = 64): DataFrame = {
+      b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(k > 0, "k must be positive")
     import spark.implicits._
     val terms = queryTerms.distinct
+    val nBuckets = storedBucketCount(spark, path)
     // the writer's bucket ids for these terms — same hash() expression,
     // evaluated over the O(#terms) query list, never driver-reimplemented
     val qBuckets = terms.toDF("term")
       .select(pmod(hash(col("term")), lit(nBuckets)).as("tbucket"))
       .distinct().as[Int].collect().toSeq
-    val stats = spark.read.parquet(s"$path/stats").collect()(0)
-    val n = stats.getLong(stats.fieldIndex("n"))
-    val sumDl = if (stats.isNullAt(stats.fieldIndex("sum_dl"))) 0L
-      else stats.getLong(stats.fieldIndex("sum_dl"))
+    // exact integer sums over the store's segment rows (one row per
+    // write/append) — identical n / avgdl to a monolithic rebuild
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+      .collect()(0)
+    val n = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val avgdl = if (n == 0L) 1.0 else sumDl.toDouble / n.toDouble
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tbucket").isin(qBuckets: _*) &&
@@ -728,6 +833,9 @@ object TextOps {
     val dfreq = spark.read.parquet(s"$path/terms")
       .filter(col("tbucket").isin(qBuckets: _*) &&
         col("term").isInCollection(terms))
+      // fold append segments' df deltas; a compacted store has one row
+      // per term and this is a no-op aggregate over it
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .withColumn("idf",
         log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
     tf.join(broadcast(dfreq.select(col("term"), col("idf"))), Seq("term"))

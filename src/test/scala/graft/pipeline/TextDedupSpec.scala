@@ -467,7 +467,7 @@ class TextDedupSpec extends AnyFunSuite {
     val inline = TextOps.bm25TopK(d, Seq("spark", "cluster"), k = 10)
       .as[(Long, Double)].collect().toSeq
     val stored = TextOps.bm25TopKFromStore(
-        spark, Seq("spark", "cluster"), store, k = 10, nBuckets = 8)
+        spark, Seq("spark", "cluster"), store, k = 10)
       .as[(Long, Double)].collect().toSeq
     graft.util.OpCaches.releaseAll(spark)
     assert(stored === inline) // same rows, same order, bit-equal scores
@@ -481,6 +481,61 @@ class TextDedupSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
       === TextOps.ngramTopK(ng, n = 2, k = 10)
         .as[(String, Long)].collect().toSeq)
+  }
+
+  test("bm25 store append + compaction: build+append answers bit-equal " +
+      "to a full rebuild; compaction shrinks files and changes nothing") {
+    val d1 = docs(
+      (1L, "spark shuffles data across the cluster"),
+      (2L, "spark spark spark and more spark"),
+      (3L, "the cluster runs jobs"))
+    val d2 = docs(
+      (4L, "cluster cluster spark again"),
+      (5L, "nothing relevant here at all"))
+    val store = java.nio.file.Files.createTempDirectory("bm25app").toString
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    TextOps.writeBm25Index(d1, store, nBuckets = 8)
+    // simulate the daily-ingest loop: two append segments
+    TextOps.appendToBm25Index(d2.filter($"doc_id" === 4L), store)
+    TextOps.appendToBm25Index(d2.filter($"doc_id" === 5L), store)
+    TextOps.writeBm25Index(d1.unionByName(d2), full, nBuckets = 8)
+    def topk(path: String): Seq[(Long, Double)] = {
+      val r = TextOps.bm25TopKFromStore(
+          spark, Seq("spark", "cluster"), path, k = 10)
+        .as[(Long, Double)].collect().toSeq
+      graft.util.OpCaches.releaseAll(spark)
+      r
+    }
+    val appended = topk(store)
+    assert(appended === topk(full)) // same rows, same order, bit-equal
+    // df deltas really are per-segment rows pre-compaction: "cluster"
+    // appears in the base segment and the first append segment
+    val dfRows = spark.read.parquet(s"$store/terms")
+      .filter($"term" === "cluster").count()
+    assert(dfRows === 2L)
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles(store)
+    TextOps.compactBm25Index(spark, store, targetFileRows = 1000L)
+    assert(parquetFiles(store) < filesBefore)
+    // folded: one row per term, one stats row, one file per bucket dir
+    assert(spark.read.parquet(s"$store/terms")
+      .filter($"term" === "cluster").count() === 1L)
+    assert(spark.read.parquet(s"$store/stats").count() === 1L)
+    assert(topk(store) === appended)
+    assert(!new java.io.File(s"$store.__compacting").exists)
+    assert(!new java.io.File(s"$store.__precompact").exists)
+    // a store with inconsistent bucket counts is refused, not mis-pruned
+    val bad = java.nio.file.Files.createTempDirectory("bm25bad").toString
+    TextOps.writeBm25Index(d1, bad, nBuckets = 8)
+    Seq((0L, 0L, 16)).toDF("n", "sum_dl", "n_buckets")
+      .write.mode("append").parquet(s"$bad/stats")
+    intercept[IllegalArgumentException] {
+      TextOps.bm25TopKFromStore(spark, Seq("spark"), bad, k = 5)
+    }
   }
 
   test("ngramTopKPruned shard pattern: a per-shard floor of " +
