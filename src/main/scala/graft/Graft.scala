@@ -38,20 +38,29 @@ object Graft {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** The events table with `ts` normalized to a TIMESTAMP column (the
-    * fixture stores TIMESTAMP(NANOS); Spark reads it as long nanos under
-    * the legacy flag — truncate to micros, matching DuckDB's nanos→micros
-    * cast).
+  /** The events table with `ts` normalized to a TIMESTAMP column. The
+    * driver has shipped the fixture in two shapes across rounds —
+    * TIMESTAMP(NANOS) (read as long nanos under the legacy flag) and
+    * timestamp[us] with no timezone (read as TIMESTAMP_NTZ) — and
+    * watermarks / `unix_micros` both require plain TIMESTAMP, so every
+    * shape funnels to one type here rather than in each operator.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  private def normalizeTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = table(spark, sfDir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         // integer division — `/` is double division and long→double loses
         // precision above 2^53, shifting ~12% of nanos timestamps by 1µs
         // vs DuckDB's integer truncation
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // sessions run UTC, so the naive wall-clock micros carry over
+        // unchanged — same instants DuckDB reads from the same file
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
@@ -97,7 +106,6 @@ object Graft {
     * stream, zero data copied.
     */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     // unconditionally, not inside the cached thunk: on a cache hit the
     // batch peek (which sets it via table()) is skipped, and an ad-hoc
     // session that never read events as a batch would fail at stream-read
@@ -118,11 +126,6 @@ object Graft {
           .toAbsolutePath.normalize())
       (table(spark, sfDir, "events").schema, dir.toString)
     })
-    val stream = spark.readStream.schema(schema).parquet(streamDir)
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => stream
-    }
+    normalizeTs(spark.readStream.schema(schema).parquet(streamDir))
   }
 }

@@ -159,16 +159,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(snapshot(store) === storeAfter)
   }
 
-  test("Graft.events truncates nanos to micros by integer division") {
+  test("Graft.events normalizes the fixture ts to TIMESTAMP micros") {
     val sf = "/root/testdata/sf0.001"
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("event_id", "ts AS raw_ns")
+    val rawDf = spark.read.parquet(s"$sf/events.parquet")
+    // one expression per fixture shape, each yielding the naive micros
+    // DuckDB would read from the same file
+    val rawUs = rawDf.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts div 1000" // nanos
+      case _ => "unix_micros(cast(ts AS timestamp))" // us / us-NTZ (UTC)
+    }
+    val raw = rawDf.selectExpr("event_id", s"$rawUs AS raw_us")
     val norm = graft.Graft.events(spark, sf)
-      .selectExpr("event_id", "unix_micros(ts) AS us")
-    val joined = norm.join(raw, "event_id")
+    assert(norm.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val joined = norm.selectExpr("event_id", "unix_micros(ts) AS us")
+      .join(raw, "event_id")
       .selectExpr("count(*) AS total",
-        "sum(CASE WHEN us = raw_ns div 1000 THEN 0 ELSE 1 END) AS bad")
+        "sum(CASE WHEN us = raw_us THEN 0 ELSE 1 END) AS bad")
       .collect().head
+    assert(joined.getLong(0) > 0L)
     assert(joined.getLong(1) === 0L, s"off-by-1us rows: ${joined.getLong(1)}")
   }
 
