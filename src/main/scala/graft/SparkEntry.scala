@@ -1056,6 +1056,15 @@ object SparkEntry {
         .agg(countDistinct(col("tok")).as("vocab"))
     },
 
+    // The sketch form of tx_distinct_vocab: fixed-size HLL++ per source,
+    // so the exchange stops scaling with vocabulary size. No SQL oracle
+    // (HLL implementations differ across engines); the rows-only driver
+    // check plus the spec's error bound vs the exact count gate it.
+    "tx_vocab_approx" -> { (s, dir) =>
+      TextOps.distinctVocabApprox(Graft.table(s, dir, "documents"))
+        .orderBy(col("source"))
+    },
+
     // Time-bounded event join (the batch form of a stream-stream inner
     // join): every click within 30 minutes after a view by the same user
     "j2_timebound_join" -> { (s, dir) =>

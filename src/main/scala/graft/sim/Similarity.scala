@@ -274,7 +274,22 @@ object Similarity {
     val cells = OpsN.assignNAdaptive(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
-    val out = cells.write.mode("overwrite")
+    writeCells(cells, path, partitionCells, "overwrite")
+  }
+
+  /** Shared cells writer: the `cell=`-partitioned layout repartitions
+    * BY CELL first so each cell directory gets its rows from one task
+    * (~one file per cell) — without it every writer task opens a file
+    * in every cell directory, tasks × nlist small files per write, an
+    * object-store metadata storm on a wide cluster. Same layout the
+    * compactor restores.
+    */
+  private def writeCells(
+      cells: DataFrame, path: String, partitionCells: Boolean,
+      mode: String): Unit = {
+    val out =
+      (if (partitionCells) cells.repartition(col("cell")) else cells)
+        .write.mode(mode)
     (if (partitionCells) out.partitionBy("cell") else out)
       .parquet(s"$path/cells")
   }
@@ -323,9 +338,7 @@ object Similarity {
         norm(col("features")).as("cn"), col("cid").as("cell"))
     checkIvfGrowth(spark, path, newVectors.count(),
       maxGrowthFactor, refuseBeyondGrowth)
-    val out = rows.write.mode("append")
-    (if (partitionCells) out.partitionBy("cell") else out)
-      .parquet(s"$path/cells")
+    writeCells(rows, path, partitionCells, "append")
   }
 
   /** [[appendToIvfIndex]]'s growth check: post-append rows vs the

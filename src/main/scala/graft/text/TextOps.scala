@@ -719,13 +719,21 @@ object TextOps {
     base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode(mode).parquet(s"$path/stats")
+    // repartition BY BUCKET before partitionBy: without it every write
+    // task opens a file in every bucket directory — tasks × nBuckets
+    // small files per segment, which on a 1000-executor writer is an
+    // object-store metadata storm. Bucket-aligned, each bucket's rows
+    // land in one task, so a segment writes ~one file per bucket (the
+    // same layout the compactor restores).
     postings
       .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(nBuckets, col("tbucket"))
       .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$path/postings")
     postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
       .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(nBuckets, col("tbucket"))
       .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$path/terms")
   }
@@ -907,6 +915,32 @@ object TextOps {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
   }
+
+  /** Per-source vocabulary size as an HLL++ sketch — the 100 TB form of
+    * the exact distinct-token count. The exact variant
+    * (`tx_distinct_vocab`) keys its aggregate on the token itself, so
+    * its exchange carries one row per distinct token per map partition
+    * — and distinct tokens grow with the corpus (Heaps' law), so at
+    * web scale the shuffle is itself corpus-sized. Here each map
+    * partition folds its tokens into one fixed-size HLL++ sketch per
+    * source, and the exchange moves O(#sources × #partitions) sketches
+    * (kilobytes each) regardless of vocabulary size: the same
+    * one-scan / map-side-combine shape, but with a shuffle that no
+    * longer scales with the data. Sketches are mergeable, so the shape
+    * also shards: per-shard sketches union to the corpus sketch with no
+    * loss beyond the sketch's own error.
+    *
+    * `rsd` is the target relative standard deviation (Spark default
+    * 0.05); the estimate is within ~±3·rsd of the exact count with
+    * overwhelming probability. No DuckDB oracle — HLL implementations
+    * differ across engines by design — so the correctness gate is the
+    * spec's bound against the exact count at fixture scale.
+    */
+  def distinctVocabApprox(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("tok"), rsd).as("vocab_approx"))
 
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).

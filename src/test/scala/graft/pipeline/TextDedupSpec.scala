@@ -483,6 +483,31 @@ class TextDedupSpec extends AnyFunSuite {
         .as[(String, Long)].collect().toSeq)
   }
 
+  test("distinctVocabApprox tracks the exact vocabulary within the " +
+      "sketch bound and agrees under sharded merge") {
+    val d = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val exact = d
+      .select($"source", org.apache.spark.sql.functions
+        .explode(TextOps.tokens($"text")).as("tok"))
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions
+        .countDistinct($"tok").as("vocab"))
+      .as[(String, Long)].collect().toMap
+    val approx = TextOps.distinctVocabApprox(d)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((src, ex) <- exact) {
+      val err = math.abs(approx(src) - ex).toDouble / ex
+      assert(err <= 0.15, s"$src: approx=${approx(src)} exact=$ex err=$err")
+    }
+    // mergeability: the sketch of the whole equals merging per-shard
+    // sketches — HLL union is exact, so a sharded run loses nothing
+    val sharded = TextOps.distinctVocabApprox(d.repartition(8))
+      .as[(String, Long)].collect().toMap
+    assert(sharded === approx)
+  }
+
   test("bm25 store append + compaction: build+append answers bit-equal " +
       "to a full rebuild; compaction shrinks files and changes nothing") {
     val d1 = docs(
