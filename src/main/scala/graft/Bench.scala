@@ -32,6 +32,10 @@ import org.apache.spark.sql.SparkSession
   *     passes with their loads visible. The 10x scale block instead
   *     relies on min-of-N (its own saturated load defeats loadavg
   *     gating there).
+  *   - per-pass JVM process CPU-seconds (`pass_cpu_sec`) ride along as
+  *     the discriminator loadavg can't be: external steal / I/O-wait
+  *     inflates wall while CPU holds steady, a real regression moves
+  *     both. Evidence, not a gate — wall stays the headline.
   *
   * After the per-query passes, a SCALE-SMOKE block re-times the four
   * dedup/ANN heads against a ~10× structure-preserving replication of the
@@ -96,6 +100,20 @@ object Bench {
     def load1(): Double =
       try Files.readString(Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // JVM process CPU-seconds: the contamination discriminator loadavg
+    // can't be. The r10 certification run still carried two passes 25%
+    // slower at loadavg < 2 — external steal / I/O-wait that never
+    // shows in the run queue. Process CPU time is charged only for OUR
+    // cycles, so wall inflating while CPU holds steady is external by
+    // construction, and CPU creeping up is a real regression. Reported
+    // per pass (evidence, not a gate — the wall numbers stay the
+    // headline so rounds remain comparable).
+    def cpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
     // CONTAMINATION GATE (round-10, after the r9 artifact was
     // contamination-dominated: total MAD 29.5 s vs 0.87 s in r8, end
     // loadavg 25.9 — an artifact that cannot certify round-over-round
@@ -121,11 +139,14 @@ object Bench {
     var gateRetries = sys.env.getOrElse("SPARK_GRAFT_GATE_RETRIES", "6").toInt
     val rejectedPasses = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val passLoads = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passCpus = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     var bestTotal =
       if (warmupTotals.nonEmpty) warmupTotals.last else Double.MaxValue
     while (passBuf.length < runs) {
+      val c0 = cpuSec()
       val p = names.map(n => n -> runOnce(n)).toMap
+      val c = cpuSec() - c0
       val l = load1()
       val t = p.values.sum
       bestTotal = math.min(bestTotal, t)
@@ -135,6 +156,7 @@ object Bench {
       } else {
         passBuf += p
         passLoads += l
+        passCpus += (if (c0 < 0) -1.0 else c)
       }
     }
     val passes: Seq[Map[String, Double]] = passBuf.toSeq
@@ -225,6 +247,7 @@ object Bench {
         s""""pass_totals":$totalsJson,"spread_sec":$spread,""" +
         s""""total_mad_sec":$totalMad,"warmup_totals":$warmupJson,""" +
         s""""pass_loadavg":${passLoads.mkString("[", ",", "]")},""" +
+        s""""pass_cpu_sec":${passCpus.mkString("[", ",", "]")},""" +
         s""""load_gate":$loadGate,"rejected_passes":$rejectedJson,""" +
         s""""loadavg_end":$loadAvg,"materialize":"noop"$scaleJson}"""
     Files.writeString(Paths.get("BENCH.json"), json + "\n")

@@ -265,6 +265,13 @@ class SimilaritySpec extends AnyFunSuite {
     val dirs = new java.io.File(s"$part/cells").listFiles
       .filter(_.isDirectory).map(_.getName).toSet
     assert(dirs.exists(_.startsWith("cell=")))
+    // cell-aligned writes: build + append land at most one file each
+    // per cell dir — not one per nonempty (write-task, cell) pair
+    for (d <- new java.io.File(s"$part/cells").listFiles
+           if d.isDirectory && d.getName.startsWith("cell=")) {
+      val n = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(n <= 2, s"cells/${d.getName}: $n files for build + append")
+    }
   }
 
   test("appendToIvfIndex refit discipline: appends past maxGrowthFactor x " +

@@ -543,6 +543,16 @@ class TextDedupSpec extends AnyFunSuite {
         if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
       walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
     }
+    // bucket-aligned writes: each of the 3 segments (base + 2 appends)
+    // lands at most ONE file per bucket dir — not one per nonempty
+    // (write-task, bucket) pair, the pre-repartition layout that
+    // multiplied small files by the writer's task count
+    for (comp <- Seq("postings", "terms");
+         d <- new java.io.File(s"$store/$comp").listFiles
+           if d.isDirectory && d.getName.startsWith("tbucket=")) {
+      val n = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(n <= 3, s"$comp/${d.getName}: $n files for 3 segments")
+    }
     val filesBefore = parquetFiles(store)
     TextOps.compactBm25Index(spark, store, targetFileRows = 1000L)
     assert(parquetFiles(store) < filesBefore)
