@@ -66,9 +66,12 @@ object Dedup {
   /** Distinct token n-gram shingles per doc: (doc_id, shingle). */
   def docShingles(docs: DataFrame, n: Int): DataFrame =
     docs
+      // separate tokenize projection per the shingles caller contract
+      // (inlined, the split re-runs per n-gram)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("_toks"))
       .select(
         col("doc_id"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), n)).as("shingle"))
+        explode(TextOps.shingles(col("_toks"), n)).as("shingle"))
       .distinct()
 
   /** Exact n-gram Jaccard near-dup pairs via inverted shingle index over
@@ -610,12 +613,17 @@ object Dedup {
       .agg(array_sort(collect_list(col("pos"))).as("keep"))
     docs
       .join(keepPos, Seq("doc_id"))
+      // split ONCE into a column: inside the transform lambda the split
+      // would re-run per kept paragraph — O(paragraphs²) per document
+      // for long docs (HOFs evaluate their lambda per element)
+      .select(col("doc_id"), col("keep"),
+        split(col("text"), quoted).as("_paras"))
       .select(
         col("doc_id"),
         concat_ws(sep,
           transform(
             col("keep"),
-            p => element_at(split(col("text"), quoted), p + 1))).as("text"))
+            p => element_at(col("_paras"), p + 1))).as("text"))
   }
 
   /** Exact Jaccard for a given candidate-pair set (cheap: computes
