@@ -161,6 +161,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("ngramTopK tokenizes once: the explode input is a projected " +
+      "attribute, never an inline split") {
+    // HOFs evaluate their lambda per element, so an inline
+    // tokens(col("text")) inside shingles re-splits the document per
+    // n-gram — the O(tokens²) constant that made the n-gram heads the
+    // suite's most expensive queries (ProbeNgram: 4.2 s → 0.3 s). The
+    // lock: no Generate (explode) node may carry a split() inside its
+    // generator expression — the tokenize must sit in a projection
+    // BELOW the Generate.
+    for (df <- Seq(
+        graft.text.TextOps.ngramTopK(
+          Graft.table(spark, sf, "documents"), n = 2, k = 5),
+        graft.text.TextOps.ngramTopKPruned(
+          Graft.table(spark, sf, "documents"), n = 2, k = 5, minCount = 2),
+        graft.dedup.Dedup.docShingles(
+          Graft.table(spark, sf, "documents"), n = 3))) {
+      // pre-AQE physical plan: AdaptiveSparkPlanExec hides its tree
+      // from collect() until execution, and the Generate's input shape
+      // is decided before AQE
+      val gens = df.queryExecution.sparkPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.nonEmpty,
+        s"expected a Generate node:\n${df.queryExecution.sparkPlan}")
+      for (g <- gens)
+        assert(!g.generator.toString.contains("split("),
+          s"explode input must be a projected token array, not an " +
+            s"inline split:\n${g.generator}")
+    }
+  }
+
   test("mean update is a partial+final hash aggregate (map-side combine)") {
     val p = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
     val centroids = Ops.collectCentroids(Ops.initFirstK(p, 4))
