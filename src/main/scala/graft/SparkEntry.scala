@@ -455,6 +455,22 @@ object SparkEntry {
           (floor(expr("percentile(l_extendedprice, 0.9)") * 1e6) / 1e6).as("p90"))
     },
 
+    // The sketch form of a5_percentiles: exact percentile buffers EVERY
+    // group value (per-group memory ~O(rows/groups) — at 100 TB an
+    // executor-killer); percentile_approx folds a bounded
+    // Greenwald-Khanna summary map-side, so memory and exchange are
+    // O(accuracy), not O(rows), with rank error <= 1/accuracy. No SQL
+    // oracle (GK merge internals differ across engines); the spec
+    // bounds it against the exact head, the driver records rows-only.
+    "a5_percentiles_approx" -> { (s, dir) =>
+      Graft.table(s, dir, "lineitem")
+        .groupBy(col("l_linenumber"))
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
+          expr("percentile_approx(l_extendedprice, 0.9, 1000)").as("p90"))
+        .orderBy(col("l_linenumber"))
+    },
+
     // L3: sort + limit — top-10 orders by total price (deterministic
     // tiebreak on key)
     "l3_topk_orders" -> { (s, dir) =>
