@@ -506,6 +506,17 @@ object Similarity {
     * with a fixed cell count. One O(n) count decides nlist before the
     * quantizer runs; integer-exact, so an external oracle derives the same
     * nlist from the same row count.
+    *
+    * Scaling shape, measured (ProbeScale100, round 10): ~2–3× time at
+    * 10× rows, ~125× at 100×. The 100× point is ~LINEAR per point, not
+    * sublinear, and that is correct: once the derived nlist exceeds the
+    * fit's sample floor, a sound quantizer must sample at least
+    * minPointsPerCentroid·nlist points (LloydN's FAISS-style guard), so
+    * fit work grows ~n/targetCellSize per iteration. An earlier round
+    * measured 16.6× at 100× — sublinear only because the fit silently
+    * trained fewer centroids than requested (the bug the guard closes);
+    * honest linear beats fast-but-undersized cells whose occupancy
+    * drift re-quadratizes the pairwise stage.
     */
   def semDedupSized(
       vectors: DataFrame,
