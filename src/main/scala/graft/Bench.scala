@@ -58,6 +58,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC explicitly, not via the sbt javaOptions -D: normalizeTs casts
+      // TIMESTAMP_NTZ under the SESSION zone, so a bare `java -cp` launch
+      // on a non-UTC host would silently shift event instants
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

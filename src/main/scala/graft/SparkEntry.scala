@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -459,16 +459,38 @@ object SparkEntry {
     // group value (per-group memory ~O(rows/groups) — at 100 TB an
     // executor-killer); percentile_approx folds a bounded
     // Greenwald-Khanna summary map-side, so memory and exchange are
-    // O(accuracy), not O(rows), with rank error <= 1/accuracy. No SQL
-    // oracle (GK merge internals differ across engines); the spec
-    // bounds it against the exact head, the driver records rows-only.
+    // O(accuracy), not O(rows), with rank error <= 1/accuracy (0.001
+    // here). The sketch VALUE has no engine-portable oracle (GK merge
+    // internals differ across engines), so the query emits a
+    // bound-checked verdict instead: the exact-quantile band
+    // [q-δ, q+δ] (δ = 0.005 = 5× the guaranteed rank error, absorbing
+    // interpolation off-by-ones at gate-scale group sizes ≥ ~500) plus
+    // ok = 1 iff the GK estimate's value lands inside it. DuckDB
+    // recomputes the band with quantile_cont (proven 6-dp-identical to
+    // Spark's percentile by a5_percentiles) and asserts ok = 1 — so the
+    // driver's rows+schema+hash gate now verifies both the band values
+    // AND the sketch's error guarantee. The exact band computation is
+    // verification harness, not the production path: at 100 TB you run
+    // the sketch alone (the agg's first two columns).
     "a5_percentiles_approx" -> { (s, dir) =>
+      def f6(c: Column): Column = floor(c * 1e6) / 1e6
+      def ok(a: Column, lo: Column, hi: Column): Column =
+        (a >= lo && a <= hi).cast("int")
       Graft.table(s, dir, "lineitem")
         .groupBy(col("l_linenumber"))
         .agg(
-          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("p50"),
-          expr("percentile_approx(l_extendedprice, 0.9, 1000)").as("p90"))
-        .orderBy(col("l_linenumber"))
+          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("_a50"),
+          expr("percentile_approx(l_extendedprice, 0.9, 1000)").as("_a90"),
+          expr("percentile(l_extendedprice, 0.495)").as("_lo50"),
+          expr("percentile(l_extendedprice, 0.505)").as("_hi50"),
+          expr("percentile(l_extendedprice, 0.895)").as("_lo90"),
+          expr("percentile(l_extendedprice, 0.905)").as("_hi90"))
+        .select(
+          col("l_linenumber"),
+          f6(col("_lo50")).as("lo50"), f6(col("_hi50")).as("hi50"),
+          ok(col("_a50"), col("_lo50"), col("_hi50")).as("ok50"),
+          f6(col("_lo90")).as("lo90"), f6(col("_hi90")).as("hi90"),
+          ok(col("_a90"), col("_lo90"), col("_hi90")).as("ok90"))
     },
 
     // L3: sort + limit — top-10 orders by total price (deterministic
@@ -1073,12 +1095,18 @@ object SparkEntry {
     },
 
     // The sketch form of tx_distinct_vocab: fixed-size HLL++ per source,
-    // so the exchange stops scaling with vocabulary size. No SQL oracle
-    // (HLL implementations differ across engines); the rows-only driver
-    // check plus the spec's error bound vs the exact count gate it.
+    // so the exchange stops scaling with vocabulary size. The sketch
+    // VALUE has no engine-portable oracle (HLL implementations differ
+    // across engines), so the query emits a bound-checked verdict: the
+    // exact per-source vocabulary plus ok = 1 iff the HLL estimate is
+    // within ±3·rsd of it (rsd = 0.05, so a 3σ band). DuckDB recomputes
+    // the exact vocabulary (same tokenization as tx_distinct_vocab,
+    // already hash-proven) and asserts ok = 1 — the driver gate now
+    // verifies the exact side AND the sketch's error guarantee. The
+    // exact countDistinct is verification harness only; at 100 TB you
+    // run distinctVocabApprox alone.
     "tx_vocab_approx" -> { (s, dir) =>
-      TextOps.distinctVocabApprox(Graft.table(s, dir, "documents"))
-        .orderBy(col("source"))
+      TextOps.distinctVocabChecked(Graft.table(s, dir, "documents"))
     },
 
     // Time-bounded event join (the batch form of a stream-stream inner
@@ -2077,6 +2105,20 @@ object SparkEntry {
         |       floor(quantile_cont(l_extendedprice, 0.9) * 1000000.0) / 1000000.0 AS p90
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
 
+    // Bound-checked sketch oracle: DuckDB recomputes the exact-quantile
+    // band and asserts the Spark-side GK verdict columns are 1 — a
+    // hash mismatch on ok50/ok90 means the sketch broke its rank-error
+    // guarantee.
+    "a5_percentiles_approx" ->
+      """SELECT l_linenumber,
+        |       floor(quantile_cont(l_extendedprice, 0.495) * 1000000.0) / 1000000.0 AS lo50,
+        |       floor(quantile_cont(l_extendedprice, 0.505) * 1000000.0) / 1000000.0 AS hi50,
+        |       1 AS ok50,
+        |       floor(quantile_cont(l_extendedprice, 0.895) * 1000000.0) / 1000000.0 AS lo90,
+        |       floor(quantile_cont(l_extendedprice, 0.905) * 1000000.0) / 1000000.0 AS hi90,
+        |       1 AS ok90
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+
     "l3_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -2203,6 +2245,17 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT source, COUNT(DISTINCT tok) AS vocab FROM t GROUP BY source""".stripMargin,
+
+    // Bound-checked sketch oracle: DuckDB recomputes the exact
+    // vocabulary and asserts the Spark-side HLL 3σ verdict is 1 — a
+    // hash mismatch on ok means the sketch left its error band.
+    "tx_vocab_approx" ->
+      """WITH t AS (
+        |  SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(DISTINCT tok) AS vocab, 1 AS ok
+        |FROM t GROUP BY source""".stripMargin,
 
     "j2_timebound_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)

@@ -613,17 +613,26 @@ object Dedup {
       .agg(array_sort(collect_list(col("pos"))).as("keep"))
     docs
       .join(keepPos, Seq("doc_id"))
-      // split ONCE into a column: inside the transform lambda the split
-      // would re-run per kept paragraph — O(paragraphs²) per document
-      // for long docs (HOFs evaluate their lambda per element)
-      .select(col("doc_id"), col("keep"),
-        split(col("text"), quoted).as("_paras"))
+      // Reassemble by FILTERING the split array, not by transform-ing
+      // the keep positions: `filter(split(text), (x, i) => ...)` puts
+      // the split in the HOF's ARGUMENT position, where it is evaluated
+      // once per row — only the lambda body runs per element. The
+      // previous `transform(keep, p => element_at(_paras, p + 1))`
+      // shape put it inside the lambda: CollapseProject re-inlines a
+      // single-use non-cheap alias, so `_paras` did not survive
+      // optimization and the split re-ran per kept paragraph —
+      // O(paragraphs²) per document. Argument-position evaluation is
+      // immune to that inlining (locked by PlanShapeSpec: no split()
+      // inside any lambda in this plan). `keep` holds 0-based positions
+      // into the ORIGINAL split array (blanks included), matching the
+      // filter lambda's 0-based index; array order — original paragraph
+      // order — is preserved by filter, same as the sorted keep gave.
       .select(
         col("doc_id"),
         concat_ws(sep,
-          transform(
-            col("keep"),
-            p => element_at(col("_paras"), p + 1))).as("text"))
+          filter(
+            split(col("text"), quoted),
+            (_, i) => array_contains(col("keep"), i))).as("text"))
   }
 
   /** Exact Jaccard for a given candidate-pair set (cheap: computes

@@ -956,6 +956,30 @@ object TextOps {
       .groupBy(col("source"))
       .agg(approx_count_distinct(col("tok"), rsd).as("vocab_approx"))
 
+  /** Bound-checked form of [[distinctVocabApprox]]: one scan computes
+    * BOTH the exact per-source vocabulary and the HLL++ estimate, and
+    * emits (source, vocab, ok) with ok = 1 iff the estimate is within
+    * ±3·rsd of the exact count (a 3σ band — HLL's relative standard
+    * deviation is rsd, so excursions past 3σ have ~0.3% probability;
+    * small cardinalities are exact via HLL's sparse mode and always
+    * pass). The exact countDistinct is the verification harness, not
+    * the production path — it re-introduces the O(vocabulary) exchange
+    * the sketch exists to avoid; at 100 TB run [[distinctVocabApprox]]
+    * and verify on a sampled shard with this head.
+    */
+  def distinctVocabChecked(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("tok")).as("vocab"),
+        approx_count_distinct(col("tok"), rsd).as("_approx"))
+      .select(
+        col("source"),
+        col("vocab"),
+        (abs(col("_approx") - col("vocab")) <= lit(3 * rsd) * col("vocab"))
+          .cast("int").as("ok"))
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

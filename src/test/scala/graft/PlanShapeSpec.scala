@@ -400,4 +400,25 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("paragraphDedup reassembly: no split() inside any lambda in the " +
+      "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}
+    import graft.dedup.Dedup
+    // assert on the OPTIMIZED plan: CollapseProject re-inlines single-use
+    // non-cheap aliases, so a pre-optimization projection proves nothing —
+    // the r10 `_paras` alias passed an analyzed-plan eyeball and still
+    // re-ran split() per kept paragraph after optimization
+    val plan = Dedup.paragraphDedup(Graft.table(spark, sf, "documents"))
+      .queryExecution.optimizedPlan
+    val exprs = plan.flatMap(_.expressions)
+    val lambdas = exprs.flatMap(_.collect { case lf: LambdaFunction => lf })
+    assert(lambdas.nonEmpty, "expected a higher-order-function lambda in the plan")
+    val splitsInLambdas = lambdas.flatMap(_.collect { case sp: StringSplit => sp })
+    assert(splitsInLambdas.isEmpty,
+      s"split() evaluated inside a lambda — O(paragraphs^2) per doc:\n$plan")
+    // the split must still exist somewhere (HOF argument position)
+    val splits = exprs.flatMap(_.collect { case sp: StringSplit => sp })
+    assert(splits.nonEmpty, s"no split() in the reassembly plan at all:\n$plan")
+  }
 }

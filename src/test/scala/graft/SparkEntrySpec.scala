@@ -32,20 +32,32 @@ class SparkEntrySpec extends AnyFunSuite {
       "GK rank-error bound") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
-    def byLine(name: String): Map[Int, (Double, Double)] =
-      SparkEntry.queries(name)(spark, sf)
-        .select($"l_linenumber", $"p50".cast("double"), $"p90".cast("double"))
-        .as[(Int, Double, Double)].collect()
-        .map { case (l, a, b) => l -> (a, b) }.toMap
-    val exact = byLine("a5_percentiles")
-    val approx = byLine("a5_percentiles_approx")
-    assert(approx.keySet === exact.keySet)
-    // accuracy=1000 -> rank error <= 0.1% of each group; on this data a
-    // 0.1% rank slip moves the value by far less than 5% — a loose
-    // envelope that still fails on a broken sketch or a swapped column
-    for ((l, (e50, e90)) <- exact; (a50, a90) = approx(l)) {
-      assert(math.abs(a50 - e50) / e50 < 0.05, s"line $l p50: $a50 vs $e50")
-      assert(math.abs(a90 - e90) / e90 < 0.05, s"line $l p90: $a90 vs $e90")
+    // the query now carries its own bound check (ok50/ok90 = 1 iff the
+    // GK estimate lands inside the exact [q-δ, q+δ] quantile band) —
+    // the r10 shape returned raw sketch values and left the bound to
+    // this spec; the in-query verdict is what the DuckDB oracle gates
+    val rows = SparkEntry.queries("a5_percentiles_approx")(spark, sf)
+      .select($"l_linenumber", $"ok50", $"ok90", $"lo50", $"hi50")
+      .as[(Int, Int, Int, Double, Double)].collect()
+    assert(rows.length === 7)
+    for ((l, ok50, ok90, lo50, hi50) <- rows) {
+      assert(ok50 === 1, s"line $l: GK p50 outside the exact band")
+      assert(ok90 === 1, s"line $l: GK p90 outside the exact band")
+      assert(lo50 <= hi50, s"line $l: inverted band [$lo50, $hi50]")
+    }
+  }
+
+  test("tx_vocab_approx: HLL estimate within 3σ of the exact vocabulary " +
+      "for every source") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("tx_vocab_approx")(spark, sf)
+      .select($"source", $"vocab", $"ok")
+      .as[(String, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    for ((src, vocab, ok) <- rows) {
+      assert(vocab > 0, s"source $src: empty vocabulary")
+      assert(ok === 1, s"source $src: HLL estimate outside the 3σ band")
     }
   }
 }

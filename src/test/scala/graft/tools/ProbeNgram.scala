@@ -21,6 +21,7 @@ object ProbeNgram {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
