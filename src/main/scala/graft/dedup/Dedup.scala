@@ -448,7 +448,8 @@ object Dedup {
       bands: Int,
       path: String): Unit =
     signatureRows(docs, n, numHashes, bands)
-      .write.mode("append").parquet(path)
+      .write.mode("append")
+      .parquet(graft.util.GenStore.resolve(docs.sparkSession, path))
 
   /** [[incrementalNearDedup]] against a PERSISTED corpus signature store:
     * identical output (same drop policy, same pair set), but the corpus
@@ -489,25 +490,34 @@ object Dedup {
     * per-batch segment directories the streaming runner
     * ([[graft.streaming.StreamOps.runStreamingDedupAgainstStore]])
     * overwrites — `recursiveFileLookup` reads both without partition
-    * inference, so mixing the two writers against one store stays valid.
+    * inference, so mixing the two writers against one store stays
+    * valid. A compacted store resolves through its generation manifest
+    * ([[graft.util.GenStore]]) to the active generation directory.
     */
   def readSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true").parquet(storePath)
+    spark.read.option("recursiveFileLookup", "true")
+      .parquet(graft.util.GenStore.resolve(spark, storePath))
 
-  /** Compact a signature store in place: daily [[appendToSignatureStore]]
+  /** Compact a signature store: daily [[appendToSignatureStore]]
     * runs and streaming batch segments each add a handful of small
     * parquet files, and after months of appends the store read pays more
     * in file listing + footer opens + tiny row groups than in bytes.
     * Rewrites all rows into ⌈rows / targetFileRows⌉ files (coalesce — a
-    * file-merge read, no shuffle) at a temp sibling, then swaps it in
-    * (rename old out, rename new in, delete old). Results are
-    * set-identical; only the file layout changes (asserted in
-    * DedupStoreSpec). Run OFFLINE with respect to the store: the swap
-    * window is not atomic for concurrent readers, and compacting
-    * between a crashed streaming batch and its replay folds the batch's
-    * segment into the flat files, which the replay would then self-match.
+    * file-merge read, no shuffle) in a NEW generation directory, then
+    * atomically repoints the store's generation manifest at it
+    * ([[graft.util.GenStore.compactInto]]). Results are set-identical;
+    * only the file layout changes (asserted in DedupStoreSpec).
+    *
+    * ATOMIC FOR READERS: a reader that resolved the store before the
+    * swap keeps its complete previous-generation file set (kept for one
+    * further compaction cycle); one that resolves after sees the
+    * compacted generation — both get identical rows (asserted in
+    * StoreCompactionAtomicitySpec). Writers stay single-writer: don't
+    * run appends or streaming batches concurrently with compaction, and
+    * don't compact between a crashed streaming batch and its replay
+    * (the fold would break the replay's own-segment exclusion).
     */
   def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
@@ -518,9 +528,9 @@ object Dedup {
     val total = rows.count()
     val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
       .min(Int.MaxValue.toLong).toInt
-    val tmp = s"$storePath.__compacting"
-    rows.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
-    graft.util.StoreFiles.swapInto(spark, storePath, tmp)
+    graft.util.GenStore.compactInto(spark, storePath) { genDir =>
+      rows.coalesce(nFiles).write.mode("overwrite").parquet(genDir)
+    }
   }
 
   /** The signature-level core of [[incrementalNearDedupFromStore]]: the

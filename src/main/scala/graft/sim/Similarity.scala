@@ -274,7 +274,7 @@ object Similarity {
     val cells = OpsN.assignNAdaptive(pts, model)
       .select(col("pid").as("cid_id"), col("features").as("cv"),
         norm(col("features")).as("cn"), col("cid").as("cell"))
-    writeCells(cells, path, partitionCells, "overwrite")
+    writeCells(cells, s"$path/cells", partitionCells, "overwrite")
   }
 
   /** Shared cells writer: the `cell=`-partitioned layout repartitions
@@ -285,14 +285,22 @@ object Similarity {
     * compactor restores.
     */
   private def writeCells(
-      cells: DataFrame, path: String, partitionCells: Boolean,
+      cells: DataFrame, cellsDir: String, partitionCells: Boolean,
       mode: String): Unit = {
     val out =
       (if (partitionCells) cells.repartition(col("cell")) else cells)
         .write.mode(mode)
     (if (partitionCells) out.partitionBy("cell") else out)
-      .parquet(s"$path/cells")
+      .parquet(cellsDir)
   }
+
+  /** The active cells directory of an IVF index: `path/cells` for a
+    * never-compacted store, or the generation directory its manifest
+    * names ([[graft.util.GenStore]]) after a [[compactIvfCells]] run.
+    */
+  private def resolveCells(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    graft.util.GenStore.resolve(spark, s"$path/cells")
 
   /** Append a new batch to an existing IVF index: the batch is assigned
     * with the STORED quantizer (centroids are immutable post-build — the
@@ -338,7 +346,7 @@ object Similarity {
         norm(col("features")).as("cn"), col("cid").as("cell"))
     checkIvfGrowth(spark, path, newVectors.count(),
       maxGrowthFactor, refuseBeyondGrowth)
-    writeCells(rows, path, partitionCells, "append")
+    writeCells(rows, resolveCells(spark, path), partitionCells, "append")
   }
 
   /** [[appendToIvfIndex]]'s growth check: post-append rows vs the
@@ -360,7 +368,8 @@ object Similarity {
     } else {
       val fitCount = spark.read.parquet(s"$path/meta")
         .select(col("fit_count")).head().getLong(0)
-      val afterAppend = spark.read.parquet(s"$path/cells").count() + batchCount
+      val afterAppend =
+        spark.read.parquet(resolveCells(spark, path)).count() + batchCount
       if (fitCount > 0 && afterAppend > maxGrowthFactor * fitCount) {
         val msg = s"IVF index at $path has grown to $afterAppend rows, > " +
           f"$maxGrowthFactor%.1fx its fit-time corpus of $fitCount rows: " +
@@ -383,8 +392,12 @@ object Similarity {
     * layout repartitions BY CELL first, so each cell directory collapses
     * to one file while partition pruning is preserved. The quantizer,
     * meta, and search results are untouched (asserted in
-    * SimilaritySpec). Same offline contract as the swap it shares:
-    * run with no readers and no in-flight appends.
+    * SimilaritySpec). The rewrite lands in a new generation directory
+    * and the cells manifest is repointed atomically
+    * ([[graft.util.GenStore.compactInto]]): ATOMIC FOR READERS — a
+    * mid-query reader keeps its resolved generation's complete file
+    * set for one further compaction cycle. Writers stay single-writer:
+    * no concurrent appends during compaction.
     */
   def compactIvfCells(
       spark: org.apache.spark.sql.SparkSession,
@@ -392,19 +405,19 @@ object Similarity {
       partitionCells: Boolean = false,
       targetFileRows: Long = 4L * 1024 * 1024): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
-    val cellsPath = s"$path/cells"
-    val rows = spark.read.parquet(cellsPath)
-    val tmp = s"$cellsPath.__compacting"
-    if (partitionCells)
-      rows.repartition(col("cell")).write.mode("overwrite")
-        .partitionBy("cell").parquet(tmp)
-    else {
-      val total = rows.count()
-      val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
-        .min(Int.MaxValue.toLong).toInt
-      rows.coalesce(nFiles).write.mode("overwrite").parquet(tmp)
+    val cellsStore = s"$path/cells"
+    val rows = spark.read.parquet(graft.util.GenStore.resolve(spark, cellsStore))
+    graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
+      if (partitionCells)
+        rows.repartition(col("cell")).write.mode("overwrite")
+          .partitionBy("cell").parquet(genDir)
+      else {
+        val total = rows.count()
+        val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
+          .min(Int.MaxValue.toLong).toInt
+        rows.coalesce(nFiles).write.mode("overwrite").parquet(genDir)
+      }
     }
-    graft.util.StoreFiles.swapInto(spark, cellsPath, tmp)
   }
 
   private def readIvfCentroids(
@@ -437,7 +450,8 @@ object Similarity {
     val model = readIvfCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= model.size,
       s"need 1 <= nprobe <= ${model.size} (stored nlist)")
-    ivfProbeScore(queries, spark.read.parquet(s"$path/cells"), model, k, nprobe)
+    ivfProbeScore(
+      queries, spark.read.parquet(resolveCells(spark, path)), model, k, nprobe)
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by

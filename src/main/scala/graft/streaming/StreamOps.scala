@@ -370,19 +370,23 @@ object StreamOps {
     import graft.dedup.Dedup
     val spark = batch.sparkSession
     val segment = f"batch-$batchId%09d"
+    // resolve the store's generation ONCE per batch: segment write and
+    // store read must agree on the active generation directory, and a
+    // compacted store's gen-* dirs must never be mistaken for segments
+    val storeBase = graft.util.GenStore.resolve(spark, storePath)
     // ONE shingle pass per micro-batch: the signature rows feed the
     // dedup (bucket join + verify keys) AND the store segment — the
     // survivors' signatures are filtered from this cache instead of
     // re-shingling the surviving text
     val sigs = graft.util.OpCaches.cache(
       Dedup.signatureRows(batch, n, numHashes, bands))
-    val store = readStoreSegmentsExcept(spark, storePath, segment, sigs)
+    val store = readStoreSegmentsExcept(spark, storeBase, segment, sigs)
     val dropped = graft.util.OpCaches.cache(
       Dedup.incrementalDroppedIds(sigs, store, threshold))
     batch.join(dropped, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outPath/$segment")
     sigs.join(dropped, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(s"$storePath/$segment")
+      .write.mode("overwrite").parquet(s"$storeBase/$segment")
     graft.util.OpCaches.releaseAll(spark)
     ()
   }

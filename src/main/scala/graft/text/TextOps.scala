@@ -676,6 +676,10 @@ object TextOps {
   def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = docs.sparkSession
+    // full rebuild resets to the legacy flat layout: component-wise
+    // overwrite alone would leave a stale generation manifest pointing
+    // past the rebuild on a previously-compacted store
+    graft.util.GenStore.reset(spark, path)
     writeBm25Segment(docs, path, nBuckets, overwrite = true)
     graft.util.OpCaches.releaseAll(spark)
   }
@@ -699,7 +703,10 @@ object TextOps {
     */
   def appendToBm25Index(docs: DataFrame, path: String): Unit = {
     val spark = docs.sparkSession
-    writeBm25Segment(docs, path, storedBucketCount(spark, path),
+    // segments land INSIDE the active generation, so a reader resolving
+    // the manifest sees them
+    val base = graft.util.GenStore.resolve(spark, path)
+    writeBm25Segment(docs, base, storedBucketCount(spark, base),
       overwrite = false)
     graft.util.OpCaches.releaseAll(spark)
   }
@@ -771,36 +778,40 @@ object TextOps {
     * rewrites `postings/` hash-distributed on `tbucket` into
     * ⌈rows / targetFileRows⌉ tasks — each bucket lands in exactly one
     * task, so every partition directory compacts to a single file —
-    * then swaps the rewrite in. Query results are bit-identical
-    * pre/post (asserted in TextDedupSpec). Run OFFLINE: the swap
-    * window is not atomic for concurrent readers, same contract as
-    * [[graft.dedup.Dedup.compactSignatureStore]].
+    * then atomically repoints the store's generation manifest at the
+    * rewrite ([[graft.util.GenStore.compactInto]]). Query results are
+    * bit-identical pre/post (asserted in TextDedupSpec), and the swap
+    * is ATOMIC FOR READERS — a mid-query reader keeps its resolved
+    * generation's complete file set (kept one further compaction
+    * cycle); see [[graft.dedup.Dedup.compactSignatureStore]]. Writers
+    * stay single-writer: no concurrent appends during compaction.
     */
   def compactBm25Index(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
       targetFileRows: Long = 4L * 1024 * 1024): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
-    val nBuckets = storedBucketCount(spark, path)
-    val tmp = s"$path.__compacting"
-    val postings = spark.read.parquet(s"$path/postings")
+    val src = graft.util.GenStore.resolve(spark, path)
+    val nBuckets = storedBucketCount(spark, src)
+    val postings = spark.read.parquet(s"$src/postings")
     val total = postings.count()
     val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
       .min(Int.MaxValue.toLong).toInt
-    postings.repartition(nFiles, col("tbucket"))
-      .write.mode("overwrite").partitionBy("tbucket")
-      .parquet(s"$tmp/postings")
-    spark.read.parquet(s"$path/terms")
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
-      .repartition(nFiles, col("tbucket"))
-      .write.mode("overwrite").partitionBy("tbucket")
-      .parquet(s"$tmp/terms")
-    spark.read.parquet(s"$path/stats")
-      .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("overwrite").parquet(s"$tmp/stats")
-    graft.util.StoreFiles.swapInto(spark, path, tmp)
+    graft.util.GenStore.compactInto(spark, path) { genDir =>
+      postings.repartition(nFiles, col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$genDir/postings")
+      spark.read.parquet(s"$src/terms")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+        .repartition(nFiles, col("tbucket"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$genDir/terms")
+      spark.read.parquet(s"$src/stats")
+        .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$genDir/stats")
+    }
   }
 
   /** [[bm25TopK]] FROM a persisted index written by [[writeBm25Index]]:
@@ -831,7 +842,10 @@ object TextOps {
     require(k > 0, "k must be positive")
     import spark.implicits._
     val terms = queryTerms.distinct
-    val nBuckets = storedBucketCount(spark, path)
+    // resolve the active generation once — stats, terms, and postings
+    // must come from ONE generation even if a compaction lands mid-call
+    val base = graft.util.GenStore.resolve(spark, path)
+    val nBuckets = storedBucketCount(spark, base)
     // the writer's bucket ids for these terms — same hash() expression,
     // evaluated over the O(#terms) query list, never driver-reimplemented
     val qBuckets = terms.toDF("term")
@@ -839,16 +853,16 @@ object TextOps {
       .distinct().as[Int].collect().toSeq
     // exact integer sums over the store's segment rows (one row per
     // write/append) — identical n / avgdl to a monolithic rebuild
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read.parquet(s"$base/stats")
       .agg(sum(col("n")).as("n"), sum(col("sum_dl")).as("sum_dl"))
       .collect()(0)
     val n = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val avgdl = if (n == 0L) 1.0 else sumDl.toDouble / n.toDouble
-    val tf = spark.read.parquet(s"$path/postings")
+    val tf = spark.read.parquet(s"$base/postings")
       .filter(col("tbucket").isin(qBuckets: _*) &&
         col("term").isInCollection(terms))
-    val dfreq = spark.read.parquet(s"$path/terms")
+    val dfreq = spark.read.parquet(s"$base/terms")
       .filter(col("tbucket").isin(qBuckets: _*) &&
         col("term").isInCollection(terms))
       // fold append segments' df deltas; a compacted store has one row

@@ -359,7 +359,12 @@ class SimilaritySpec extends AnyFunSuite {
         spark.read.parquet(s"$store/centroids").collect().toSeq
       val filesBefore = parquetFiles(s"$store/cells")
       Similarity.compactIvfCells(spark, store, partitionCells = part)
-      assert(parquetFiles(s"$store/cells") < filesBefore)
+      // reader-visible layout: probes resolve the cells generation
+      // manifest to the compacted copy (legacy files linger one cycle
+      // as the mid-query readers' grace copy)
+      val active = graft.util.GenStore.resolve(spark, s"$store/cells")
+      assert(active !== s"$store/cells")
+      assert(parquetFiles(active) < filesBefore)
       assert(Similarity.ivfTopKFromStore(q, store, k = 5, nprobe = 2)
         .collect().map(_.toString).sorted.toSeq === before)
       assert(spark.read.parquet(s"$store/centroids").collect().toSeq
@@ -367,14 +372,12 @@ class SimilaritySpec extends AnyFunSuite {
       if (part) {
         // partition pruning survives: cells still live under cell= dirs,
         // one file each after compaction
-        val dirs = new java.io.File(s"$store/cells").listFiles
+        val dirs = new java.io.File(active).listFiles
           .filter(_.isDirectory).filter(_.getName.startsWith("cell="))
         assert(dirs.nonEmpty)
         assert(dirs.forall(d =>
           d.listFiles.count(_.getName.endsWith(".parquet")) === 1))
       }
-      assert(!new java.io.File(s"$store/cells.__compacting").exists)
-      assert(!new java.io.File(s"$store/cells.__precompact").exists)
     }
   }
 

@@ -279,15 +279,18 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     val before = survivors()
     Dedup.compactSignatureStore(spark, store, targetFileRows = 1000L)
-    assert(parquetFiles(store) === 1) // 7 rows, one file
-    assert(parquetFiles(store) < filesBefore)
+    // reader-visible layout: the ACTIVE generation holds one file for
+    // 7 rows (pre-compaction legacy files linger one cycle as the
+    // mid-query readers' grace copy — StoreCompactionAtomicitySpec
+    // covers that lifecycle)
+    val active = graft.util.GenStore.resolve(spark, store)
+    assert(active !== store) // a generation manifest now governs reads
+    assert(parquetFiles(active) === 1) // 7 rows, one file
+    assert(parquetFiles(active) < filesBefore)
     assert(Dedup.readSignatureStore(spark, store)
       .collect().map(_.toString).sorted.toSeq === rowsBefore)
     assert(survivors() === before)
     assert(before === Seq(202L))
-    // swap leftovers are gone
-    assert(!new java.io.File(s"$store.__compacting").exists)
-    assert(!new java.io.File(s"$store.__precompact").exists)
   }
 
   test("dupGroups reliable mode: same groups and rounds; checkpoint files " +
@@ -555,14 +558,17 @@ class TextDedupSpec extends AnyFunSuite {
     }
     val filesBefore = parquetFiles(store)
     TextOps.compactBm25Index(spark, store, targetFileRows = 1000L)
-    assert(parquetFiles(store) < filesBefore)
+    // reader-visible layout: queries resolve the generation manifest to
+    // the compacted copy (legacy files linger one cycle as the
+    // mid-query readers' grace copy)
+    val active = graft.util.GenStore.resolve(spark, store)
+    assert(active !== store)
+    assert(parquetFiles(active) < filesBefore)
     // folded: one row per term, one stats row, one file per bucket dir
-    assert(spark.read.parquet(s"$store/terms")
+    assert(spark.read.parquet(s"$active/terms")
       .filter($"term" === "cluster").count() === 1L)
-    assert(spark.read.parquet(s"$store/stats").count() === 1L)
+    assert(spark.read.parquet(s"$active/stats").count() === 1L)
     assert(topk(store) === appended)
-    assert(!new java.io.File(s"$store.__compacting").exists)
-    assert(!new java.io.File(s"$store.__precompact").exists)
     // a store with inconsistent bucket counts is refused, not mis-pruned
     val bad = java.nio.file.Files.createTempDirectory("bm25bad").toString
     TextOps.writeBm25Index(d1, bad, nBuckets = 8)
