@@ -775,6 +775,20 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // HARDENED near-dedup: exact-dup groups collapse to representatives
+    // before LSH and hot buckets cap candidate fan-out (head × bucket) —
+    // the degenerate-clique defense (a million identical crawl pages
+    // must cost O(clique), not O(clique²) pairs). With no clique larger
+    // than the cap the survivors are IDENTICAL to dd_near_dedup (the
+    // collapse is provably semantics-preserving, DedupHardenedSpec), so
+    // the plain pipeline's SQL is the exact oracle
+    "dd_near_dedup_hardened" -> { (s, dir) =>
+      Dedup.nearDedupHardened(Graft.table(s, dir, "documents"),
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5,
+          maxBucket = 4096)
+        .select(col("doc_id"))
+    },
+
     // Incremental near-dedup: the src10..src19 half of the corpus arrives
     // as a NEW batch and is deduped against the existing src0..src9
     // corpus (corpus docs never dropped; batch docs also deduped among
@@ -873,6 +887,20 @@ object SparkEntry {
         .select(col("pid").as("id"), col("features").as("vec"))
       Similarity.cosineNearDedup(vecs, threshold = 0.45,
           bands = 4, bitsPerBand = 4, d = 64)
+        .select(col("id"))
+    },
+
+    // HARDENED embedding near-dedup: byte-identical vectors collapse to
+    // one representative before sign-LSH and hot buckets cap candidate
+    // fan-out — the embedding-side degenerate-clique defense. Same
+    // survivors as sm_cosine_neardedup when no clique exceeds the cap
+    // (DedupHardenedSpec), so the plain pipeline's SQL is the exact
+    // oracle
+    "sm_cosine_neardedup_hardened" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.cosineNearDedupHardened(vecs, threshold = 0.45,
+          bands = 4, bitsPerBand = 4, d = 64, maxBucket = 4096)
         .select(col("id"))
     },
 
@@ -1175,7 +1203,22 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ hardenedOracles
+
+  /** The hardened LSH dedup paths are OUTPUT-equivalent to the plain
+    * ones whenever no duplicate clique exceeds the bucket cap (the
+    * exact-group collapse is semantics-preserving for every drop
+    * decision — see [[graft.dedup.Dedup.nearDedupHardened]] — and the
+    * 4096 cap cannot bind at the gate's fixture scale), so the plain
+    * pipelines' DuckDB SQL is the EXACT oracle for them; the capped
+    * recall contract itself is exercised by DedupHardenedSpec's
+    * synthetic cliques, which the fixture corpus cannot express.
+    */
+  private def hardenedOracles: Map[String, String] = Map(
+    "dd_near_dedup_hardened" -> baseOracleSql("dd_near_dedup"),
+    "sm_cosine_neardedup_hardened" -> baseOracleSql("sm_cosine_neardedup"))
+
+  private def baseOracleSql: Map[String, String] = Map(
     "s1_p1_points_scan" ->
       s"WITH $PTS SELECT pid, x, y FROM pts",
 

@@ -291,6 +291,147 @@ object Dedup {
     bucketCandidates(b)
   }
 
+  /** The exact-duplicate groups + per-bucket cap scaffolding shared by
+    * the HARDENED LSH paths — the defense against degenerate duplicate
+    * cliques. A boilerplate-heavy crawl puts millions of byte-identical
+    * documents in one LSH bucket, and the within-bucket self-join goes
+    * quadratic in clique size. Two standard counters, composed:
+    *
+    *  1. '''Exact-dup short-circuit''': group documents by their SORTED
+    *     shingle-key set (md5 of the sorted keys — equal sets ⟺
+    *     Jaccard exactly 1, so this is the provably-safe collapse);
+    *     only each group's min-id REPRESENTATIVE enters the LSH
+    *     pipeline. Non-representative members are dropped directly
+    *     (Jaccard 1 ≥ any threshold ≤ 1). Because a member's keys,
+    *     signature, and buckets are identical to its representative's,
+    *     collapsing preserves the drop decision for every OTHER
+    *     document exactly — a c-clique contributes O(c) work instead
+    *     of O(c²) pairs.
+    *  2. '''Per-bucket candidate cap''': within each (band, bucket),
+    *     a pair is generated only when at least one side ranks in the
+    *     bucket's `maxBucket` SMALLEST ids (deterministic rank, so an
+    *     external oracle reproduces it). Within-bucket work drops from
+    *     O(occupancy²) to O(maxBucket · occupancy) — LINEAR in clique
+    *     size — while every doc stays pairable against the bucket's
+    *     smallest ids, which are exactly the partners keep-min-id
+    *     dedup needs. RECALL CONTRACT: a pair is missed only when BOTH
+    *     sides rank past the cap in EVERY shared band; for the dedup
+    *     drop decision that matters only if a doc's sole
+    *     above-threshold partner hides past the cap everywhere — rare,
+    *     because the head holds each bucket's minimum ids. Exact
+    *     duplicates are never affected (counter 1 already removed
+    *     them); set `maxBucket` at ~100× expected occupancy so it only
+    *     bites on degenerate residual cliques (near-identical but not
+    *     byte-identical boilerplate).
+    *
+    * Returns (grp, repIds): per-doc group signatures for docs with ≥ 1
+    * shingle (doc_id, keys, ksig), and each group's representative
+    * (ksig, doc_id). Both are OpCaches-tracked.
+    */
+  private def exactGroups(docs: DataFrame, n: Int): (DataFrame, DataFrame) = {
+    val grp = graft.util.OpCaches.cache(
+      docShingleKeys(docs, n)
+        .filter(size(col("keys")) > 0)
+        .withColumn(
+          "ksig",
+          md5(concat_ws(",",
+            transform(array_sort(col("keys")), v => v.cast("string"))))))
+    val repIds = graft.util.OpCaches.cache(
+      grp.groupBy(col("ksig")).agg(min(col("doc_id")).as("doc_id")))
+    (grp, repIds)
+  }
+
+  /** Capped candidate generation: pairs with at least one side in each
+    * bucket's `maxBucket`-smallest-id HEAD (see [[exactGroups]] for the
+    * recall contract). The head rank sorts only within buckets — the
+    * same (band, bucket) hash partitioning the candidate join shuffles
+    * on anyway — so a hot bucket costs O(c log c) to rank and
+    * O(maxBucket · c) to pair instead of O(c²). Input must be cached:
+    * both join sides read it.
+    */
+  private def cappedBucketCandidates(
+      buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    val head = buckets
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+    head.as("a")
+      .join(buckets.as("b"), Seq("band", "bucket"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** [[minHashCandidates]] HARDENED against duplicate cliques: exact-dup
+    * groups are collapsed to representatives and hot buckets are capped
+    * (see [[exactGroups]]). Output: (d1, d2) candidate pairs among
+    * REPRESENTATIVES only — members of an exact group are near-dups of
+    * their representative by construction and need no verification.
+    */
+  def minHashCandidatesHardened(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    val (grp, repIds) = exactGroups(docs, n)
+    val reps = grp.join(repIds, Seq("ksig", "doc_id"))
+    val sigs = reps.select(
+      col("doc_id"),
+      graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
+    val b = graft.util.OpCaches.cache(
+      lshBuckets(sigs, bands, numHashes / bands))
+    cappedBucketCandidates(b, maxBucket)
+  }
+
+  /** [[nearDedup]] HARDENED against duplicate cliques: identical
+    * shingle-key sets collapse to one representative before LSH, and
+    * per-bucket candidates are capped (see [[exactGroups]] for both
+    * contracts). With no clique larger than `maxBucket`, the output is
+    * IDENTICAL to [[nearDedup]] (asserted in DedupHardenedSpec): the
+    * representative inherits its members' exact candidate set, members
+    * drop against the representative at Jaccard exactly 1, and the
+    * keep-min-id policy is preserved because each representative IS its
+    * group's minimum. Output: the surviving docs.
+    */
+  def nearDedupHardened(
+      docs: DataFrame,
+      n: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int = 4096): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1] — exact-group members are dropped at " +
+        "Jaccard exactly 1")
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    val (grp, repIds) = exactGroups(docs, n)
+    val reps = graft.util.OpCaches.cache(grp.join(repIds, Seq("ksig", "doc_id")))
+    val sigs = reps.select(
+      col("doc_id"),
+      graft.expr.MinHashSignature(col("keys"), numHashes).as("sig"))
+    val b = graft.util.OpCaches.cache(
+      lshBuckets(sigs, bands, numHashes / bands))
+    val verified =
+      verifyJaccardKeys(reps.select(col("doc_id"), col("keys")),
+        cappedBucketCandidates(b, maxBucket), threshold)
+    val droppedReps = verified.select(col("d2").as("doc_id"))
+    // every non-representative member: Jaccard vs its representative is
+    // exactly 1 (equal key sets), >= any threshold in (0, 1]
+    val droppedMembers = grp
+      .join(repIds.withColumnRenamed("doc_id", "rep"), Seq("ksig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("doc_id"))
+    docs.join(
+      droppedMembers.unionByName(droppedReps).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
   /** End-to-end near-dedup: MinHash+LSH candidates, verified against exact
     * Jaccard, then greedy keep-lowest-id — a doc is dropped iff some
     * SMALLER-id doc is near-identical to it. (One-step transitive closure:

@@ -623,6 +623,92 @@ object Similarity {
     lshNearDupPairsWithBits(vectors, threshold, bands, bitsPerBand, d)
   }
 
+  /** [[cosineNearDedup]] HARDENED against duplicate cliques — the
+    * embedding-side analogue of
+    * [[graft.dedup.Dedup.nearDedupHardened]]. A scraped corpus embeds
+    * byte-identical boilerplate to byte-identical vectors; they all
+    * share every LSH band bucket and the within-bucket join goes
+    * quadratic in clique size. Two counters, composed:
+    *
+    *  1. '''Exact-dup short-circuit''': vectors group by VALUE (the
+    *     vec array is the group key — exact float equality, the
+    *     provably-safe collapse); only each group's min-id
+    *     representative enters the LSH pipeline. Members drop iff the
+    *     group's self-similarity (dot(v,v)/(‖v‖·‖v‖), the identical
+    *     float expression a (rep, member) pair would evaluate — 1 up
+    *     to rounding, 0 for zero vectors) clears `threshold`, so the
+    *     collapse changes NO drop decision: with no clique larger than
+    *     `maxBucket`, output is IDENTICAL to [[cosineNearDedup]]
+    *     (asserted in DedupHardenedSpec).
+    *  2. '''Per-bucket candidate cap''': within each (band, bucket) a
+    *     pair forms only when at least one side ranks in the bucket's
+    *     `maxBucket` smallest ids — O(maxBucket · occupancy) per
+    *     bucket, linear in clique size, and every vector stays
+    *     pairable against the bucket's minimum ids (the partners
+    *     keep-min-id dedup needs). RECALL CONTRACT: a residual
+    *     (non-identical) near-dup pair is missed only if BOTH sides
+    *     rank past the cap in EVERY shared band.
+    *
+    * Output: the surviving vectors (id, vec).
+    */
+  def cosineNearDedupHardened(
+      vectors: DataFrame,
+      threshold: Double,
+      bands: Int,
+      bitsPerBand: Int,
+      d: Int,
+      maxBucket: Int = 4096): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be >= 1")
+    checkDims(vectors, d, "cosineNearDedupHardened")
+    val grp = graft.util.OpCaches.cache(
+      vectors.groupBy(col("vec")).agg(min(col("id")).as("rep")))
+    val reps = grp.select(col("rep").as("id"), col("vec"))
+    val planes = hyperplanes(bands * bitsPerBand, d)
+    val sig = graft.util.OpCaches.cache(
+      reps.select(col("id"), col("vec"), norm(col("vec")).as("nn"),
+        lshSignature(col("vec"), planes).as("s")))
+    val banded = sig.select(
+      col("id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => col("s").substr(b * bitsPerBand + 1, lit(bitsPerBand)))))
+      .toDF("id", "band", "bucket")
+    val bandedCached = graft.util.OpCaches.cache(banded)
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val head = bandedCached
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= maxBucket)
+      .drop("_rn")
+    val cands = head.as("a")
+      .join(bandedCached.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .distinct()
+    val droppedReps = cands
+      .join(sig.select(col("id").as("d1"), col("vec").as("v1"),
+        col("nn").as("n1")), "d1")
+      .join(sig.select(col("id").as("d2"), col("vec").as("v2"),
+        col("nn").as("n2")), "d2")
+      .withColumn("sim",
+        when(col("n1") * col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))))
+      .filter(col("sim") >= threshold)
+      .select(col("d2").as("id"))
+    // members drop against their representative at the group's
+    // self-similarity — the same float expression the pairwise path
+    // evaluates for two identical vectors
+    val selfSim = when(norm(col("vec")) * norm(col("vec")) === 0.0, lit(0.0))
+      .otherwise(dot(col("vec"), col("vec")) / (norm(col("vec")) * norm(col("vec"))))
+    val droppedMembers = vectors
+      .join(grp.filter(selfSim >= threshold), Seq("vec"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("id"))
+    vectors.join(
+      droppedMembers.unionByName(droppedReps).distinct(),
+      Seq("id"), "left_anti")
+  }
+
   /** Per-band bucket width sized so expected occupancy stays at
     * ~`targetOccupancy` rows as the corpus grows: the smallest B with
     * `2^B * targetOccupancy >= n`. FIXED bits are the quadratic trap in
