@@ -969,6 +969,24 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
+    // SCALAR-QUANTIZED IVF store: the probed cells are scanned as SQ8
+    // byte codes (~8x smaller raw — the tier a 100 TB embedding corpus
+    // actually keeps hot) and only the top-4k approx candidates per
+    // query re-rank against exact vectors. Same results as the exact
+    // store path (re-rank recovers the exact within-probe top-k; also
+    // asserted in IvfSqSpec), so the IVF SQL is the exact oracle
+    "sm_ann_ivf_sq" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val store = "target/graft_stores/ivfsq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.writeIvfIndexSq(all, nlist = 8, path = store)
+      val queries = all.filter(col("id") < 10)
+      Similarity.ivfTopKFromStoreSq(queries, store, k = 5, nprobe = 2)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): embeddings coarse-clustered by the
     // engine's own k-means (8 cells, fixed 5 iterations — the quantizer
     // unrolls into the SQL oracle), cosine near-dups >= 0.45 pruned
@@ -2620,6 +2638,9 @@ object SparkEntry {
     // store holds the same quantizer + assignments), so it shares the
     // oracle verbatim
     "sm_ann_ivf_store" -> ivfTopkSql,
+    // the SQ path re-ranks its quantized candidates against exact
+    // vectors, recovering the exact-store results — same oracle
+    "sm_ann_ivf_sq" -> ivfTopkSql,
 
     // same Lloyd-cell assignment as the IVF oracle; near-dup pairs form
     // only within equal cells, the higher id of each pair at sim >= 0.45

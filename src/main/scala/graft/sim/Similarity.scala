@@ -205,14 +205,13 @@ object Similarity {
     * (cid_id, cv, cn, cell) with the norm PREcomputed — from the store
     * that means the norm is read, not recomputed.
     */
-  private def ivfProbeScore(
-      queries: DataFrame,
-      cells: DataFrame,
+  /** The nprobe nearest cells of a query vector, as a sortable struct
+    * array (shared by the exact and quantized probe paths).
+    */
+  private def probeCellsCol(
       model: Seq[graft.kmeans.CentroidN],
-      k: Int,
-      nprobe: Int): DataFrame = {
-    // query side: nprobe nearest cells per query, exploded
-    val probeCells = (q: Column) =>
+      nprobe: Int): Column => Column =
+    (q: Column) =>
       slice(
         array_sort(
           array(model.map(c =>
@@ -222,6 +221,14 @@ object Similarity {
                 .as("d2"),
               lit(c.cid).as("cell"))): _*)),
         1, nprobe)
+
+  private def ivfProbeScore(
+      queries: DataFrame,
+      cells: DataFrame,
+      model: Seq[graft.kmeans.CentroidN],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probeCells = probeCellsCol(model, nprobe)
     val q = broadcast(
       queries
         .select(col("id").as("qid"), col("vec").as("qv"),
@@ -339,14 +346,27 @@ object Similarity {
     import graft.kmeans.OpsN
     val spark = newVectors.sparkSession
     val model = readIvfCentroids(spark, path)
-    val rows = OpsN.assignNAdaptive(
-        newVectors.select(col("id").as("pid"), col("vec").as("features")),
-        model)
-      .select(col("pid").as("cid_id"), col("features").as("cv"),
-        norm(col("features")).as("cn"), col("cid").as("cell"))
+    val rows = graft.util.OpCaches.cache(
+      OpsN.assignNAdaptive(
+          newVectors.select(col("id").as("pid"), col("vec").as("features")),
+          model)
+        .select(col("pid").as("cid_id"), col("features").as("cv"),
+          norm(col("features")).as("cn"), col("cid").as("cell")))
     checkIvfGrowth(spark, path, newVectors.count(),
       maxGrowthFactor, refuseBeyondGrowth)
     writeCells(rows, resolveCells(spark, path), partitionCells, "append")
+    // a writeIvfIndexSq store also carries the quantized scan tier:
+    // encode the batch with the STORED bounds (clamped — the quantizer
+    // is immutable post-build, same contract as the centroids)
+    val quantMeta = new org.apache.hadoop.fs.Path(s"$path/quant")
+    val fs = quantMeta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(quantMeta)) {
+      val (mins, maxs) = readSqBounds(spark, path)
+      writeCells(quantizeCells(rows, mins, maxs),
+        graft.util.GenStore.resolve(spark, s"$path/cells_sq"),
+        partitionCells, "append")
+    }
+    graft.util.OpCaches.releaseAll(spark)
   }
 
   /** [[appendToIvfIndex]]'s growth check: post-append rows vs the
@@ -405,19 +425,202 @@ object Similarity {
       partitionCells: Boolean = false,
       targetFileRows: Long = 4L * 1024 * 1024): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
-    val cellsStore = s"$path/cells"
-    val rows = spark.read.parquet(graft.util.GenStore.resolve(spark, cellsStore))
-    graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
-      if (partitionCells)
-        rows.repartition(col("cell")).write.mode("overwrite")
-          .partitionBy("cell").parquet(genDir)
-      else {
-        val total = rows.count()
-        val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
-          .min(Int.MaxValue.toLong).toInt
-        rows.coalesce(nFiles).write.mode("overwrite").parquet(genDir)
+    def compactTier(cellsStore: String): Unit = {
+      val rows = spark.read.parquet(graft.util.GenStore.resolve(spark, cellsStore))
+      graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
+        if (partitionCells)
+          rows.repartition(col("cell")).write.mode("overwrite")
+            .partitionBy("cell").parquet(genDir)
+        else {
+          val total = rows.count()
+          val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
+            .min(Int.MaxValue.toLong).toInt
+          rows.coalesce(nFiles).write.mode("overwrite").parquet(genDir)
+        }
       }
     }
+    compactTier(s"$path/cells")
+    // a writeIvfIndexSq store compacts its quantized scan tier too
+    val sqPath = new org.apache.hadoop.fs.Path(s"$path/cells_sq")
+    val fs = sqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(sqPath)) compactTier(s"$path/cells_sq")
+  }
+
+  // -------------------------------------------------------------------
+  // Scalar-quantized (SQ8) IVF tier — the 100 TB memory story
+  // -------------------------------------------------------------------
+
+  /** Per-dimension SQ8 step widths; a constant dimension gets step 1 so
+    * its codes are 0 and decode EXACTLY to the stored minimum.
+    */
+  private def sqDeltas(mins: Seq[Double], maxs: Seq[Double]): Seq[Double] =
+    mins.lazyZip(maxs).map((mn, mx) => if (mx > mn) (mx - mn) / 255.0 else 1.0)
+
+  /** SQ8-encode exact cell rows: code_i = clamp(round((v_i − min_i) /
+    * Δ_i), 0, 255) − 128, stored as ARRAY<TINYINT> — 1 byte per
+    * dimension against the exact tier's 8 (plus parquet level overhead;
+    * the measured on-disk ratio is asserted in IvfSqSpec). The encode
+    * transform is a build/append-time one-off, never on the query path.
+    */
+  private def quantizeCells(
+      cells: DataFrame, mins: Seq[Double], maxs: Seq[Double]): DataFrame = {
+    val minsLit = graft.expr.ArrayVector.vecLit(mins)
+    val deltasLit = graft.expr.ArrayVector.vecLit(sqDeltas(mins, maxs))
+    cells.select(
+      col("cid_id"),
+      col("cn"),
+      col("cell"),
+      transform(col("cv"), (v, i) =>
+        (least(
+          greatest(
+            round((v - element_at(minsLit, i + 1)) / element_at(deltasLit, i + 1)),
+            lit(0.0)),
+          lit(255.0)) - 128.0).cast("tinyint")).as("qv"))
+  }
+
+  private def readSqBounds(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Double], Seq[Double]) = {
+    val row = spark.read.parquet(s"$path/quant").collect()(0)
+    (row.getSeq[Double](row.fieldIndex("mins")),
+      row.getSeq[Double](row.fieldIndex("maxs")))
+  }
+
+  /** [[writeIvfIndex]] plus a SCALAR-QUANTIZED scan tier — the layout
+    * for corpora whose raw embeddings dwarf storage/cache budgets. At
+    * 100 TB of float64 embeddings the IVF cells ARE the index cost;
+    * SQ8 stores each component as one byte (`cells_sq/`:
+    * (cid_id, cell, cn, qv ARRAY<TINYINT>) + `quant/` per-dimension
+    * bounds), an ~8× raw reduction, while the exact tier (`cells/`)
+    * is kept for candidate re-ranking and for [[ivfTopKFromStore]]
+    * compatibility. Queries run [[ivfTopKFromStoreSq]]: probe the
+    * QUANTIZED tier (the full-cell scans), then re-rank only the top
+    * `rerank` candidates per query against exact vectors — the
+    * FAISS `IndexIVFScalarQuantizer` + refine shape.
+    *
+    * The per-dimension bounds come from the build corpus (one
+    * build-time explode+aggregate pass); appends encode with the
+    * STORED bounds, clamped — the same quantizer-immutability contract
+    * as the centroids, with the same [[appendToIvfIndex]] refit
+    * discipline when the corpus drifts.
+    */
+  def writeIvfIndexSq(
+      corpus: DataFrame,
+      nlist: Int,
+      path: String,
+      maxIter: Int = 5,
+      partitionCells: Boolean = false,
+      fitSampleCap: Long = 100000L): Unit = {
+    import graft.kmeans.{LloydN, OpsN}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
+    val n = pts.count()
+    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, Some(n))
+    model.map(c => (c.cid, c.features.toSeq)).toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((n, nlist)).toDF("fit_count", "nlist")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val cells = graft.util.OpCaches.cache(
+      OpsN.assignNAdaptive(pts, model)
+        .select(col("pid").as("cid_id"), col("features").as("cv"),
+          norm(col("features")).as("cn"), col("cid").as("cell")))
+    writeCells(cells, s"$path/cells", partitionCells, "overwrite")
+    val bounds = cells
+      .select(posexplode(col("cv")).as(Seq("i", "v")))
+      .groupBy(col("i")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("i")).collect()
+    val mins = bounds.map(_.getDouble(1)).toSeq
+    val maxs = bounds.map(_.getDouble(2)).toSeq
+    Seq((mins, maxs)).toDF("mins", "maxs")
+      .write.mode("overwrite").parquet(s"$path/quant")
+    writeCells(quantizeCells(cells, mins, maxs), s"$path/cells_sq",
+      partitionCells, "overwrite")
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** [[ivfTopKFromStore]] against the QUANTIZED tier of a
+    * [[writeIvfIndexSq]] store, with exact re-rank.
+    *
+    * Plan shape: the probed cells' SQ8 codes are scanned and scored
+    * with the codegen'd [[graft.expr.ArrayDot]] — the decode never
+    * materializes, because dot(q, decode(b)) algebraically splits into
+    * per-QUERY constants plus dot(qΔ, codes):
+    * Σ qᵢ(minᵢ + Δᵢ(bᵢ+128)) = dot(q, mins) + 128·Σ qᵢΔᵢ + dot(qΔ, b),
+    * where qΔᵢ = qᵢ·Δᵢ rides the broadcast query row. The top `rerank`
+    * candidates per query (approx-sim order, deterministic id
+    * tiebreak) then join the EXACT tier on (cell, cid_id) — a
+    * broadcast-candidate probe that partition-prunes to the probed
+    * cells in the `partitionCells` layout — and the final top-k uses
+    * exact cosine with the plain path's exact ordering.
+    *
+    * CONTRACT: output equals [[ivfTopKFromStore]] whenever each true
+    * within-probe top-k candidate ranks inside `rerank` by quantized
+    * score (IvfSqSpec asserts equality on the fixture corpus; the
+    * default depth 4·k makes a swap past it a ~4σ quantization-error
+    * event). Recall vs exact search is governed by nprobe exactly as
+    * in the plain path.
+    */
+  def ivfTopKFromStoreSq(
+      queries: DataFrame,
+      path: String,
+      k: Int,
+      nprobe: Int,
+      rerank: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val model = readIvfCentroids(spark, path)
+    require(nprobe >= 1 && nprobe <= model.size,
+      s"need 1 <= nprobe <= ${model.size} (stored nlist)")
+    val depth = if (rerank > 0) rerank else 4 * k
+    require(depth >= k, s"rerank depth $depth < k=$k")
+    val (mins, maxs) = readSqBounds(spark, path)
+    val deltasLit = graft.expr.ArrayVector.vecLit(sqDeltas(mins, maxs))
+    val minsLit = graft.expr.ArrayVector.vecLit(mins)
+    val probeCells = probeCellsCol(model, nprobe)
+    // broadcast query prep: qΔ and the per-query constant live on the
+    // tiny side; HOFs here run once per query row, never per cell row
+    val q = broadcast(
+      queries
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          norm(col("vec")).as("qn"),
+          zip_with(col("vec"), deltasLit, (a, b) => a * b).as("qdelta"),
+          explode(probeCells(col("vec"))).as("probe"))
+        .select(col("qid"), col("qvec"), col("qn"), col("qdelta"),
+          (graft.expr.ArrayVector.dot(col("qvec"), minsLit) +
+            lit(128.0) * aggregate(col("qdelta"), lit(0.0), (acc, x) => acc + x))
+            .as("qconst"),
+          col("probe.cell").as("cell")))
+    val cellsSq = spark.read
+      .parquet(graft.util.GenStore.resolve(spark, s"$path/cells_sq"))
+    val approx = cellsSq.join(q, Seq("cell"))
+      .filter(col("qid") =!= col("cid_id"))
+      .withColumn("adot",
+        col("qconst") + graft.expr.ArrayVector.dot(
+          col("qdelta"), col("qv").cast("array<double>")))
+      .withColumn("asim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(col("adot") / (col("qn") * col("cn"))))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("cid_id"))
+    val cand = approx
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= depth)
+      .select(col("qid"), col("cell"), col("cid_id"),
+        col("qvec"), col("qn"))
+    // exact re-rank: candidates are O(queries · rerank) — they probe the
+    // exact tier by (cell, cid_id), so the partitioned layout prunes to
+    // the probed cells and never rescans the full exact index
+    val exact = spark.read.parquet(resolveCells(spark, path))
+      .select(col("cell"), col("cid_id"), col("cv"), col("cn"))
+    val rer = cand.join(exact, Seq("cell", "cid_id"))
+      .withColumn("sim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qvec"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid_id"))
+    rer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid_id").as("cid"), col("sim"), col("rank"))
   }
 
   private def readIvfCentroids(
