@@ -1215,6 +1215,25 @@ object SparkEntry {
           (floor(element_at(col("features"), 7).cast("double") * 1e6) / 1e6).as("f6"),
           (floor(element_at(col("features"), 8).cast("double") * 1e6) / 1e6).as("f7"),
           size(col("features")).cast("long").as("d"))
+    },
+
+    // The format-support matrix as a queryable table: which formats
+    // decode for REAL (in-JVM pixels) vs the deterministic stub — so a
+    // pipeline can join its media formats against this and alert on
+    // stub coverage instead of discovering it in the output
+    "mm_capabilities" -> { (s, _) =>
+      MultimodalOps.formatCapabilities(s)
+    },
+
+    // STRICT decode mode: stub-only formats (the fixture's
+    // application/octet-stream) yield NULL features instead of silent
+    // histogram stand-ins — the mode that makes missing codecs visible
+    "mm_features_strict" -> { (s, dir) =>
+      MultimodalOps.extractFeatures(
+          MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")),
+          strict = true)
+        .select(col("media_id"),
+          col("features").isNotNull.cast("int").as("has_features"))
     }
   )
 
@@ -1234,7 +1253,20 @@ object SparkEntry {
     */
   private def hardenedOracles: Map[String, String] = Map(
     "dd_near_dedup_hardened" -> baseOracleSql("dd_near_dedup"),
-    "sm_cosine_neardedup_hardened" -> baseOracleSql("sm_cosine_neardedup"))
+    "sm_cosine_neardedup_hardened" -> baseOracleSql("sm_cosine_neardedup"),
+    // the capability matrix is a deterministic constant table; the
+    // oracle re-states it LITERALLY (not derived from realFormats) so a
+    // silent dispatch-table edit fails the gate
+    "mm_capabilities" ->
+      """SELECT * FROM (VALUES
+        |  ('image/png', 'real'), ('image/jpeg', 'real'),
+        |  ('image/jpg', 'real'), ('image/bmp', 'real'),
+        |  ('image/gif', 'real'), ('image/wbmp', 'real'),
+        |  ('*', 'stub')) AS t(format, decoder)""".stripMargin,
+    // strict mode on the fixture corpus: every payload is the stub-only
+    // octet-stream format, so NO row carries features
+    "mm_features_strict" ->
+      "SELECT doc_id AS media_id, 0 AS has_features FROM documents")
 
   private def baseOracleSql: Map[String, String] = Map(
     "s1_p1_points_scan" ->

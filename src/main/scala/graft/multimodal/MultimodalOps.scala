@@ -79,12 +79,18 @@ object MultimodalOps {
     * mislabeled), so a bad record degrades instead of failing the task.
     */
   def decodeImageFeatures(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](16)
+    val img = readImage(payload)
+    if (img == null) fakeDecodeFeatures(payload) else luminanceHistogram(img)
+  }
+
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+
+  private def luminanceHistogram(
+      img: java.awt.image.BufferedImage): Array[Float] = {
     val bins = new Array[Float](16)
-    if (payload == null || payload.isEmpty) return bins
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
-    if (img == null) return fakeDecodeFeatures(payload)
     val (w, h) = (img.getWidth, img.getHeight)
     val n = w * h
     if (n == 0) return bins
@@ -104,17 +110,54 @@ object MultimodalOps {
     bins
   }
 
-  /** Format-dispatched decode: JVM-decodable image formats get the real
-    * pixel path (every standard JDK ships ImageIO readers for PNG, JPEG,
-    * BMP, GIF, and WBMP); everything else the deterministic stub
-    * histogram.
+  /** The format-support matrix — the ONE source of truth for dispatch,
+    * surfaced to callers via [[formatCapabilities]]: `real` formats
+    * decode pixels in-JVM (every standard JDK ships ImageIO readers for
+    * these); every other format is `stub` (deterministic byte histogram
+    * — no JVM codec for audio/video in this environment; a real
+    * PCM/ffmpeg decoder drops in by replacing [[fakeDecodeFeatures]]).
+    */
+  val realFormats: Seq[String] = Seq(
+    "image/png", "image/jpeg", "image/jpg", "image/bmp", "image/gif",
+    "image/wbmp")
+
+  /** The queryable capability table: (format, decoder) with one `real`
+    * row per in-JVM-decodable format plus the `*` default row naming
+    * the stub — so a pipeline can JOIN its media formats against this
+    * and route/alert on stub coverage instead of discovering it in the
+    * output. Deterministic (no runtime codec probing), hence
+    * oracle-checkable.
+    */
+  def formatCapabilities(
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    (realFormats.map((_, "real")) :+ ("*" -> "stub"))
+      .toDF("format", "decoder")
+  }
+
+  /** Format-dispatched decode: `real` formats get the pixel path,
+    * everything else the deterministic stub histogram (see
+    * [[realFormats]]). A real-format payload that fails to decode
+    * degrades to the stub histogram; use `strict` in
+    * [[extractFeatures]] when degradation must be visible.
     */
   def decodeFeatures(format: String, payload: Array[Byte]): Array[Float] =
-    format match {
-      case "image/png" | "image/bmp" | "image/gif" | "image/jpeg" |
-          "image/jpg" =>
-        decodeImageFeatures(payload)
-      case _ => fakeDecodeFeatures(payload)
+    if (realFormats.contains(format)) decodeImageFeatures(payload)
+    else fakeDecodeFeatures(payload)
+
+  /** STRICT decode: real formats yield pixel features or NULL when the
+    * payload fails to decode (truncated/mislabeled); stub-only formats
+    * yield NULL always — no silent histogram stand-ins. The mode for
+    * pipelines that must KNOW which rows carry real features (training
+    * on stub histograms because a codec was missing is the exact
+    * failure this surfaces).
+    */
+  def decodeFeaturesStrict(format: String, payload: Array[Byte]): Array[Float] =
+    if (!realFormats.contains(format)) null
+    else if (payload == null || payload.isEmpty) null
+    else {
+      val img = readImage(payload)
+      if (img == null) null else luminanceHistogram(img)
     }
 
   /** Batched feature extraction over the media table. Runs the decoder
@@ -122,11 +165,10 @@ object MultimodalOps {
     * `mapInPandas` batch UDF); dispatch is per-row on the `format`
     * column. Output: (media_id, features ARRAY<FLOAT>).
     */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
+  def extractFeatures(media: DataFrame, strict: Boolean = false): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
-      StructField("features", ArrayType(FloatType), nullable = false)))
+      StructField("features", ArrayType(FloatType), nullable = strict)))
     val enc = Encoders.row(outSchema)
     media
       .select(col("media_id"), col("media"), col("format"))
@@ -137,7 +179,9 @@ object MultimodalOps {
           val id = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val format = r.getString(2)
-          Row(id, decodeFeatures(format, payload))
+          Row(id,
+            if (strict) decodeFeaturesStrict(format, payload)
+            else decodeFeatures(format, payload))
         }
       }(enc)
   }

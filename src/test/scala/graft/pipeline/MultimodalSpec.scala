@@ -92,6 +92,51 @@ class MultimodalSpec extends AnyFunSuite {
         === MultimodalOps.fakeDecodeFeatures(payload).toSeq)
   }
 
+  test("formatCapabilities: the dispatch table is queryable and matches " +
+      "decodeFeatures routing") {
+    val caps = MultimodalOps.formatCapabilities(spark)
+      .as[(String, String)].collect().toMap
+    assert(caps("*") === "stub")
+    assert(caps.filter(_._2 == "real").keySet ===
+      MultimodalOps.realFormats.toSet)
+    // routing agrees with the table: a real format decodes pixels, a
+    // stub format gets the byte histogram
+    val payload = "aaaa".getBytes("UTF-8")
+    for (f <- MultimodalOps.realFormats)
+      assert(caps(f) === "real", s"$f missing from the capability table")
+    assert(MultimodalOps.decodeFeatures("audio/wav", payload).toSeq ===
+      MultimodalOps.fakeDecodeFeatures(payload).toSeq)
+  }
+
+  test("strict mode: stub formats and undecodable payloads yield NULL, " +
+      "decodable images still decode") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+    val truncated = "not a png".getBytes("UTF-8")
+    val df = Seq(
+      (1L, png, "image/png", png.length.toLong),          // decodes
+      (2L, truncated, "image/png", truncated.length.toLong), // fails decode
+      (3L, png, "audio/wav", png.length.toLong))          // stub-only format
+      .toDF("media_id", "media", "format", "n_bytes")
+    val strict = MultimodalOps.extractFeatures(df, strict = true)
+      .select($"media_id", $"features").as[(Long, Array[Float])]
+      .collect().toMap
+    assert(strict(1L)(0) === 0.5f && strict(1L)(15) === 0.5f)
+    assert(strict(2L) === null) // no silent histogram stand-in
+    assert(strict(3L) === null)
+    // permissive mode on the same rows degrades instead of nulling
+    val loose = MultimodalOps.extractFeatures(df)
+      .select($"media_id", $"features").as[(Long, Array[Float])]
+      .collect().toMap
+    assert(loose(2L).toSeq === MultimodalOps.fakeDecodeFeatures(truncated).toSeq)
+    assert(loose(3L).toSeq === MultimodalOps.fakeDecodeFeatures(png).toSeq)
+  }
+
   test("frameSample: empty payload yields zero frames (no phantom row)") {
     val m = media((1L, ""))
     assert(MultimodalOps.frameSample(m, frameSize = 32, stride = 1).count() === 0L)
