@@ -188,8 +188,17 @@ object Bench {
     // the two persisted-store paths ride along (round-10): their
     // O(corpus) build + O(batch) query composition is re-measured per
     // round like the inline siblings', instead of resting on plan locks
+    // round-11 additions per the r10 verdict: dd_paragraph_dedup (the
+    // sub-document shuffle head) and tx_bm25_store (the index
+    // build+query composition) join the set; dd_near_dedup_hardened
+    // rides alongside dd_near_dedup to show the clique hardening's
+    // overhead (group pass + bucket rank) scales like the plain path —
+    // the replica corpus deliberately has no cross-replica dups, so the
+    // collapse itself only bites on the base corpus's within-replica
+    // dup groups (the clique blowup case is spec'd, not benched)
     val scaleQueries = Seq(
-      "dd_near_dedup", "dd_dup_groups", "sm_cosine_lsh_neardup",
+      "dd_near_dedup", "dd_near_dedup_hardened", "dd_dup_groups",
+      "dd_paragraph_dedup", "tx_bm25_store", "sm_cosine_lsh_neardup",
       "sm_cosine_lsh_sized", "sm_ann_ivf_topk",
       "sm_semdedup", "sm_semdedup_sized",
       "dd_incremental_store", "sm_ann_ivf_store")
