@@ -1234,6 +1234,25 @@ object SparkEntry {
           strict = true)
         .select(col("media_id"),
           col("features").isNotNull.cast("int").as("has_features"))
+    },
+
+    // REAL audio decode, end-to-end oracle-gated: each doc's text bytes
+    // wrapped as a genuine RIFF/WAVE file (8-bit unsigned mono PCM via
+    // AudioSystem.write), then decoded back through the REAL
+    // javax.sound.sampled parse+PCM-widening path. The amplitude
+    // histogram of the decoded samples must equal the byte histogram of
+    // the original text — which DuckDB computes directly — so a broken
+    // header write, sample-width conversion, or sign handling fails the
+    // gate bit-exactly (same three informative bins as mm_features)
+    "mm_audio_features" -> { (s, dir) =>
+      MultimodalOps.extractFeatures(
+          MultimodalOps.audioMediaFromDocuments(
+            Graft.table(s, dir, "documents")))
+        .select(col("media_id"),
+          (floor(element_at(col("features"), 3).cast("double") * 1e6) / 1e6).as("f2"),
+          (floor(element_at(col("features"), 7).cast("double") * 1e6) / 1e6).as("f6"),
+          (floor(element_at(col("features"), 8).cast("double") * 1e6) / 1e6).as("f7"),
+          size(col("features")).cast("long").as("d"))
     }
   )
 
@@ -1262,11 +1281,18 @@ object SparkEntry {
         |  ('image/png', 'real'), ('image/jpeg', 'real'),
         |  ('image/jpg', 'real'), ('image/bmp', 'real'),
         |  ('image/gif', 'real'), ('image/wbmp', 'real'),
+        |  ('audio/wav', 'real'), ('audio/x-wav', 'real'),
+        |  ('audio/wave', 'real'), ('audio/aiff', 'real'),
+        |  ('audio/x-aiff', 'real'), ('audio/basic', 'real'),
         |  ('*', 'stub')) AS t(format, decoder)""".stripMargin,
     // strict mode on the fixture corpus: every payload is the stub-only
     // octet-stream format, so NO row carries features
     "mm_features_strict" ->
-      "SELECT doc_id AS media_id, 0 AS has_features FROM documents")
+      "SELECT doc_id AS media_id, 0 AS has_features FROM documents",
+    // the real-WAV round trip decodes each text's bytes back as PCM
+    // amplitudes, so the audio query's oracle IS the byte histogram —
+    // identical SQL to mm_features
+    "mm_audio_features" -> baseOracleSql("mm_features"))
 
   private def baseOracleSql: Map[String, String] = Map(
     "s1_p1_points_scan" ->

@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * extraction, and frame sampling.
   *
   * Image formats (PNG, JPEG, BMP, GIF) decode REAL pixels via the JDK's
-  * `javax.imageio` — no native libraries. Audio/video formats have no JVM
-  * codec in this environment, so they route to a clearly-marked STUB:
+  * `javax.imageio`; container audio formats (WAV, AIFF, AU) decode REAL
+  * PCM samples via the JDK's `javax.sound.sampled` — no native libraries
+  * either way. Compressed audio (MP3/OGG) and video have no JVM codec in
+  * this environment, so they route to a clearly-marked STUB:
   * `fakeDecodeFeatures` derives a deterministic 16-bin byte histogram with
-  * the same fixed-width contract, and a real decoder (PCM/ffmpeg-backed)
+  * the same fixed-width contract, and a real decoder (ffmpeg-backed)
   * drops in by replacing ONE function.
   *
   * Scale notes: payloads stay opaque binary end-to-end (no driver
@@ -112,14 +114,129 @@ object MultimodalOps {
 
   /** The format-support matrix — the ONE source of truth for dispatch,
     * surfaced to callers via [[formatCapabilities]]: `real` formats
-    * decode pixels in-JVM (every standard JDK ships ImageIO readers for
-    * these); every other format is `stub` (deterministic byte histogram
-    * — no JVM codec for audio/video in this environment; a real
-    * PCM/ffmpeg decoder drops in by replacing [[fakeDecodeFeatures]]).
+    * decode in-JVM (every standard JDK ships ImageIO readers for the
+    * image rows and javax.sound.sampled readers for the audio rows);
+    * every other format is `stub` (deterministic byte histogram — no
+    * JVM codec for compressed audio/video in this environment; a real
+    * ffmpeg-backed decoder drops in by replacing [[fakeDecodeFeatures]]).
     */
   val realFormats: Seq[String] = Seq(
     "image/png", "image/jpeg", "image/jpg", "image/bmp", "image/gif",
     "image/wbmp")
+
+  /** Container audio formats the JDK decodes natively (RIFF/WAVE, AIFF,
+    * Sun AU — `javax.sound.sampled.AudioSystem` file readers). Compressed
+    * codecs (MP3, OGG, AAC) are NOT in this list: no JVM decoder ships
+    * with the JDK, so they stay on the stub and are visible as such in
+    * [[formatCapabilities]].
+    */
+  val realAudioFormats: Seq[String] = Seq(
+    "audio/wav", "audio/x-wav", "audio/wave", "audio/aiff", "audio/x-aiff",
+    "audio/basic")
+
+  /** REAL decoder for container audio (WAV/AIFF/AU via
+    * `javax.sound.sampled` — no native libraries): decode to PCM,
+    * convert to signed 16-bit, and compute a 16-bin AMPLITUDE histogram
+    * over samples (bucketed by the high nibble of the unsigned-8-bit
+    * view), L1-normalized — the same fixed-width contract as the image
+    * and stub paths. For 8-bit unsigned PCM the decoded amplitudes ARE
+    * the payload's data bytes, which is what lets the end-to-end audio
+    * query be oracle-checked bit-exactly against a SQL byte histogram.
+    * Returns the byte-histogram fallback when the payload doesn't parse
+    * (truncated / mislabeled), so a bad record degrades instead of
+    * failing the task.
+    */
+  def decodeAudioFeatures(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](16)
+    val samples = readPcmSamples(payload)
+    if (samples == null) fakeDecodeFeatures(payload)
+    else amplitudeHistogram(samples)
+  }
+
+  /** Decode any JDK-supported audio container to signed 16-bit PCM
+    * samples (all channels interleaved — channel structure doesn't
+    * matter for an amplitude histogram). Null when the payload isn't a
+    * parseable audio file or the PCM conversion is unsupported.
+    */
+  private def readPcmSamples(payload: Array[Byte]): Array[Int] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val base = in.getFormat
+        // canonicalize: the JDK's PCM codec widens/sign-flips any PCM
+        // depth to signed 16-bit little-endian without resampling
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          base.getSampleRate, 16, base.getChannels,
+          base.getChannels * 2, base.getSampleRate, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) = ((bytes(2 * i + 1).toInt) << 8) | (bytes(2 * i) & 0xff)
+          i += 1
+        }
+        out
+      } finally in.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => null
+      case _: java.io.IOException => null
+      case _: IllegalArgumentException => null // PCM conversion unsupported
+    }
+
+  private def amplitudeHistogram(samples: Array[Int]): Array[Float] = {
+    val bins = new Array[Float](16)
+    if (samples.isEmpty) return bins
+    var i = 0
+    while (i < samples.length) {
+      // signed 16-bit -> unsigned 8-bit amplitude -> high nibble;
+      // inverts the codec's 8-bit widening ((b-128)<<8) exactly
+      bins(((samples(i) >> 8) + 128) >> 4) += 1f
+      i += 1
+    }
+    var j = 0
+    while (j < 16) { bins(j) /= samples.length.toFloat; j += 1 }
+    bins
+  }
+
+  /** Wrap raw bytes as a REAL RIFF/WAVE file (8-bit unsigned mono PCM)
+    * via `AudioSystem.write` — each input byte becomes one sample, so
+    * [[decodeAudioFeatures]] on the result reproduces
+    * [[fakeDecodeFeatures]] of the input bit-exactly. Deterministic
+    * (fixed header for a fixed sample rate), which makes synthesized
+    * audio payloads oracle-checkable.
+    */
+  def wrapPcmWav(samples: Array[Byte], sampleRate: Float = 8000f): Array[Byte] = {
+    val data = if (samples == null) Array.emptyByteArray else samples
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, data.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream(data.length + 64)
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** Build an audio media table from the documents fixture: each doc's
+    * UTF-8 text bytes wrapped as a real 8-bit PCM WAV payload
+    * ([[wrapPcmWav]]). Runs per partition like the decode path; the
+    * payload is a genuine RIFF file, so the downstream decode exercises
+    * the REAL `javax.sound.sampled` parse, while the sample values stay
+    * deterministic and SQL-predictable for the oracle.
+    */
+  def audioMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = wrapPcmWav(r.getString(1).getBytes("UTF-8"))
+          Row(r.getLong(0), payload, "audio/wav", payload.length.toLong)
+        }
+      }(enc)
+  }
 
   /** The queryable capability table: (format, decoder) with one `real`
     * row per in-JVM-decodable format plus the `*` default row naming
@@ -131,34 +248,38 @@ object MultimodalOps {
   def formatCapabilities(
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    (realFormats.map((_, "real")) :+ ("*" -> "stub"))
+    ((realFormats ++ realAudioFormats).map((_, "real")) :+ ("*" -> "stub"))
       .toDF("format", "decoder")
   }
 
-  /** Format-dispatched decode: `real` formats get the pixel path,
-    * everything else the deterministic stub histogram (see
-    * [[realFormats]]). A real-format payload that fails to decode
+  /** Format-dispatched decode: `real` image formats get the pixel path,
+    * `real` audio formats the PCM path, everything else the
+    * deterministic stub histogram (see [[realFormats]] /
+    * [[realAudioFormats]]). A real-format payload that fails to decode
     * degrades to the stub histogram; use `strict` in
     * [[extractFeatures]] when degradation must be visible.
     */
   def decodeFeatures(format: String, payload: Array[Byte]): Array[Float] =
     if (realFormats.contains(format)) decodeImageFeatures(payload)
+    else if (realAudioFormats.contains(format)) decodeAudioFeatures(payload)
     else fakeDecodeFeatures(payload)
 
-  /** STRICT decode: real formats yield pixel features or NULL when the
-    * payload fails to decode (truncated/mislabeled); stub-only formats
-    * yield NULL always — no silent histogram stand-ins. The mode for
-    * pipelines that must KNOW which rows carry real features (training
-    * on stub histograms because a codec was missing is the exact
-    * failure this surfaces).
+  /** STRICT decode: real formats yield pixel/PCM features or NULL when
+    * the payload fails to decode (truncated/mislabeled); stub-only
+    * formats yield NULL always — no silent histogram stand-ins. The
+    * mode for pipelines that must KNOW which rows carry real features
+    * (training on stub histograms because a codec was missing is the
+    * exact failure this surfaces).
     */
   def decodeFeaturesStrict(format: String, payload: Array[Byte]): Array[Float] =
-    if (!realFormats.contains(format)) null
-    else if (payload == null || payload.isEmpty) null
-    else {
+    if (payload == null || payload.isEmpty) null
+    else if (realFormats.contains(format)) {
       val img = readImage(payload)
       if (img == null) null else luminanceHistogram(img)
-    }
+    } else if (realAudioFormats.contains(format)) {
+      val samples = readPcmSamples(payload)
+      if (samples == null) null else amplitudeHistogram(samples)
+    } else null
 
   /** Batched feature extraction over the media table. Runs the decoder
     * per partition (codec init amortized across the batch, mirroring a

@@ -98,13 +98,13 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(caps("*") === "stub")
     assert(caps.filter(_._2 == "real").keySet ===
-      MultimodalOps.realFormats.toSet)
-    // routing agrees with the table: a real format decodes pixels, a
-    // stub format gets the byte histogram
+      (MultimodalOps.realFormats ++ MultimodalOps.realAudioFormats).toSet)
+    // routing agrees with the table: a real format decodes, a stub
+    // format (video — no JVM codec) gets the byte histogram
     val payload = "aaaa".getBytes("UTF-8")
-    for (f <- MultimodalOps.realFormats)
+    for (f <- MultimodalOps.realFormats ++ MultimodalOps.realAudioFormats)
       assert(caps(f) === "real", s"$f missing from the capability table")
-    assert(MultimodalOps.decodeFeatures("audio/wav", payload).toSeq ===
+    assert(MultimodalOps.decodeFeatures("video/mp4", payload).toSeq ===
       MultimodalOps.fakeDecodeFeatures(payload).toSeq)
   }
 
@@ -121,7 +121,7 @@ class MultimodalSpec extends AnyFunSuite {
     val df = Seq(
       (1L, png, "image/png", png.length.toLong),          // decodes
       (2L, truncated, "image/png", truncated.length.toLong), // fails decode
-      (3L, png, "audio/wav", png.length.toLong))          // stub-only format
+      (3L, png, "video/mp4", png.length.toLong))          // stub-only format
       .toDF("media_id", "media", "format", "n_bytes")
     val strict = MultimodalOps.extractFeatures(df, strict = true)
       .select($"media_id", $"features").as[(Long, Array[Float])]
@@ -135,6 +135,90 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().toMap
     assert(loose(2L).toSeq === MultimodalOps.fakeDecodeFeatures(truncated).toSeq)
     assert(loose(3L).toSeq === MultimodalOps.fakeDecodeFeatures(png).toSeq)
+  }
+
+  test("decodeAudioFeatures: real WAV round trip — 8-bit PCM samples ARE " +
+      "the wrapped bytes, histogram matches the stub of the raw bytes") {
+    val bytes = "The quick brown fox! 0123".getBytes("UTF-8")
+    val wav = MultimodalOps.wrapPcmWav(bytes)
+    // it's a genuine RIFF container, not the raw bytes
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    val f = MultimodalOps.decodeAudioFeatures(wav)
+    assert(f.toSeq === MultimodalOps.fakeDecodeFeatures(bytes).toSeq)
+    // and it differs from the stub histogram OF THE CONTAINER (header
+    // bytes included) — proof the real parse ran
+    assert(f.toSeq !== MultimodalOps.fakeDecodeFeatures(wav).toSeq)
+    // end-to-end dispatch through extractFeatures
+    val df = Seq((1L, wav, "audio/wav", wav.length.toLong))
+      .toDF("media_id", "media", "format", "n_bytes")
+    val got = MultimodalOps.extractFeatures(df)
+      .select($"features").as[Array[Float]].head()
+    assert(got.toSeq === f.toSeq)
+  }
+
+  test("decodeAudioFeatures: 16-bit signed WAV and big-endian AIFF decode " +
+      "through the PCM canonicalization") {
+    import javax.sound.sampled._
+    def container(tpe: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      // 128 samples: 96 at mid-scale 0 -> amplitude byte 128 -> bin 8,
+      // 32 near full scale 0x7000 -> byte 240 -> bin 15
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val pcm = new Array[Byte](256)
+      for (i <- 0 until 64) {
+        val v = if (i < 32) 0 else 0x7000
+        val (hi, lo) = (((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        val off = 2 * i
+        if (bigEndian) { pcm(off) = hi; pcm(off + 1) = lo }
+        else { pcm(off) = lo; pcm(off + 1) = hi }
+      }
+      // second half stays zeros -> also bin 8
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 128)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, baos)
+      baos.toByteArray
+    }
+    for ((tpe, be, name) <- Seq(
+        (AudioFileFormat.Type.WAVE, false, "wav16le"),
+        (AudioFileFormat.Type.AIFF, true, "aiff16be"))) {
+      val f = MultimodalOps.decodeAudioFeatures(container(tpe, be))
+      // 96 of 128 samples are 0 (bin 8), 32 are 0x7000 (bin 15)
+      assert(f(8) === 0.75f, s"$name: ${f.toSeq}")
+      assert(f(15) === 0.25f, s"$name: ${f.toSeq}")
+    }
+  }
+
+  test("strict audio: valid WAV decodes, garbage under an audio format " +
+      "nulls, degradation stays in permissive mode") {
+    val bytes = "abcabc".getBytes("UTF-8")
+    val wav = MultimodalOps.wrapPcmWav(bytes)
+    val garbage = "RIFFnope".getBytes("UTF-8")
+    assert(MultimodalOps.decodeFeaturesStrict("audio/wav", wav) !== null)
+    assert(MultimodalOps.decodeFeaturesStrict("audio/wav", garbage) === null)
+    // permissive degrades to the stub of the garbage bytes
+    assert(MultimodalOps.decodeFeatures("audio/wav", garbage).toSeq ===
+      MultimodalOps.fakeDecodeFeatures(garbage).toSeq)
+  }
+
+  test("audioMediaFromDocuments: WAV-wrapped docs decode back to the text " +
+      "byte histogram (the mm_audio_features oracle contract)") {
+    val docs = Seq((1L, "hello world"), (2L, ""), (3L, "  !!"))
+      .toDF("doc_id", "text")
+    val m = MultimodalOps.audioMediaFromDocuments(docs)
+    // payloads are RIFF containers with typed metadata
+    val meta = m.select($"media_id", $"format", $"n_bytes",
+        org.apache.spark.sql.functions.octet_length($"media"))
+      .as[(Long, String, Long, Int)].collect()
+    assert(meta.forall(_._2 == "audio/wav"))
+    assert(meta.forall(r => r._3 == r._4.toLong))
+    val got = MultimodalOps.extractFeatures(m)
+      .select($"media_id", $"features").as[(Long, Array[Float])]
+      .collect().toMap
+    assert(got(1L).toSeq ===
+      MultimodalOps.fakeDecodeFeatures("hello world".getBytes("UTF-8")).toSeq)
+    assert(got(2L).forall(_ == 0f)) // zero-sample WAV -> all-zero histogram
+    assert(got(3L)(2) === 1.0f)     // all four bytes in 0x20-0x2f
   }
 
   test("frameSample: empty payload yields zero frames (no phantom row)") {
