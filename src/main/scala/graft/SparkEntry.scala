@@ -987,6 +987,25 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
+    // PRODUCT-QUANTIZED IVF store (Jégou TPAMI'11 / FAISS IndexIVFPQ
+    // shape): the probed cells scan m=8 one-byte codes per vector (64x
+    // smaller raw than the d=64 float64 tier — the compression level
+    // past SQ8's 8x), scored by a per-query lookup table through the
+    // codegen'd pq_adc_dot, then the top-8k approx candidates re-rank
+    // against exact vectors. Same results as the exact store path
+    // (asserted in IvfPqSpec too), so the IVF SQL is the exact oracle
+    "sm_ann_ivf_pq" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val store = "target/graft_stores/ivfpq_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.writeIvfIndexPq(all, nlist = 8, path = store, m = 8)
+      val queries = all.filter(col("id") < 10)
+      Similarity.ivfTopKFromStorePq(queries, store, k = 5, nprobe = 2)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): embeddings coarse-clustered by the
     // engine's own k-means (8 cells, fixed 5 iterations — the quantizer
     // unrolls into the SQL oracle), cosine near-dups >= 0.45 pruned
@@ -2699,6 +2718,9 @@ object SparkEntry {
     // the SQ path re-ranks its quantized candidates against exact
     // vectors, recovering the exact-store results — same oracle
     "sm_ann_ivf_sq" -> ivfTopkSql,
+    // the PQ path likewise: ADC-scored candidates re-rank against exact
+    // vectors, recovering the exact-store results — same oracle
+    "sm_ann_ivf_pq" -> ivfTopkSql,
 
     // same Lloyd-cell assignment as the IVF oracle; near-dup pairs form
     // only within equal cells, the higher id of each pair at sim >= 0.45

@@ -111,6 +111,64 @@ case class ArraySqDist(left: Expression, right: Expression) extends ArrayFoldExp
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization asymmetric-distance accumulate:
+  * Σ_j lut[j·ksub + (codes[j] + 128)] over a query's per-subspace
+  * lookup table — the PQ "ADC" inner loop (Jégou et al., TPAMI 2011).
+  * `left` is the row's ARRAY<TINYINT> PQ code (m entries, offset −128),
+  * `right` the query's flattened ARRAY<DOUBLE> LUT (m·ksub entries,
+  * subspace-major). The probe scan runs this once per (query, row)
+  * candidate — the hot loop of IVF-PQ search — so it generates a tight
+  * primitive loop like the other fold expressions instead of going
+  * through the HOF interpreter. Out-of-range LUT indices contribute 0
+  * (fail-soft on corrupt codes, matching the ragged-prefix philosophy
+  * above).
+  */
+case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  require(ksub > 0 && ksub <= 256, s"ksub=$ksub out of (0, 256]")
+
+  override def prettyName: String = "pq_adc_dot"
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(codes: Any, lut: Any): Any = {
+    val c = codes.asInstanceOf[ArrayData]
+    val l = lut.asInstanceOf[ArrayData]
+    val m = c.numElements()
+    val nLut = l.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * ksub + (c.getByte(j) + 128)
+      if (idx >= 0 && idx < nLut) acc += l.getDouble(idx)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val m = ctx.freshName("m")
+      val nLut = ctx.freshName("nLut")
+      val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j")
+      val idx = ctx.freshName("idx")
+      s"""
+         |int $m = $c.numElements();
+         |int $nLut = $l.numElements();
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $idx = $j * $ksub + ($c.getByte($j) + 128);
+         |  if ($idx >= 0 && $idx < $nLut) $acc += $l.getDouble($idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 object ArrayVector {
   /** A constant vector as ONE Literal plan node. `array(lit, lit, …)`
     * builds d Literal children under a CreateArray that the optimizer
@@ -131,4 +189,9 @@ object ArrayVector {
   /** Column API: codegen'd squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
     Bridge.column(ArraySqDist(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: codegen'd PQ asymmetric-distance accumulate. */
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    Bridge.column(
+      PqAdcDot(Bridge.expression(codes), Bridge.expression(lut), ksub))
 }

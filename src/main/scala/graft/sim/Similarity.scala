@@ -366,6 +366,16 @@ object Similarity {
         graft.util.GenStore.resolve(spark, s"$path/cells_sq"),
         partitionCells, "append")
     }
+    // a writeIvfIndexPq store also carries the PQ scan tier: encode the
+    // batch with the STORED codebooks (immutable post-build, same
+    // contract as the centroids and SQ bounds)
+    val pqMeta = new org.apache.hadoop.fs.Path(s"$path/pq_meta")
+    if (fs.exists(pqMeta)) {
+      val (m, _, dsub) = readPqMeta(spark, path)
+      writeCells(encodePq(rows, readPqCodebooks(spark, path, m), dsub),
+        graft.util.GenStore.resolve(spark, s"$path/cells_pq"),
+        partitionCells, "append")
+    }
     graft.util.OpCaches.releaseAll(spark)
   }
 
@@ -440,10 +450,13 @@ object Similarity {
       }
     }
     compactTier(s"$path/cells")
-    // a writeIvfIndexSq store compacts its quantized scan tier too
-    val sqPath = new org.apache.hadoop.fs.Path(s"$path/cells_sq")
-    val fs = sqPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(sqPath)) compactTier(s"$path/cells_sq")
+    // a writeIvfIndexSq / writeIvfIndexPq store compacts its quantized
+    // scan tier(s) too
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (tier <- Seq("cells_sq", "cells_pq"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$tier")))
+        compactTier(s"$path/$tier")
   }
 
   // -------------------------------------------------------------------
@@ -607,9 +620,20 @@ object Similarity {
       .filter(col("arank") <= depth)
       .select(col("qid"), col("cell"), col("cid_id"),
         col("qvec"), col("qn"))
-    // exact re-rank: candidates are O(queries · rerank) — they probe the
-    // exact tier by (cell, cid_id), so the partitioned layout prunes to
-    // the probed cells and never rescans the full exact index
+    rerankExact(spark, path, cand, k)
+  }
+
+  /** Exact re-rank shared by the SQ and PQ probe paths: candidates are
+    * O(queries · rerank) — they probe the exact tier by (cell, cid_id),
+    * so the partitioned layout prunes to the probed cells and never
+    * rescans the full exact index. `cand` must carry
+    * (qid, cell, cid_id, qvec, qn).
+    */
+  private def rerankExact(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cand: DataFrame,
+      k: Int): DataFrame = {
     val exact = spark.read.parquet(resolveCells(spark, path))
       .select(col("cell"), col("cid_id"), col("cv"), col("cn"))
     val rer = cand.join(exact, Seq("cell", "cid_id"))
@@ -621,6 +645,211 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid_id").as("cid"), col("sim"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------
+  // Product-quantized (PQ) IVF tier — sub-byte-per-dim compression
+  // -------------------------------------------------------------------
+
+  /** The j-th subspace of a vector column (1-based slice). */
+  private def pqSub(v: Column, j: Int, dsub: Int): Column =
+    slice(v, j * dsub + 1, dsub)
+
+  /** PQ-encode exact cell rows against per-subspace codebooks: for each
+    * of the `m` subspaces, the code is the argmin sub-centroid id
+    * (lowest-id tiebreak via the shared probe sort), stored −128 as one
+    * TINYINT — m bytes per vector against the exact tier's 8·d (e.g.
+    * 64× raw at d=64, m=8, vs SQ8's 8×). Build/append-time one-off,
+    * never on the query path.
+    */
+  private def encodePq(
+      cells: DataFrame,
+      codebooks: IndexedSeq[Seq[graft.kmeans.CentroidN]],
+      dsub: Int): DataFrame = {
+    val subCodes = codebooks.indices.map { j =>
+      val nearest = probeCellsCol(codebooks(j), 1)
+      (element_at(nearest(pqSub(col("cv"), j, dsub)), 1)("cell") - 128)
+        .cast("tinyint")
+    }
+    cells.select(
+      col("cid_id"), col("cn"), col("cell"),
+      array(subCodes: _*).as("pqcode"))
+  }
+
+  private def readPqMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int) = {
+    val row = spark.read.parquet(s"$path/pq_meta").collect()(0)
+    (row.getInt(row.fieldIndex("m")),
+      row.getInt(row.fieldIndex("ksub")),
+      row.getInt(row.fieldIndex("dsub")))
+  }
+
+  /** Per-subspace codebooks, indexed by subspace. Possibly fewer than
+    * ksub entries per subspace (the fit drops empty sub-cells, matching
+    * the engine's k-means semantics) — codes only ever reference
+    * surviving ids, and the LUT leaves missing slots at 0.
+    */
+  private def readPqCodebooks(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      m: Int): IndexedSeq[Seq[graft.kmeans.CentroidN]] = {
+    val rows = spark.read.parquet(s"$path/pq_codebooks").collect()
+      .map(r => (r.getInt(r.fieldIndex("sub")),
+        graft.kmeans.CentroidN(
+          r.getInt(r.fieldIndex("cell")),
+          r.getSeq[Double](r.fieldIndex("cv")).toArray)))
+      .groupBy(_._1)
+    (0 until m).map(j =>
+      rows.getOrElse(j, Array.empty).map(_._2).sortBy(_.cid).toSeq)
+  }
+
+  /** [[writeIvfIndex]] plus a PRODUCT-QUANTIZED scan tier — the layout
+    * past SQ8's reach: where SQ8 stores one byte per DIMENSION, PQ
+    * stores one byte per SUBSPACE (`m` bytes per vector — 64× raw at
+    * d=64/m=8), the IVF-ADC layout of Jégou et al. (TPAMI 2011) and
+    * FAISS `IndexIVFPQ`. Each of the `m` subspaces gets its own
+    * `ksub`-centroid codebook (default 256 — the standard 8-bit PQ;
+    * smaller codebooks compress no further here since codes ship as
+    * one byte either way, they only lose reconstruction accuracy), fit
+    * by the engine's own k-means on the build corpus (per-subspace
+    * sampled fits, same FAISS-style cap as the coarse quantizer);
+    * codes are argmin sub-centroid ids. The
+    * exact tier (`cells/`) is kept for candidate re-ranking and
+    * [[ivfTopKFromStore]] compatibility; `pq_codebooks/` + `pq_meta/`
+    * make the store self-describing. Queries run
+    * [[ivfTopKFromStorePq]]. Codebooks are immutable post-build —
+    * appends encode with the STORED codebooks under
+    * [[appendToIvfIndex]]'s refit discipline.
+    */
+  def writeIvfIndexPq(
+      corpus: DataFrame,
+      nlist: Int,
+      path: String,
+      m: Int = 8,
+      ksub: Int = 256,
+      maxIter: Int = 5,
+      partitionCells: Boolean = false,
+      fitSampleCap: Long = 100000L): Unit = {
+    require(m > 0, s"m=$m")
+    require(ksub > 0 && ksub <= 256, s"ksub=$ksub out of (0, 256]")
+    import graft.kmeans.{LloydN, OpsN}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
+    val n = pts.count()
+    val d = pts.select(size(col("features"))).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
+    val dsub = d / m
+    val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, Some(n))
+    model.map(c => (c.cid, c.features.toSeq)).toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((n, nlist)).toDF("fit_count", "nlist")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val cells = graft.util.OpCaches.cache(
+      OpsN.assignNAdaptive(pts, model)
+        .select(col("pid").as("cid_id"), col("features").as("cv"),
+          norm(col("features")).as("cn"), col("cid").as("cell")))
+    writeCells(cells, s"$path/cells", partitionCells, "overwrite")
+    // per-subspace codebooks: m independent sampled fits over the
+    // sliced sub-vectors (m · maxIter small jobs, build-time only)
+    val codebooks = (0 until m).map { j =>
+      LloydN.iterateNSampled(
+        cells.select(col("cid_id").as("pid"),
+          pqSub(col("cv"), j, dsub).as("features")),
+        ksub, maxIter, fitSampleCap, Some(n))
+    }
+    codebooks.zipWithIndex
+      .flatMap { case (cb, j) => cb.map(c => (j, c.cid, c.features.toSeq)) }
+      .toDF("sub", "cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/pq_codebooks")
+    Seq((m, ksub, dsub)).toDF("m", "ksub", "dsub")
+      .write.mode("overwrite").parquet(s"$path/pq_meta")
+    writeCells(encodePq(cells, codebooks, dsub), s"$path/cells_pq",
+      partitionCells, "overwrite")
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** [[ivfTopKFromStore]] against the PQ tier of a [[writeIvfIndexPq]]
+    * store, with exact re-rank — the FAISS `IndexIVFPQ` + refine shape.
+    *
+    * Plan shape: each query precomputes ONE flattened lookup table
+    * (m·ksub doubles, subspace-major): lut[j·ksub + c] =
+    * dot(q_subⱼ, codebookⱼ[c]). The LUT rides the broadcast query row,
+    * so the probed cells' scan is a pure table-lookup accumulate —
+    * the codegen'd [[graft.expr.PqAdcDot]], m adds per candidate
+    * regardless of d; the reconstruction never materializes. The top
+    * `rerank` candidates per query (approx order, deterministic id
+    * tiebreak) then re-rank against the exact tier, exactly as the SQ
+    * path.
+    *
+    * CONTRACT: output equals [[ivfTopKFromStore]] whenever each true
+    * within-probe top-k candidate ranks inside `rerank` by ADC score.
+    * PQ codes are coarser than SQ8 (whole subspaces quantize to one of
+    * ksub prototypes), so the default depth is 8·k — twice the SQ
+    * default; IvfPqSpec asserts fixture equality at the default.
+    * Recall vs exact search is governed by nprobe as in the plain path.
+    * One PQ-specific caveat: rows appended from OUTSIDE the build
+    * distribution reconstruct poorly (codebooks only span their
+    * training region — there is no SQ-style clamp granularity) and can
+    * under-rank in ADC until a refit; [[appendToIvfIndex]]'s
+    * growth/refit discipline is the guard, and drift-heavy ingest
+    * should refit sooner than the count-based default suggests.
+    */
+  def ivfTopKFromStorePq(
+      queries: DataFrame,
+      path: String,
+      k: Int,
+      nprobe: Int,
+      rerank: Int = 0): DataFrame = {
+    val spark = queries.sparkSession
+    val model = readIvfCentroids(spark, path)
+    require(nprobe >= 1 && nprobe <= model.size,
+      s"need 1 <= nprobe <= ${model.size} (stored nlist)")
+    val depth = if (rerank > 0) rerank else 8 * k
+    require(depth >= k, s"rerank depth $depth < k=$k")
+    val (m, ksub, dsub) = readPqMeta(spark, path)
+    val codebooks = readPqCodebooks(spark, path, m)
+    // the query LUT: m·ksub codegen'd sub-dots over the query row —
+    // O(m·ksub·dsub) = O(d·ksub) work once per QUERY, never per
+    // candidate; dropped sub-cells leave their slot 0 (never referenced)
+    val lutCol = array(
+      (0 until m).flatMap { j =>
+        val byId = codebooks(j).map(c => c.cid -> c).toMap
+        (0 until ksub).map { c =>
+          byId.get(c) match {
+            case Some(cent) => dot(
+              pqSub(col("vec"), j, dsub),
+              graft.expr.ArrayVector.vecLit(cent.features.toIndexedSeq))
+            case None => lit(0.0)
+          }
+        }
+      }: _*)
+    val probeCells = probeCellsCol(model, nprobe)
+    val q = broadcast(
+      queries
+        .select(col("id").as("qid"), col("vec").as("qvec"),
+          norm(col("vec")).as("qn"), lutCol.as("lut"),
+          explode(probeCells(col("vec"))).as("probe"))
+        .select(col("qid"), col("qvec"), col("qn"), col("lut"),
+          col("probe.cell").as("cell")))
+    val cellsPq = spark.read
+      .parquet(graft.util.GenStore.resolve(spark, s"$path/cells_pq"))
+    val approx = cellsPq.join(q, Seq("cell"))
+      .filter(col("qid") =!= col("cid_id"))
+      .withColumn("adot",
+        graft.expr.ArrayVector.pqAdc(col("pqcode"), col("lut"), ksub))
+      .withColumn("asim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(col("adot") / (col("qn") * col("cn"))))
+    val wApprox = Window.partitionBy(col("qid"))
+      .orderBy(col("asim").desc, col("cid_id"))
+    val cand = approx
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= depth)
+      .select(col("qid"), col("cell"), col("cid_id"),
+        col("qvec"), col("qn"))
+    rerankExact(spark, path, cand, k)
   }
 
   private def readIvfCentroids(
