@@ -67,7 +67,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // dev-only subset filter (comma-separated names): iterate on one
+    // query's timing without paying the full suite; the driver never
+    // sets it. The scale block is skipped when filtering — its ratios
+    // need the full-suite medians.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
 
     def runOnce(name: String): Double = {
       spark.catalog.clearCache()
@@ -206,7 +213,7 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
     val scaleJson =
-      try {
+      if (only.nonEmpty) "" else try {
         graft.tools.GenScaleCorpus.ensure(spark, sfDir, scaleDir, scaleReplicas)
         def runScale(name: String): Double = {
           spark.catalog.clearCache()

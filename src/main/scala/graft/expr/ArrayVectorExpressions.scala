@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Bridge
@@ -169,6 +169,205 @@ case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: for each of the m subspaces, the argmin
+  * sub-centroid id (lowest-id tiebreak) over that subspace's codebook,
+  * emitted as one TINYINT (id − 128) — the whole m-subspace encode as ONE
+  * expression node with a tight primitive loop.
+  *
+  * The codebooks ride as plain constructor data (flattened vectors +
+  * parallel id array + per-subspace offsets, entries sorted by id so a
+  * strict `<` keeps the lowest id on ties), embedded in generated code
+  * via `addReferenceObj` — NOT as child expressions: the alternative
+  * (per-candidate `least/when` chains) builds m·ksub distance nodes
+  * (2048 at m=8, ksub=256) whose analysis/codegen dominates the whole
+  * build. Used by the PQ index build, append-time encode, AND the
+  * codebook fit's assignment step (one corpus pass assigns all
+  * subspaces).
+  *
+  * Subspace j covers dims [j·dsub, (j+1)·dsub); a subspace with no
+  * surviving codebook entry (offsets[j] == offsets[j+1]) emits code
+  * −128, and ragged rows fold over the dims present (fail-soft).
+  */
+case class PqEncode(
+    child: Expression,
+    flat: Array[Double],
+    cids: Array[Int],
+    offsets: Array[Int],
+    dsub: Int) extends UnaryExpression {
+  require(dsub > 0, s"dsub=$dsub")
+  require(offsets.length >= 1, "offsets must cover m+1 bounds")
+
+  private def m: Int = offsets.length - 1
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.ByteType, containsNull = false)
+
+  private def encode(v: ArrayData): Array[Byte] = {
+    val out = new Array[Byte](m)
+    val nDims = v.numElements()
+    var j = 0
+    while (j < m) {
+      var best = -128
+      var bestD = Double.MaxValue
+      var e = offsets(j)
+      while (e < offsets(j + 1)) {
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val dim = j * dsub + i
+          if (dim < nDims) {
+            val diff = v.getDouble(dim) - flat(e * dsub + i)
+            d2 += diff * diff
+          }
+          i += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = cids(e) - 128 }
+        e += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      encode(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the codebook arrays are shared runtime references, not inlined
+    // source (16k doubles would blow the 64 KB method limit)
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val cidsRef = ctx.addReferenceObj("pqCids", cids, "int[]")
+    val offsRef = ctx.addReferenceObj("pqOffs", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val nDims = ctx.freshName("nDims")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val dim = ctx.freshName("dim")
+      val d2 = ctx.freshName("d2")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |byte[] $out = new byte[${m}];
+         |int $nDims = $v.numElements();
+         |for (int $j = 0; $j < ${m}; $j++) {
+         |  int $best = -128;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $e = $offsRef[$j]; $e < $offsRef[$j + 1]; $e++) {
+         |    double $d2 = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $dim = $j * $dsub + $i;
+         |      if ($dim < $nDims) {
+         |        double $diff = $v.getDouble($dim) - $flatRef[$e * $dsub + $i];
+         |        $d2 += $diff * $diff;
+         |      }
+         |    }
+         |    if ($d2 < $bestD) { $bestD = $d2; $best = $cidsRef[$e] - 128; }
+         |  }
+         |  $out[$j] = (byte) $best;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Product-quantization LUT builder: the query-side companion of
+  * [[PqAdcDot]]. For a query vector, emits the flattened m·ksub lookup
+  * table lut[j·ksub + id] = dot(q_subⱼ, codebookⱼ[id]) in ONE node
+  * (missing codebook slots stay 0 and are never referenced by codes).
+  * The alternative — a CreateArray of m·ksub dot expressions (2048 at
+  * the 8-bit default) — dominates plan analysis and overflows codegen
+  * method limits. Runs once per QUERY row, never per candidate.
+  * Codebook layout and subspace conventions are [[PqEncode]]'s.
+  */
+case class PqLut(
+    child: Expression,
+    flat: Array[Double],
+    cids: Array[Int],
+    offsets: Array[Int],
+    dsub: Int,
+    ksub: Int) extends UnaryExpression {
+  require(dsub > 0, s"dsub=$dsub")
+  require(ksub > 0 && ksub <= 256, s"ksub=$ksub out of (0, 256]")
+
+  private def m: Int = offsets.length - 1
+
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+
+  private def build(v: ArrayData): Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    val nDims = v.numElements()
+    var j = 0
+    while (j < m) {
+      var e = offsets(j)
+      while (e < offsets(j + 1)) {
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val dim = j * dsub + i
+          if (dim < nDims) acc += v.getDouble(dim) * flat(e * dsub + i)
+          i += 1
+        }
+        out(j * ksub + cids(e)) = acc
+        e += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      build(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("pqLutFlat", flat, "double[]")
+    val cidsRef = ctx.addReferenceObj("pqLutCids", cids, "int[]")
+    val offsRef = ctx.addReferenceObj("pqLutOffs", offsets, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val nDims = ctx.freshName("nDims")
+      val j = ctx.freshName("j")
+      val e = ctx.freshName("e")
+      val i = ctx.freshName("i")
+      val dim = ctx.freshName("dim")
+      val acc = ctx.freshName("acc")
+      s"""
+         |double[] $out = new double[${m * ksub}];
+         |int $nDims = $v.numElements();
+         |for (int $j = 0; $j < ${m}; $j++) {
+         |  for (int $e = $offsRef[$j]; $e < $offsRef[$j + 1]; $e++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $dim = $j * $dsub + $i;
+         |      if ($dim < $nDims) $acc += $v.getDouble($dim) * $flatRef[$e * $dsub + $i];
+         |    }
+         |    $out[$j * $ksub + $cidsRef[$e]] = $acc;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayVector {
   /** A constant vector as ONE Literal plan node. `array(lit, lit, …)`
     * builds d Literal children under a CreateArray that the optimizer
@@ -194,4 +393,31 @@ object ArrayVector {
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     Bridge.column(
       PqAdcDot(Bridge.expression(codes), Bridge.expression(lut), ksub))
+
+  /** Column API: codegen'd PQ encode against flattened codebooks (see
+    * [[PqEncode]]). `books(j)` lists subspace j's surviving (id, vector)
+    * entries sorted by id.
+    */
+  def pqEncode(
+      v: Column, books: IndexedSeq[Seq[(Int, Array[Double])]],
+      dsub: Int): Column = {
+    val (flat, cids, offsets) = flattenBooks(books)
+    Bridge.column(PqEncode(Bridge.expression(v), flat, cids, offsets, dsub))
+  }
+
+  /** Column API: codegen'd PQ query-LUT build (see [[PqLut]]). */
+  def pqLut(
+      v: Column, books: IndexedSeq[Seq[(Int, Array[Double])]],
+      dsub: Int, ksub: Int): Column = {
+    val (flat, cids, offsets) = flattenBooks(books)
+    Bridge.column(PqLut(Bridge.expression(v), flat, cids, offsets, dsub, ksub))
+  }
+
+  private def flattenBooks(
+      books: IndexedSeq[Seq[(Int, Array[Double])]])
+      : (Array[Double], Array[Int], Array[Int]) = {
+    val offsets = books.scanLeft(0)(_ + _.size).toArray
+    val entries = books.flatten
+    (entries.flatMap(_._2).toArray, entries.map(_._1).toArray, offsets)
+  }
 }

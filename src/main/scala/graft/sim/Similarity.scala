@@ -655,25 +655,97 @@ object Similarity {
   private def pqSub(v: Column, j: Int, dsub: Int): Column =
     slice(v, j * dsub + 1, dsub)
 
+  /** Codebooks in [[graft.expr.PqEncode]]'s flattened form: per
+    * subspace, surviving (id, vector) entries sorted by id (the sort is
+    * what gives the encoder its lowest-id tiebreak).
+    */
+  private def pqBooks(
+      codebooks: IndexedSeq[Seq[graft.kmeans.CentroidN]])
+      : IndexedSeq[Seq[(Int, Array[Double])]] =
+    codebooks.map(_.sortBy(_.cid).map(c => c.cid -> c.features))
+
   /** PQ-encode exact cell rows against per-subspace codebooks: for each
     * of the `m` subspaces, the code is the argmin sub-centroid id
-    * (lowest-id tiebreak via the shared probe sort), stored −128 as one
-    * TINYINT — m bytes per vector against the exact tier's 8·d (e.g.
-    * 64× raw at d=64, m=8, vs SQ8's 8×). Build/append-time one-off,
-    * never on the query path.
+    * (lowest-id tiebreak), stored −128 as one TINYINT — m bytes per
+    * vector against the exact tier's 8·d (e.g. 64× raw at d=64, m=8,
+    * vs SQ8's 8×). The whole m-subspace argmin is ONE codegen'd
+    * [[graft.expr.PqEncode]] node — a per-candidate `least/when`
+    * formulation builds m·ksub expression nodes (2048 at the 8-bit
+    * default) whose plan analysis dominates the build. Build/append-
+    * time one-off, never on the query path.
     */
   private def encodePq(
       cells: DataFrame,
       codebooks: IndexedSeq[Seq[graft.kmeans.CentroidN]],
-      dsub: Int): DataFrame = {
-    val subCodes = codebooks.indices.map { j =>
-      val nearest = probeCellsCol(codebooks(j), 1)
-      (element_at(nearest(pqSub(col("cv"), j, dsub)), 1)("cell") - 128)
-        .cast("tinyint")
-    }
+      dsub: Int): DataFrame =
     cells.select(
       col("cid_id"), col("cn"), col("cell"),
-      array(subCodes: _*).as("pqcode"))
+      graft.expr.ArrayVector.pqEncode(col("cv"), pqBooks(codebooks), dsub)
+        .as("pqcode"))
+
+  /** Fit all `m` subspace codebooks JOINTLY — one corpus pass per Lloyd
+    * iteration, not per (subspace × iteration): the assignment step for
+    * every subspace is a single [[graft.expr.PqEncode]] projection, and
+    * the update step one (sub, cid, dim) mean aggregation collected to
+    * the driver (m·ksub·dsub rows — 16k doubles at the defaults).
+    * Training m separate [[graft.kmeans.LloydN]] fits would scan the
+    * corpus m·maxIter times (the 100-TB non-starter) and pay m
+    * independent job chains; this shape costs maxIter scans total, the
+    * same discipline as the engine's own Lloyd loop. Semantics match
+    * the per-subspace fits: first-ksub init in id order (every subspace
+    * initializes from the same sampled rows), argmin with lowest-id
+    * tiebreak, mean update, empty sub-cells drop. The fit trains on a
+    * deterministic hash-sample of ≤ max(sampleCap, ksub·39) rows
+    * (FAISS-style floor, as [[graft.kmeans.LloydN.iterateNSampled]]).
+    */
+  private def fitPqCodebooks(
+      cells: DataFrame,
+      m: Int,
+      dsub: Int,
+      ksub: Int,
+      maxIter: Int,
+      sampleCap: Long,
+      knownCount: Long): IndexedSeq[Seq[graft.kmeans.CentroidN]] = {
+    val effectiveCap = math.max(
+      sampleCap, ksub.toLong * graft.kmeans.LloydN.minPointsPerCentroid)
+    val pts0 = cells.select(col("cid_id").as("pid"), col("cv"))
+    val pts =
+      if (knownCount <= effectiveCap) pts0
+      else pts0.filter(
+        graft.text.TextOps.hashUniform(col("pid"), "qfit")
+          < effectiveCap.toDouble / knownCount.toDouble)
+    val initRows = pts.orderBy(col("pid")).limit(ksub)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var books: IndexedSeq[Seq[graft.kmeans.CentroidN]] = (0 until m).map { j =>
+      initRows.toSeq.zipWithIndex.map { case (v, i) =>
+        graft.kmeans.CentroidN(i, v.slice(j * dsub, j * dsub + dsub))
+      }
+    }
+    for (_ <- 0 until maxIter) {
+      val assigned = pts.select(
+        col("cv"),
+        posexplode(
+          graft.expr.ArrayVector.pqEncode(col("cv"), pqBooks(books), dsub))
+          .as(Seq("sub", "code")))
+      val means = assigned
+        .select(col("sub"), (col("code").cast("int") + 128).as("scid"),
+          posexplode(slice(col("cv"), col("sub") * dsub + 1, lit(dsub)))
+            .as(Seq("dim", "v")))
+        .groupBy(col("sub"), col("scid"), col("dim"))
+        .agg(avg(col("v")).as("mv"))
+        .collect()
+      books = (0 until m).map { j =>
+        means.filter(_.getInt(0) == j).groupBy(_.getInt(1)).toSeq
+          .map { case (cid, rows) =>
+            val vec = new Array[Double](dsub)
+            rows.foreach(r => vec(r.getInt(2)) = r.getDouble(3))
+            graft.kmeans.CentroidN(cid, vec)
+          }
+          .sortBy(_.cid)
+      }
+    }
+    books
   }
 
   private def readPqMeta(
@@ -712,9 +784,10 @@ object Similarity {
     * `ksub`-centroid codebook (default 256 — the standard 8-bit PQ;
     * smaller codebooks compress no further here since codes ship as
     * one byte either way, they only lose reconstruction accuracy), fit
-    * by the engine's own k-means on the build corpus (per-subspace
-    * sampled fits, same FAISS-style cap as the coarse quantizer);
-    * codes are argmin sub-centroid ids. The
+    * by the engine's own k-means on the build corpus — all subspaces
+    * JOINTLY, one corpus pass per iteration, with the same FAISS-style
+    * sample cap as the coarse quantizer; codes are argmin sub-centroid
+    * ids. The
     * exact tier (`cells/`) is kept for candidate re-ranking and
     * [[ivfTopKFromStore]] compatibility; `pq_codebooks/` + `pq_meta/`
     * make the store self-describing. Queries run
@@ -751,14 +824,10 @@ object Similarity {
         .select(col("pid").as("cid_id"), col("features").as("cv"),
           norm(col("features")).as("cn"), col("cid").as("cell")))
     writeCells(cells, s"$path/cells", partitionCells, "overwrite")
-    // per-subspace codebooks: m independent sampled fits over the
-    // sliced sub-vectors (m · maxIter small jobs, build-time only)
-    val codebooks = (0 until m).map { j =>
-      LloydN.iterateNSampled(
-        cells.select(col("cid_id").as("pid"),
-          pqSub(col("cv"), j, dsub).as("features")),
-        ksub, maxIter, fitSampleCap, Some(n))
-    }
+    // per-subspace codebooks, fit JOINTLY: one corpus pass per Lloyd
+    // iteration covers all m subspaces (see fitPqCodebooks)
+    val codebooks = fitPqCodebooks(cells, m, dsub, ksub, maxIter,
+      fitSampleCap, n)
     codebooks.zipWithIndex
       .flatMap { case (cb, j) => cb.map(c => (j, c.cid, c.features.toSeq)) }
       .toDF("sub", "cell", "cv")
@@ -810,21 +879,13 @@ object Similarity {
     require(depth >= k, s"rerank depth $depth < k=$k")
     val (m, ksub, dsub) = readPqMeta(spark, path)
     val codebooks = readPqCodebooks(spark, path, m)
-    // the query LUT: m·ksub codegen'd sub-dots over the query row —
-    // O(m·ksub·dsub) = O(d·ksub) work once per QUERY, never per
-    // candidate; dropped sub-cells leave their slot 0 (never referenced)
-    val lutCol = array(
-      (0 until m).flatMap { j =>
-        val byId = codebooks(j).map(c => c.cid -> c).toMap
-        (0 until ksub).map { c =>
-          byId.get(c) match {
-            case Some(cent) => dot(
-              pqSub(col("vec"), j, dsub),
-              graft.expr.ArrayVector.vecLit(cent.features.toIndexedSeq))
-            case None => lit(0.0)
-          }
-        }
-      }: _*)
+    // the query LUT: ONE codegen'd PqLut node building all m·ksub
+    // sub-dots — O(d·ksub) work once per QUERY, never per candidate;
+    // dropped sub-cells leave their slot 0 (never referenced). The
+    // per-slot CreateArray formulation (m·ksub dot nodes) dominated
+    // plan analysis at the 8-bit default.
+    val lutCol = graft.expr.ArrayVector.pqLut(
+      col("vec"), pqBooks(codebooks), dsub, ksub)
     val probeCells = probeCellsCol(model, nprobe)
     val q = broadcast(
       queries

@@ -282,6 +282,38 @@ class PlanShapeSpec extends AnyFunSuite {
       "an embeddings scan without the query filter re-reads the corpus")
   }
 
+  test("ivfTopKFromStorePq probes the PQ code tier (pqcode bytes, no cv) " +
+      "and re-ranks from the exact tier; the corpus is never re-read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import graft.kmeans.OpsN
+    import graft.sim.Similarity
+    val all = OpsN.pointsFromEmbeddings(Graft.table(spark, sf, "embeddings"))
+      .select(col("pid").as("id"), col("features").as("vec"))
+    val store = "target/test_ivfpqstore"
+    Similarity.writeIvfIndexPq(all, nlist = 4, path = store, m = 8)
+    val df = Similarity.ivfTopKFromStorePq(
+      all.filter(col("id") < 10), store, k = 5, nprobe = 2)
+    val scans = df.queryExecution.sparkPlan
+      .collect { case s: FileSourceScanExec => s }
+    val (pqScans, rest) = scans.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("cells_pq")))
+    val (exactScans, embScans) = rest.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("test_ivfpqstore")))
+    // the probe scan reads CODES, not vectors: pqcode + cn, never cv —
+    // reading cv from the PQ tier would void the whole compression story
+    assert(pqScans.nonEmpty, "approx side must scan the PQ tier")
+    assert(pqScans.forall(s => s.schema.fieldNames.contains("pqcode") &&
+      !s.schema.fieldNames.contains("cv")),
+      s"PQ scan shape wrong: ${pqScans.map(_.schema.fieldNames.toSeq)}")
+    // the exact tier serves the re-rank only: cv + cn
+    assert(exactScans.nonEmpty, "re-rank must read the exact tier")
+    assert(exactScans.forall(_.schema.fieldNames.contains("cv")))
+    // every embeddings scan is the QUERY side with the filter pushed
+    assert(embScans.nonEmpty)
+    assert(embScans.forall(_.toString.contains("LessThan(vec_id,10)")),
+      "an embeddings scan without the query filter re-reads the corpus")
+  }
+
   test("bm25TopKFromStore reads postings + terms partitions, never the " +
       "corpus text; the bucket filter prunes partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec

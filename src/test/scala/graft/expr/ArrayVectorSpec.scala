@@ -75,6 +75,45 @@ class ArrayVectorSpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode: argmin codes with lowest-id tiebreak; empty subspace " +
+      "emits -128; pqLut leaves missing slots 0") {
+    import org.apache.spark.sql.functions.col
+    // two subspaces of 2 dims; sub 0 has two EQUIDISTANT entries (ids
+    // 3, 7) from the probe vector, sub 1 has one entry (id 1)
+    val books: IndexedSeq[Seq[(Int, Array[Double])]] = IndexedSeq(
+      Seq(3 -> Array(1.0, 0.0), 7 -> Array(-1.0, 0.0)),
+      Seq(1 -> Array(5.0, 5.0)))
+    val df = Seq((1L, Seq(0.0, 0.0, 5.0, 5.0))).toDF("id", "vec")
+    val code = df.select(
+      ArrayVector.pqEncode(col("vec"), books, 2).as("c"))
+      .as[Seq[Byte]].head()
+    assert(code === Seq((3 - 128).toByte, (1 - 128).toByte)) // lowest id wins
+    // empty subspace: no entries -> -128
+    val books2: IndexedSeq[Seq[(Int, Array[Double])]] =
+      IndexedSeq(Seq(0 -> Array(0.0, 0.0)), Seq.empty)
+    val code2 = df.select(
+      ArrayVector.pqEncode(col("vec"), books2, 2).as("c"))
+      .as[Seq[Byte]].head()
+    assert(code2 === Seq((-128).toByte, (-128).toByte))
+    // LUT: ksub=8, sub-0 slots 3 and 7 filled, everything else 0;
+    // sub-1 slot 1 = dot((5,5),(5,5)) = 50
+    val lut = df.select(
+      ArrayVector.pqLut(col("vec"), books, 2, 8).as("l"))
+      .as[Seq[Double]].head()
+    assert(lut.length === 16)
+    assert(lut(3) === 0.0 && lut(7) === 0.0) // dot with (0,0) probe
+    assert(lut(8 + 1) === 50.0)
+    assert(lut.zipWithIndex.collect {
+      case (v, i) if i != 9 => v }.forall(_ === 0.0))
+    // encode + ADC round trip: adc of own code = lut slots picked
+    val adc = df.select(
+      ArrayVector.pqAdc(
+        ArrayVector.pqEncode(col("vec"), books, 2),
+        ArrayVector.pqLut(col("vec"), books, 2, 8), 8).as("a"))
+      .as[Double].head()
+    assert(adc === lut(3) + lut(9))
+  }
+
   test("whole-stage codegen covers the expression (no interpreted fallback)") {
     // needs a non-local source: literal local relations constant-fold to a
     // LocalTableScan with no codegen stage at all
