@@ -698,6 +698,22 @@ object SparkEntry {
         s, Seq("customer", "vector", "stream"), store, k = 10)
     },
 
+    // The TAKEDOWN shape of the same store: index the full corpus, then
+    // deleteFromBm25Index the doc_id % 7 == 3 slice — O(batch) work
+    // (negated stats/df segments + a postings tombstone), never an
+    // O(store) rewrite. Queries must answer bit-identically to a fresh
+    // index over the remaining corpus, which is what the oracle
+    // computes.
+    "tx_bm25_delete" -> { (s, dir) =>
+      val store = "target/graft_stores/bm25del_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = Graft.table(s, dir, "documents")
+      TextOps.writeBm25Index(d, store)
+      TextOps.deleteFromBm25Index(d.filter(col("doc_id") % 7 === 3), store)
+      TextOps.bm25TopKFromStore(
+        s, Seq("customer", "vector", "stream"), store, k = 10)
+    },
+
     // Top-20 token bigrams with counts (vocabulary / collocation pass):
     // one scan, map-side-combined count aggregate, TakeOrdered top-k
     "tx_ngram_topk" -> { (s, dir) =>
@@ -814,6 +830,27 @@ object SparkEntry {
       Dedup.writeSignatureStore(
         docs.filter(!col("source").like("src1_")),
         n = 3, numHashes = 12, bands = 4, path = store)
+      Dedup.incrementalNearDedupFromStore(
+          docs.filter(col("source").like("src1_")), store,
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+        .select(col("doc_id"))
+    },
+
+    // The TAKEDOWN shape of the signature store: persist the corpus
+    // side, deleteFromSignatureStore its doc_id % 4 == 1 slice (an
+    // O(batch) tombstone append, no store rewrite), then dedup the
+    // batch — a taken-down corpus doc must stop suppressing its batch
+    // look-alikes, so the oracle is the incremental dedup over the
+    // REMAINING corpus
+    "dd_store_delete" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val store = "target/graft_stores/sigdel_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val corpus = docs.filter(!col("source").like("src1_"))
+      Dedup.writeSignatureStore(
+        corpus, n = 3, numHashes = 12, bands = 4, path = store)
+      Dedup.deleteFromSignatureStore(
+        s, store, corpus.filter(col("doc_id") % 4 === 1).select(col("doc_id")))
       Dedup.incrementalNearDedupFromStore(
           docs.filter(col("source").like("src1_")), store,
           n = 3, numHashes = 12, bands = 4, threshold = 0.5)
@@ -1006,6 +1043,26 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
+    // The TAKEDOWN shape of the IVF store (FAISS remove_ids): build the
+    // index, deleteFromIvfIndex the id % 5 == 3 slice (an O(batch)
+    // tombstone append per tier, no rewrite), then search — deleted
+    // vectors must never surface, and the survivors re-rank exactly as
+    // an index that never held them (same quantizer: centroids are
+    // immutable post-build), which is what the oracle computes
+    "sm_ann_ivf_delete" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val store = "target/graft_stores/ivfdel_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      Similarity.writeIvfIndex(all, nlist = 8, path = store)
+      Similarity.deleteFromIvfIndex(
+        s, store, all.filter(col("id") % 5 === 3).select(col("id")))
+      val queries = all.filter(col("id") < 10)
+      Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): embeddings coarse-clustered by the
     // engine's own k-means (8 cells, fixed 5 iterations — the quantizer
     // unrolls into the SQL oracle), cosine near-dups >= 0.45 pruned
@@ -1172,6 +1229,20 @@ object SparkEntry {
     // run distinctVocabApprox alone.
     "tx_vocab_approx" -> { (s, dir) =>
       TextOps.distinctVocabChecked(Graft.table(s, dir, "documents"))
+    },
+
+    // Corpus heavy hitters as a mergeable Misra-Gries summary (<= 64
+    // counters per map partition, so the exchange never scales with the
+    // vocabulary — the frequency sibling of tx_vocab_approx's HLL).
+    // Bound-checked like the other sketch heads: the exact top-20
+    // tokens carry verdicts for MG's coverage (count > N/(m+1) => in
+    // the summary) and undercount (est within [count - N/(m+1),
+    // count]) guarantees — theorems under any fold order, so the
+    // output is deterministic; DuckDB recomputes the exact side and
+    // asserts both verdicts
+    "tx_heavy_hitters" -> { (s, dir) =>
+      TextOps.heavyHittersChecked(
+        Graft.table(s, dir, "documents"), m = 64, k = 20)
     },
 
     // Time-bounded event join (the batch form of a stream-stream inner
@@ -1921,6 +1992,40 @@ object SparkEntry {
         |SELECT doc_id, floor(raw * 1000000.0) / 1000000.0 AS score
         |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // a deleted store must answer exactly like a fresh index over the
+    // remaining corpus — the tx_bm25_topk oracle with the deleted slice
+    // excluded at the source
+    "tx_bm25_delete" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl,
+        |    list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> list_contains(['customer','vector','stream'], x)) AS qt
+        |  FROM documents WHERE doc_id % 7 != 3
+        |),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) AS s FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, dl, unnest(qt) AS term FROM base)
+        |  GROUP BY doc_id, dl, term
+        |),
+        |dfreq AS (
+        |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+        |),
+        |w AS (
+        |  SELECT t.doc_id, t.term,
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+        |      * t.tf * (1.2 + 1.0)
+        |      / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / (s.s * 1.0 / s.n))) AS w
+        |  FROM tf t JOIN dfreq d USING (term), stats s
+        |),
+        |scored AS (
+        |  SELECT doc_id, list_sum(list(w ORDER BY term)) AS raw
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT doc_id, floor(raw * 1000000.0) / 1000000.0 AS score
+        |FROM scored ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     // space-joined token bigrams (the shingles projection), counted and
     // ranked (count desc, ngram asc)
     "tx_ngram_topk" ->
@@ -2208,6 +2313,71 @@ object SparkEntry {
         |WHERE source LIKE 'src1_'
         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
 
+    // a deleted signature store must dedup the batch exactly as if the
+    // deleted corpus docs never existed — the dd_incremental_dedup
+    // oracle with the deleted corpus slice excluded at the source (the
+    // batch side is untouched: only non-src1_ corpus docs were stored
+    // and tombstoned)
+    "dd_store_delete" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |  WHERE source LIKE 'src1_' OR doc_id % 4 != 1
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+        |),
+        |flags AS (SELECT doc_id, source LIKE 'src1_' AS isn FROM documents),
+        |ver2 AS (
+        |  SELECT v.d1, v.d2, f1.isn AS n1, f2.isn AS n2
+        |  FROM ver v JOIN flags f1 ON v.d1 = f1.doc_id
+        |             JOIN flags f2 ON v.d2 = f2.doc_id
+        |),
+        |dropped AS (
+        |  SELECT d2 AS doc_id FROM ver2 WHERE n2
+        |  UNION
+        |  SELECT d1 AS doc_id FROM ver2 WHERE n1 AND NOT n2
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE source LIKE 'src1_'
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
     // paragraphs = the query's synthetic 100-char spans; first global
     // occurrence (min (doc_id, pos)) of each normalized-paragraph md5
     // survives; docs reassemble from surviving spans in position order
@@ -2394,6 +2564,19 @@ object SparkEntry {
         |)
         |SELECT source, COUNT(DISTINCT tok) AS vocab, 1 AS ok
         |FROM t GROUP BY source""".stripMargin,
+
+    // Bound-checked sketch oracle, frequency edition: DuckDB recomputes
+    // the exact top-20 token counts and asserts both Misra-Gries
+    // verdicts are 1 — a hash mismatch on ok_cover/ok_err means the
+    // summary broke its coverage or N/(m+1) undercount guarantee.
+    "tx_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |),
+        |cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token, cnt, 1 AS ok_cover, 1 AS ok_err
+        |FROM cnt ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "j2_timebound_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
@@ -2721,6 +2904,13 @@ object SparkEntry {
     // the PQ path likewise: ADC-scored candidates re-rank against exact
     // vectors, recovering the exact-store results — same oracle
     "sm_ann_ivf_pq" -> ivfTopkSql,
+    // the deleted store keeps the full-corpus quantizer (centroids are
+    // immutable post-build) but must never surface a deleted vector —
+    // the same IVF oracle with the deleted slice excluded from the
+    // candidate side only
+    "sm_ann_ivf_delete" -> ivfTopkSql.replace(
+      "WHERE c.cid_id != q.qid",
+      "WHERE c.cid_id != q.qid AND c.cid_id % 5 != 3"),
 
     // same Lloyd-cell assignment as the IVF oracle; near-dup pairs form
     // only within equal cells, the higher id of each pair at sim >= 0.45

@@ -626,6 +626,27 @@ object Dedup {
       Seq("doc_id"), "left_anti")
   }
 
+  /** DELETE documents from a signature store — the takedown leg of the
+    * store's log-structured CRUD, O(batch) where a physical rewrite is
+    * O(store): the deleted ids land as a tombstone segment
+    * ([[graft.util.Tombstones]]) inside the active generation, and
+    * every store read ([[readSignatureStore]] and the streaming
+    * runner) anti-joins them out, so a taken-down document stops
+    * suppressing its look-alikes immediately. The next
+    * [[compactSignatureStore]] folds the tombstones away physically
+    * (the rewrite reads through the filtered view and the new
+    * generation carries no tombstone directory). Idempotent: deleting
+    * an absent or already-deleted id is a no-op — unlike the BM25
+    * store there are no counted statistics to skew, only rows to hide.
+    * Single-writer vs compaction, as with appends.
+    */
+  def deleteFromSignatureStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storePath: String,
+      ids: DataFrame): Unit =
+    graft.util.Tombstones.write(
+      ids, graft.util.GenStore.resolve(spark, storePath))
+
   /** Read a signature store regardless of file layout: flat part-files
     * ([[writeSignatureStore]] / [[appendToSignatureStore]]) and the
     * per-batch segment directories the streaming runner
@@ -637,9 +658,14 @@ object Dedup {
     */
   def readSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
-      storePath: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .parquet(graft.util.GenStore.resolve(spark, storePath))
+      storePath: String): DataFrame = {
+    val base = graft.util.GenStore.resolve(spark, storePath)
+    // tombstone anti-join ([[deleteFromSignatureStore]]): zero plan
+    // change when no delete has touched this generation
+    graft.util.Tombstones.filter(
+      spark.read.option("recursiveFileLookup", "true").parquet(base),
+      spark, base, "doc_id")
+  }
 
   /** Compact a signature store: daily [[appendToSignatureStore]]
     * runs and streaming batch segments each add a handful of small

@@ -412,6 +412,37 @@ object Similarity {
     }
   }
 
+  /** DELETE vectors from an IVF index — the takedown leg of the
+    * index's log-structured CRUD (build / [[appendToIvfIndex]] /
+    * delete / [[compactIvfCells]]), the FAISS `remove_ids` shape: a
+    * physical rewrite per takedown batch is an O(index) job, this is
+    * O(batch). The deleted ids land as a tombstone segment
+    * ([[graft.util.Tombstones]]) inside EACH existing scan tier's
+    * active generation (`cells/`, and `cells_sq/` / `cells_pq/` when
+    * the quantized tiers exist), and every probe path anti-joins its
+    * tier's tombstones before scoring, so a deleted vector can never
+    * surface in a result or displace a live candidate from the re-rank
+    * buffer. The next [[compactIvfCells]] folds each tier's tombstones
+    * away physically. The quantizer is untouched (centroids are
+    * immutable post-build — the same serving contract as appends);
+    * mass deletions drift cell occupancy just as mass appends do, so
+    * the [[appendToIvfIndex]] refit discipline applies in reverse:
+    * refit with [[writeIvfIndex]] when the live corpus has shrunk far
+    * from the fit. Idempotent — re-deleting an absent id hides
+    * nothing. Single-writer vs compaction, as with appends.
+    */
+  def deleteFromIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      ids: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (tier <- Seq("cells", "cells_sq", "cells_pq"))
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$tier")))
+        graft.util.Tombstones.write(
+          ids, graft.util.GenStore.resolve(spark, s"$path/$tier"))
+  }
+
   /** Compact an IVF index's `cells` after a season of
     * [[appendToIvfIndex]] runs — each daily append adds a handful of
     * small parquet files (per cell, in the partitioned layout), and the
@@ -436,7 +467,12 @@ object Similarity {
       targetFileRows: Long = 4L * 1024 * 1024): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
     def compactTier(cellsStore: String): Unit = {
-      val rows = spark.read.parquet(graft.util.GenStore.resolve(spark, cellsStore))
+      val src = graft.util.GenStore.resolve(spark, cellsStore)
+      // fold delete tombstones physically: deleted rows drop from the
+      // rewrite and the new generation carries no _tombstones dir (the
+      // old generation keeps its own for in-flight readers)
+      val rows = graft.util.Tombstones.filter(
+        spark.read.parquet(src), spark, src, "cid_id")
       graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
         if (partitionCells)
           rows.repartition(col("cell")).write.mode("overwrite")
@@ -603,8 +639,11 @@ object Similarity {
             lit(128.0) * aggregate(col("qdelta"), lit(0.0), (acc, x) => acc + x))
             .as("qconst"),
           col("probe.cell").as("cell")))
-    val cellsSq = spark.read
-      .parquet(graft.util.GenStore.resolve(spark, s"$path/cells_sq"))
+    val sqDir = graft.util.GenStore.resolve(spark, s"$path/cells_sq")
+    // delete tombstones filter BEFORE the approximate ranking, so a
+    // deleted vector can't occupy one of the `depth` re-rank slots
+    val cellsSq = graft.util.Tombstones.filter(
+      spark.read.parquet(sqDir), spark, sqDir, "cid_id")
     val approx = cellsSq.join(q, Seq("cell"))
       .filter(col("qid") =!= col("cid_id"))
       .withColumn("adot",
@@ -894,8 +933,10 @@ object Similarity {
           explode(probeCells(col("vec"))).as("probe"))
         .select(col("qid"), col("qvec"), col("qn"), col("lut"),
           col("probe.cell").as("cell")))
-    val cellsPq = spark.read
-      .parquet(graft.util.GenStore.resolve(spark, s"$path/cells_pq"))
+    val pqDir = graft.util.GenStore.resolve(spark, s"$path/cells_pq")
+    // same pre-ranking tombstone filter as the SQ tier
+    val cellsPq = graft.util.Tombstones.filter(
+      spark.read.parquet(pqDir), spark, pqDir, "cid_id")
     val approx = cellsPq.join(q, Seq("cell"))
       .filter(col("qid") =!= col("cid_id"))
       .withColumn("adot",
@@ -943,8 +984,14 @@ object Similarity {
     val model = readIvfCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= model.size,
       s"need 1 <= nprobe <= ${model.size} (stored nlist)")
+    val cellsDir = resolveCells(spark, path)
+    // delete-tombstone anti-join ([[deleteFromIvfIndex]]); zero plan
+    // change on a store no delete has touched
     ivfProbeScore(
-      queries, spark.read.parquet(resolveCells(spark, path)), model, k, nprobe)
+      queries,
+      graft.util.Tombstones.filter(
+        spark.read.parquet(cellsDir), spark, cellsDir, "cid_id"),
+      model, k, nprobe)
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by

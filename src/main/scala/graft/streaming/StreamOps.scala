@@ -380,7 +380,12 @@ object StreamOps {
     // re-shingling the surviving text
     val sigs = graft.util.OpCaches.cache(
       Dedup.signatureRows(batch, n, numHashes, bands))
-    val store = readStoreSegmentsExcept(spark, storeBase, segment, sigs)
+    // honor delete tombstones ([[graft.dedup.Dedup
+    // .deleteFromSignatureStore]]): a taken-down doc must not keep
+    // suppressing look-alikes in the stream
+    val store = graft.util.Tombstones.filter(
+      readStoreSegmentsExcept(spark, storeBase, segment, sigs),
+      spark, storeBase, "doc_id")
     val dropped = graft.util.OpCaches.cache(
       Dedup.incrementalDroppedIds(sigs, store, threshold))
     batch.join(dropped, Seq("doc_id"), "left_anti")

@@ -711,6 +711,60 @@ object TextOps {
     graft.util.OpCaches.releaseAll(spark)
   }
 
+  /** DELETE a batch of documents from a BM25 index — the
+    * right-to-be-forgotten leg of the store's log-structured CRUD
+    * (build / [[appendToBm25Index]] / delete / [[compactBm25Index]]).
+    * Physically rewriting 100 TB of postings per takedown batch is an
+    * O(store) job; this is O(batch): one tokenize pass over the
+    * DELETED documents writes the exact NEGATION of the contributions
+    * [[writeBm25Index]]/[[appendToBm25Index]] recorded for them — a
+    * `(-n, -Σdl)` stats segment row and per-term `-df` delta rows,
+    * both summed at read like any other segment — plus a tombstone
+    * segment ([[graft.util.Tombstones]]) that [[bm25TopKFromStore]]
+    * anti-joins postings against. Queries on the deleted store answer
+    * BIT-IDENTICALLY to a full rebuild over the remaining corpus
+    * (oracle-gated as `tx_bm25_delete`); the next [[compactBm25Index]]
+    * run folds the tombstones away physically.
+    *
+    * Contract (mirror of append's "ids must be NEW"): each deleted
+    * `doc_id` must be LIVE in the store with exactly this `text` — the
+    * negation cancels what indexing added, so deleting an absent or
+    * already-deleted doc, or passing drifted text, skews df/stats.
+    * Batch your takedowns and run exactly once, as with appends.
+    */
+  def deleteFromBm25Index(docs: DataFrame, path: String): Unit = {
+    val spark = docs.sparkSession
+    val base = graft.util.GenStore.resolve(spark, path)
+    val nBuckets = storedBucketCount(spark, base)
+    // one tokenize pass over the batch (stats + per-term deltas both
+    // reduce off it; OpCaches-tracked like the build/append pass)
+    val b = graft.util.OpCaches.cache(
+      docs
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
+          col("t")))
+    // negated stats segment: zero-token docs count in n here exactly as
+    // they did at index time
+    b.agg(
+      (count(lit(1)) * -1L).as("n"),
+      (coalesce(sum(col("dl")), lit(0L)) * -1L).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("append").parquet(s"$base/stats")
+    // negated per-term df deltas: -1 per (deleted doc, distinct term),
+    // the exact inverse of the df the doc contributed
+    b.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)))
+      .groupBy(col("term"))
+      .agg((count(lit(1)).cast("double") * -1.0).as("df"))
+      .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
+      .repartition(nBuckets, col("tbucket"))
+      .write.mode("append").partitionBy("tbucket")
+      .parquet(s"$base/terms")
+    // tombstones: postings rows can't be unwritten, so readers anti-join
+    graft.util.Tombstones.write(docs.select(col("doc_id")), base)
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
   /** One corpus/batch tokenize pass fanned into the three store
     * components (shared by [[writeBm25Index]] / [[appendToBm25Index]];
     * caller releases the OpCaches entries after both writes land).
@@ -793,7 +847,12 @@ object TextOps {
     require(targetFileRows > 0, "targetFileRows must be positive")
     val src = graft.util.GenStore.resolve(spark, path)
     val nBuckets = storedBucketCount(spark, src)
-    val postings = spark.read.parquet(s"$src/postings")
+    // fold tombstones physically: deleted docs' postings drop from the
+    // rewrite, and the new generation carries no _tombstones directory
+    // (the old generation keeps its own for in-flight readers, under
+    // GenStore's one-cycle grace rule)
+    val postings = graft.util.Tombstones.filter(
+      spark.read.parquet(s"$src/postings"), spark, src, "doc_id")
     val total = postings.count()
     val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
       .min(Int.MaxValue.toLong).toInt
@@ -803,6 +862,10 @@ object TextOps {
         .parquet(s"$genDir/postings")
       spark.read.parquet(s"$src/terms")
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        // a term whose every bearing doc was deleted folds to df = 0
+        // (+1 build contributions exactly cancelled by -1 delete
+        // deltas) — drop the husk row rather than carry it forever
+        .filter(col("df") =!= 0.0)
         .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
         .repartition(nFiles, col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")
@@ -859,9 +922,14 @@ object TextOps {
     val n = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val avgdl = if (n == 0L) 1.0 else sumDl.toDouble / n.toDouble
-    val tf = spark.read.parquet(s"$base/postings")
-      .filter(col("tbucket").isin(qBuckets: _*) &&
-        col("term").isInCollection(terms))
+    // tombstone anti-join AFTER the bucket/term pruning (the pruned
+    // frame is O(query terms' postings), the broadcast delete set is
+    // O(delete batches)); zero plan change when no delete has landed
+    val tf = graft.util.Tombstones.filter(
+      spark.read.parquet(s"$base/postings")
+        .filter(col("tbucket").isin(qBuckets: _*) &&
+          col("term").isInCollection(terms)),
+      spark, base, "doc_id")
     val dfreq = spark.read.parquet(s"$base/terms")
       .filter(col("tbucket").isin(qBuckets: _*) &&
         col("term").isInCollection(terms))
@@ -993,6 +1061,76 @@ object TextOps {
         col("vocab"),
         (abs(col("_approx") - col("vocab")) <= lit(3 * rsd) * col("vocab"))
           .cast("int").as("ok"))
+
+  /** Corpus heavy hitters as a MERGEABLE Misra–Gries summary — the
+    * web-scale form of "top tokens by frequency". [[ngramTopK]]'s exact
+    * count keys its aggregate on the token, so its exchange carries one
+    * row per distinct token per map partition (corpus-sized at 100 TB,
+    * Heaps' law); here each map partition folds into ONE ≤`m`-counter
+    * [[MisraGries]] buffer and the exchange moves O(m × partitions)
+    * rows regardless of vocabulary size — the same
+    * sketch-for-exchange trade as [[distinctVocabApprox]], for
+    * frequency instead of cardinality. Estimates UNDERCOUNT by at most
+    * N/(m+1) (N = total tokens) and every token with true count >
+    * N/(m+1) is present — under any partitioning (the summary is
+    * mergeable, so per-shard summaries combine losslessly within the
+    * same bound). Output: (token, est), the surviving counters.
+    *
+    * The est values depend on fold order (any valid MG summary does),
+    * so the driver-gated head is [[heavyHittersChecked]], whose
+    * verdict columns are theorems — deterministic — rather than the
+    * raw estimates.
+    */
+  def heavyHitters(docs: DataFrame, m: Int): DataFrame = {
+    val mg = udaf(new MisraGries(m))
+    docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(mg(col("tok")).as("s"))
+      .select(explode(col("s")).as(Seq("token", "est")))
+  }
+
+  /** Bound-checked form of [[heavyHitters]], the same
+    * exact-side-verifies-sketch shape as [[distinctVocabChecked]]: one
+    * token pass feeds BOTH the MG summary and the exact counts, and
+    * the output is the exact top-`k` tokens with two verdict columns
+    * the oracle asserts:
+    *   - `ok_cover` = the token is in the summary OR its true count is
+    *     ≤ N/(m+1) (MG's coverage guarantee);
+    *   - `ok_err`   = the token is absent OR its estimate is within
+    *     [count − N/(m+1), count] (MG's undercount bound).
+    * Both are guaranteed-true theorems for ANY fold/merge order, so
+    * rows+schema+hash are deterministic even though the underlying
+    * summary is not. The exact count is the verification harness, not
+    * the production path — at 100 TB run [[heavyHitters]] and verify a
+    * sampled shard with this head.
+    */
+  def heavyHittersChecked(docs: DataFrame, m: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    // one tokenize pass (OpCaches-tracked) feeds the summary, the exact
+    // counts, and the total-token count
+    val toks = graft.util.OpCaches.cache(
+      docs.select(explode(tokens(col("text"))).as("tok")))
+    val mg = udaf(new MisraGries(m))
+    val summary = toks.agg(mg(col("tok")).as("s"))
+      .select(explode(col("s")).as(Seq("tok", "est")))
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = toks.count()
+    exact.orderBy(col("cnt").desc, col("tok")).limit(k)
+      .join(broadcast(summary), Seq("tok"), "left")
+      .select(
+        col("tok").as("token"),
+        col("cnt"),
+        // coverage: cnt > N/(m+1)  ⇔  cnt·(m+1) > N  ⇒ must be present
+        (col("est").isNotNull || col("cnt") * (m + 1L) <= lit(n))
+          .cast("int").as("ok_cover"),
+        // undercount bound: present ⇒ est ∈ [cnt − N/(m+1), cnt]
+        (col("est").isNull ||
+          (col("est") <= col("cnt") &&
+            (col("cnt") - col("est")) * (m + 1L) <= lit(n)))
+          .cast("int").as("ok_err"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
 
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
