@@ -309,6 +309,39 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): String =
     graft.util.GenStore.resolve(spark, s"$path/cells")
 
+  /** Whether a tier's generation directory carries streaming segment
+    * subdirectories ([[appendIvfSegment]]) — one listing call; `cell=`
+    * partition directories and `_`-hidden entries don't count.
+    */
+  private def hasSegmentDirs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") && !n.contains("=")
+      })
+  }
+
+  /** Read a scan tier's active generation uniformly across layouts:
+    * flat part-files, `cell=`-partitioned directories, and flat +
+    * streaming segment subdirectories (recursive listing only when
+    * segments actually exist, so the plain layouts pay nothing) —
+    * always with the tier's delete tombstones anti-joined
+    * ([[deleteFromIvfIndex]]; zero plan change when none exist).
+    */
+  private def readTier(
+      spark: org.apache.spark.sql.SparkSession,
+      tierStore: String): DataFrame = {
+    val base = graft.util.GenStore.resolve(spark, tierStore)
+    val df =
+      if (hasSegmentDirs(spark, base))
+        spark.read.option("recursiveFileLookup", "true").parquet(base)
+      else spark.read.parquet(base)
+    graft.util.Tombstones.filter(df, spark, base, "cid_id")
+  }
+
   /** Append a new batch to an existing IVF index: the batch is assigned
     * with the STORED quantizer (centroids are immutable post-build — the
     * standard IVF serving contract; rebuild via [[writeIvfIndex]] when
@@ -379,6 +412,53 @@ object Similarity {
     graft.util.OpCaches.releaseAll(spark)
   }
 
+  /** One micro-batch of [[graft.streaming.StreamOps.runStreamingIvfAppend]]
+    * — [[appendToIvfIndex]]'s streaming sibling, deterministic and
+    * IDEMPOTENT in (batch contents, segment name, store state): every
+    * tier's rows land by `overwrite` into a per-batch SEGMENT directory
+    * (`<tier-generation>/<segment>/`), so an at-least-once foreachBatch
+    * replay rewrites identical bytes instead of double-appending — the
+    * same replay discipline as the signature store's streaming runner.
+    * Flat tier layout only (segment subdirectories and `cell=`
+    * partition discovery can't share a directory); the quantizer must
+    * already exist (streaming into an unbuilt index has no assignment
+    * basis and fails fast). [[compactIvfCells]] folds segment buildup
+    * back into flat files, after which reads stop paying the recursive
+    * listing.
+    */
+  private[graft] def appendIvfSegment(
+      batch: DataFrame, path: String, segment: String): Unit = {
+    import graft.kmeans.OpsN
+    require(!segment.startsWith("_") && !segment.contains("/"),
+      s"bad segment name: $segment")
+    val spark = batch.sparkSession
+    val model = readIvfCentroids(spark, path)
+    val rows = graft.util.OpCaches.cache(
+      OpsN.assignNAdaptive(
+          batch.select(col("id").as("pid"), col("vec").as("features")),
+          model)
+        .select(col("pid").as("cid_id"), col("features").as("cv"),
+          norm(col("features")).as("cn"), col("cid").as("cell")))
+    rows.write.mode("overwrite")
+      .parquet(s"${resolveCells(spark, path)}/$segment")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/quant"))) {
+      val (mins, maxs) = readSqBounds(spark, path)
+      quantizeCells(rows, mins, maxs).write.mode("overwrite")
+        .parquet(graft.util.GenStore.resolve(spark, s"$path/cells_sq") +
+          s"/$segment")
+    }
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/pq_meta"))) {
+      val (m, _, dsub) = readPqMeta(spark, path)
+      encodePq(rows, readPqCodebooks(spark, path, m), dsub)
+        .write.mode("overwrite")
+        .parquet(graft.util.GenStore.resolve(spark, s"$path/cells_pq") +
+          s"/$segment")
+    }
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
   /** [[appendToIvfIndex]]'s growth check: post-append rows vs the
     * recorded fit count. Row counts are parquet-footer metadata reads,
     * not data scans.
@@ -399,7 +479,7 @@ object Similarity {
       val fitCount = spark.read.parquet(s"$path/meta")
         .select(col("fit_count")).head().getLong(0)
       val afterAppend =
-        spark.read.parquet(resolveCells(spark, path)).count() + batchCount
+        readTier(spark, s"$path/cells").count() + batchCount
       if (fitCount > 0 && afterAppend > maxGrowthFactor * fitCount) {
         val msg = s"IVF index at $path has grown to $afterAppend rows, > " +
           f"$maxGrowthFactor%.1fx its fit-time corpus of $fitCount rows: " +
@@ -467,12 +547,11 @@ object Similarity {
       targetFileRows: Long = 4L * 1024 * 1024): Unit = {
     require(targetFileRows > 0, "targetFileRows must be positive")
     def compactTier(cellsStore: String): Unit = {
-      val src = graft.util.GenStore.resolve(spark, cellsStore)
-      // fold delete tombstones physically: deleted rows drop from the
-      // rewrite and the new generation carries no _tombstones dir (the
-      // old generation keeps its own for in-flight readers)
-      val rows = graft.util.Tombstones.filter(
-        spark.read.parquet(src), spark, src, "cid_id")
+      // readTier folds delete tombstones and streaming segments
+      // physically: deleted rows drop from the rewrite, segment subdirs
+      // flatten, and the new generation carries neither (the old
+      // generation keeps its own for in-flight readers)
+      val rows = readTier(spark, cellsStore)
       graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
         if (partitionCells)
           rows.repartition(col("cell")).write.mode("overwrite")
@@ -639,11 +718,10 @@ object Similarity {
             lit(128.0) * aggregate(col("qdelta"), lit(0.0), (acc, x) => acc + x))
             .as("qconst"),
           col("probe.cell").as("cell")))
-    val sqDir = graft.util.GenStore.resolve(spark, s"$path/cells_sq")
-    // delete tombstones filter BEFORE the approximate ranking, so a
-    // deleted vector can't occupy one of the `depth` re-rank slots
-    val cellsSq = graft.util.Tombstones.filter(
-      spark.read.parquet(sqDir), spark, sqDir, "cid_id")
+    // readTier filters delete tombstones BEFORE the approximate
+    // ranking, so a deleted vector can't occupy one of the `depth`
+    // re-rank slots (and absorbs streaming segments)
+    val cellsSq = readTier(spark, s"$path/cells_sq")
     val approx = cellsSq.join(q, Seq("cell"))
       .filter(col("qid") =!= col("cid_id"))
       .withColumn("adot",
@@ -673,7 +751,7 @@ object Similarity {
       path: String,
       cand: DataFrame,
       k: Int): DataFrame = {
-    val exact = spark.read.parquet(resolveCells(spark, path))
+    val exact = readTier(spark, s"$path/cells")
       .select(col("cell"), col("cid_id"), col("cv"), col("cn"))
     val rer = cand.join(exact, Seq("cell", "cid_id"))
       .withColumn("sim",
@@ -933,10 +1011,8 @@ object Similarity {
           explode(probeCells(col("vec"))).as("probe"))
         .select(col("qid"), col("qvec"), col("qn"), col("lut"),
           col("probe.cell").as("cell")))
-    val pqDir = graft.util.GenStore.resolve(spark, s"$path/cells_pq")
-    // same pre-ranking tombstone filter as the SQ tier
-    val cellsPq = graft.util.Tombstones.filter(
-      spark.read.parquet(pqDir), spark, pqDir, "cid_id")
+    // same pre-ranking tombstone/segment handling as the SQ tier
+    val cellsPq = readTier(spark, s"$path/cells_pq")
     val approx = cellsPq.join(q, Seq("cell"))
       .filter(col("qid") =!= col("cid_id"))
       .withColumn("adot",
@@ -984,14 +1060,9 @@ object Similarity {
     val model = readIvfCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= model.size,
       s"need 1 <= nprobe <= ${model.size} (stored nlist)")
-    val cellsDir = resolveCells(spark, path)
-    // delete-tombstone anti-join ([[deleteFromIvfIndex]]); zero plan
-    // change on a store no delete has touched
-    ivfProbeScore(
-      queries,
-      graft.util.Tombstones.filter(
-        spark.read.parquet(cellsDir), spark, cellsDir, "cid_id"),
-      model, k, nprobe)
+    // readTier: streaming segments absorbed, delete tombstones
+    // anti-joined — zero plan change on a plain store
+    ivfProbeScore(queries, readTier(spark, s"$path/cells"), model, k, nprobe)
   }
 
   /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication by

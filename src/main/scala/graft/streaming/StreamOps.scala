@@ -352,6 +352,42 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** Streaming ingestion into a persisted IVF index
+    * ([[graft.sim.Similarity.writeIvfIndex]] and its quantized
+    * variants) — the ANN sibling of [[runStreamingDedupAgainstStore]]:
+    * each micro-batch of (id, vec) rows is assigned under the STORED
+    * quantizer (O(batch) work, the index is never rewritten) and lands
+    * as a per-batch overwrite SEGMENT in every scan tier, so
+    * at-least-once foreachBatch replays rewrite identical bytes
+    * instead of double-appending — checkpoint-resumable AND
+    * replay-idempotent, the same discipline as the signature-store
+    * runner. No streaming state: ingest is append-only, so there is
+    * nothing to watermark. Flat tier layout only; the index must be
+    * built before the stream starts (no quantizer, no assignment —
+    * fails fast). The [[graft.sim.Similarity.appendToIvfIndex]] refit
+    * discipline applies across the stream's lifetime: a long-lived
+    * stream grows the index past its fit, and the remedy is a refit +
+    * fresh checkpoint. [[graft.sim.Similarity.compactIvfCells]] folds
+    * the per-batch segment buildup back into flat files (don't compact
+    * between a crashed batch and its replay, as with the signature
+    * store).
+    */
+  def runStreamingIvfAppend(
+      stream: DataFrame,
+      storePath: String,
+      checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sim.Similarity.appendIvfSegment(
+          batch, storePath, f"batch-$batchId%09d")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
   /** One micro-batch of [[runStreamingDedupAgainstStore]] — deterministic
     * and idempotent in (batch contents, batchId, pre-batch store state):
     * re-executing it (foreachBatch replay) overwrites both segment

@@ -12,6 +12,7 @@ import graft.streaming.StreamOps
 final case class Ev(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 final case class EvU(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 final case class Doc(doc_id: Long, text: String, source: String)
+final case class VecRow(id: Long, vec: Array[Double])
 
 /** Structured Streaming extensions: windowed aggregation with watermark,
   * stateless streaming assignment, and stateful incremental centroids via
@@ -157,6 +158,80 @@ class StreamingSpec extends AnyFunSuite {
       store, out, n = 3, numHashes = 12, bands = 4, threshold = 0.5)
     assert(snapshot(out) === outAfter)
     assert(snapshot(store) === storeAfter)
+  }
+
+  test("runStreamingIvfAppend: micro-batches land as idempotent " +
+      "segments, answer like a batch append, and compaction folds them") {
+    import graft.sim.Similarity
+    val base = "target/stream_ivf_append"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"; val sibling = s"$base/sibling"
+    val ckpt = s"$base/ckpt"
+    def vec(i: Int): Array[Double] = {
+      val a = i * math.Pi / 80.0
+      Array(math.cos(a), math.sin(a), 0.01 * i, 1.0)
+    }
+    val initial = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val streamed = (0 until 5).map(i => VecRow(100L + i, vec(31 + i)))
+    // identical deterministic builds → identical quantizer + SQ bounds
+    Similarity.writeIvfIndexSq(initial, nlist = 4, path = store)
+    Similarity.writeIvfIndexSq(initial, nlist = 4, path = sibling)
+    Similarity.appendToIvfIndex(
+      streamed.map(v => (v.id, v.vec)).toDF("id", "vec"), sibling)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[VecRow]
+    mem.addData(streamed: _*)
+    StreamOps.runStreamingIvfAppend(mem.toDF(), store, ckpt)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val r = df.collect().map(_.toString).sorted.toSeq
+      graft.util.OpCaches.releaseAll(spark)
+      r
+    }
+    // a query NEXT TO the streamed vectors must rank them — proof the
+    // segments are visible — and both probe paths must answer exactly
+    // like the batch-appended sibling
+    val queries = Seq((31L + 2, vec(31 + 2))).toDF("id", "vec")
+      .unionByName(initial.filter($"id" < 3))
+    val exactStream = rows(
+      Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2))
+    assert(exactStream == rows(
+      Similarity.ivfTopKFromStore(queries, sibling, k = 5, nprobe = 2)))
+    // the query at vec(33) must rank streamed id 102 (the identical
+    // vector) first — proof the segments are visible to the probe
+    assert(exactStream.exists(_.startsWith("[33,102,")),
+      "streamed ids never ranked")
+    assert(rows(
+      Similarity.ivfTopKFromStoreSq(queries, store, k = 5, nprobe = 2))
+      == rows(
+        Similarity.ivfTopKFromStoreSq(queries, sibling, k = 5, nprobe = 2)))
+
+    // replay idempotency: re-running the batch's segment write (what
+    // foreachBatch does after a crash) leaves the store byte-identical
+    def snapshot(path: String): Seq[String] =
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .collect().map(_.toString).sorted.toSeq
+    val before = snapshot(s"$store/cells")
+    Similarity.appendIvfSegment(
+      streamed.map(v => (v.id, v.vec)).toDF("id", "vec"), store,
+      "batch-000000000")
+    assert(snapshot(s"$store/cells") == before)
+
+    // compaction folds the segment dirs into flat files in a new
+    // generation; answers unchanged
+    Similarity.compactIvfCells(spark, store)
+    val gen = graft.util.GenStore.resolve(spark, s"$store/cells")
+    assert(!new java.io.File(gen).listFiles.exists(f =>
+      f.isDirectory && f.getName.startsWith("batch-")))
+    assert(spark.read.parquet(gen).count() == 35L)
+    assert(rows(
+      Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2))
+      == exactStream)
   }
 
   test("Graft.events normalizes the fixture ts to TIMESTAMP micros") {
