@@ -1245,6 +1245,12 @@ object SparkEntry {
         Graft.table(s, dir, "documents"), m = 64, k = 20)
     },
 
+    // CCNet-style bigram LM perplexity scoring: model fit on the train
+    // split, every document scored by mean negative log-likelihood
+    "tx_lm_score" -> { (s, dir) =>
+      TextOps.lmScore(Graft.table(s, dir, "documents"))
+    },
+
     // Time-bounded event join (the batch form of a stream-stream inner
     // join): every click within 30 minutes after a view by the same user
     "j2_timebound_join" -> { (s, dir) =>
@@ -1343,6 +1349,23 @@ object SparkEntry {
           (floor(element_at(col("features"), 7).cast("double") * 1e6) / 1e6).as("f6"),
           (floor(element_at(col("features"), 8).cast("double") * 1e6) / 1e6).as("f7"),
           size(col("features")).cast("long").as("d"))
+    },
+
+    // REAL video decode round trip: text bytes wrapped as a genuine
+    // uncompressed AVI, frames sampled (every 2nd) and decoded through
+    // the full RIFF walk + palette; with the grayscale palette each
+    // frame's luminance histogram is the byte histogram of its 128-byte
+    // text slice (zero-pad lands in bin 0; these bins are 2/6/7), so
+    // DuckDB substring arithmetic is an exact oracle
+    "mm_video_frames" -> { (s, dir) =>
+      MultimodalOps.decodeVideoFrameFeatures(
+          MultimodalOps.videoMediaFromDocuments(
+            Graft.table(s, dir, "documents")), stride = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          (floor(element_at(col("features"), 3).cast("double") * 1e6) / 1e6).as("f2"),
+          (floor(element_at(col("features"), 7).cast("double") * 1e6) / 1e6).as("f6"),
+          (floor(element_at(col("features"), 8).cast("double") * 1e6) / 1e6).as("f7"),
+          size(col("features")).cast("long").as("d"))
     }
   )
 
@@ -1374,7 +1397,33 @@ object SparkEntry {
         |  ('audio/wav', 'real'), ('audio/x-wav', 'real'),
         |  ('audio/wave', 'real'), ('audio/aiff', 'real'),
         |  ('audio/x-aiff', 'real'), ('audio/basic', 'real'),
+        |  ('video/avi', 'real'), ('video/x-msvideo', 'real'),
         |  ('*', 'stub')) AS t(format, decoder)""".stripMargin,
+    // per-frame video decode: each sampled frame's informative bins are
+    // character-class counts over its 128-char slice / the fixed frame
+    // pixel count (the zero-pad affects only bin 0)
+    "mm_video_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text, octet_length(encode(text)) AS nb
+        |  FROM documents
+        |),
+        |fr AS (
+        |  SELECT media_id, text,
+        |         UNNEST(list_filter(range(0, CAST(ceil(nb / 128.0) AS BIGINT)),
+        |                            i -> i % 2 = 0)) AS fi
+        |  FROM m
+        |),
+        |s AS (
+        |  SELECT media_id, fi AS frame_idx,
+        |         substring(text, CAST(fi * 128 + 1 AS INT), 128) AS seg
+        |  FROM fr
+        |)
+        |SELECT media_id, frame_idx,
+        |  floor(CAST(length(seg) - length(regexp_replace(seg, '[\x20-\x2f]', '', 'g')) AS DOUBLE) / 128.0 * 1000000.0) / 1000000.0 AS f2,
+        |  floor(CAST(length(seg) - length(regexp_replace(seg, '[\x60-\x6f]', '', 'g')) AS DOUBLE) / 128.0 * 1000000.0) / 1000000.0 AS f6,
+        |  floor(CAST(length(seg) - length(regexp_replace(seg, '[\x70-\x7f]', '', 'g')) AS DOUBLE) / 128.0 * 1000000.0) / 1000000.0 AS f7,
+        |  CAST(16 AS BIGINT) AS d
+        |FROM s""".stripMargin,
     // strict mode on the fixture corpus: every payload is the stub-only
     // octet-stream format, so NO row carries features
     "mm_features_strict" ->
@@ -2577,6 +2626,35 @@ object SparkEntry {
         |cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token)
         |SELECT token, cnt, 1 AS ok_cover, 1 AS ok_err
         |FROM cnt ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    // model statistics are exact integer counts and the per-doc fold is
+    // in position order, so ln/division reproduce bit-exactly (the
+    // bm25 discipline); train split = the id-pure md5 bucket < 8
+    "tx_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |),
+        |big AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, i AS pos,
+        |         CASE WHEN i = 0 THEN '<s>' ELSE t[CAST(i AS INT)] END AS prev,
+        |         t[CAST(i + 1 AS INT)] AS cur
+        |  FROM (SELECT doc_id, t, UNNEST(range(len(t))) AS i FROM tok)
+        |),
+        |trainb AS (
+        |  SELECT prev, cur FROM big
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+        |),
+        |c2 AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2 FROM trainb GROUP BY 1, 2),
+        |c1 AS (SELECT prev, CAST(COUNT(*) AS DOUBLE) AS c1 FROM trainb GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT cur) AS DOUBLE) AS v FROM trainb),
+        |lp AS (
+        |  SELECT b.doc_id, b.n_tokens, b.pos,
+        |         -ln((COALESCE(c2.c2, 0.0) + 1.0) / (COALESCE(c1.c1, 0.0) + v.v)) AS logp
+        |  FROM big b LEFT JOIN c2 USING (prev, cur) LEFT JOIN c1 USING (prev), v
+        |)
+        |SELECT doc_id, n_tokens,
+        |       floor(list_sum(list(logp ORDER BY pos)) / n_tokens * 1000000.0) / 1000000.0 AS lm_score
+        |FROM lp GROUP BY doc_id, n_tokens""".stripMargin,
 
     "j2_timebound_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)

@@ -10,9 +10,11 @@ import org.apache.spark.sql.types._
   *
   * Image formats (PNG, JPEG, BMP, GIF) decode REAL pixels via the JDK's
   * `javax.imageio`; container audio formats (WAV, AIFF, AU) decode REAL
-  * PCM samples via the JDK's `javax.sound.sampled` — no native libraries
-  * either way. Compressed audio (MP3/OGG) and video have no JVM codec in
-  * this environment, so they route to a clearly-marked STUB:
+  * PCM samples via the JDK's `javax.sound.sampled`; uncompressed
+  * palettized AVI video decodes REAL frames via the in-repo RIFF walk
+  * ([[AviCodec]]) — no native libraries in any path. Compressed audio
+  * (MP3/OGG) and compressed video codecs have no JVM decoder in this
+  * environment, so they route to a clearly-marked STUB:
   * `fakeDecodeFeatures` derives a deterministic 16-bin byte histogram with
   * the same fixed-width contract, and a real decoder (ffmpeg-backed)
   * drops in by replacing ONE function.
@@ -134,6 +136,15 @@ object MultimodalOps {
     "audio/wav", "audio/x-wav", "audio/wave", "audio/aiff", "audio/x-aiff",
     "audio/basic")
 
+  /** Video container formats with a real in-repo decode path: AVI with
+    * uncompressed 8-bit palettized DIB frames ([[AviCodec]] — a genuine
+    * RIFF chunk walk + palette pixel decode, no native libraries).
+    * Compressed video payloads inside an AVI (or any other container)
+    * fail [[AviCodec.parse]] and degrade to the stub/null like any
+    * undecodable real-format payload.
+    */
+  val realVideoFormats: Seq[String] = Seq("video/avi", "video/x-msvideo")
+
   /** REAL decoder for container audio (WAV/AIFF/AU via
     * `javax.sound.sampled` — no native libraries): decode to PCM,
     * convert to signed 16-bit, and compute a 16-bin AMPLITUDE histogram
@@ -238,6 +249,110 @@ object MultimodalOps {
       }(enc)
   }
 
+  /** REAL decoder for uncompressed palettized AVI ([[AviCodec]]):
+    * 16-bin LUMINANCE histogram over ALL frames' pixels, resolved
+    * through the palette, L1-normalized — the whole-payload form of the
+    * per-frame [[decodeVideoFrameFeatures]], under the same fixed-width
+    * contract as the image/audio/stub paths. Byte-histogram fallback
+    * when the payload isn't a parseable uncompressed AVI.
+    */
+  def decodeVideoFeatures(payload: Array[Byte]): Array[Float] = {
+    if (payload == null || payload.isEmpty) return new Array[Float](16)
+    val video = AviCodec.parse(payload)
+    if (video == null) fakeDecodeFeatures(payload)
+    else videoLuminanceHistogram(video, video.frames)
+  }
+
+  private def videoLuminanceHistogram(
+      video: AviCodec.Video,
+      frames: Seq[Array[Byte]]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var n = 0L
+    frames.foreach { f =>
+      var i = 0
+      while (i < f.length) {
+        bins(video.lum(f(i) & 0xff) >> 4) += 1f
+        i += 1
+      }
+      n += f.length
+    }
+    if (n == 0L) return bins
+    var j = 0
+    while (j < 16) { bins(j) /= n.toFloat; j += 1 }
+    bins
+  }
+
+  /** Wrap raw bytes as a REAL uncompressed 8-bit AVI: the bytes become
+    * grayscale pixel values, chunked into width x height frames (last
+    * frame zero-padded). With the grayscale palette, a pixel's decoded
+    * luminance IS its byte value — so, like [[wrapPcmWav]], synthesized
+    * video payloads stay SQL-predictable while the downstream decode
+    * exercises the full container parse. Deterministic bytes.
+    */
+  def wrapDibAvi(
+      bytes: Array[Byte], width: Int = 16, height: Int = 8): Array[Byte] = {
+    val data = if (bytes == null) Array.emptyByteArray else bytes
+    val per = width * height
+    val nFrames = (data.length + per - 1) / per
+    val frames = (0 until nFrames).map { i =>
+      val f = new Array[Byte](per)
+      val len = math.min(per, data.length - i * per)
+      System.arraycopy(data, i * per, f, 0, len)
+      f
+    }
+    AviCodec.build(frames, width, height)
+  }
+
+  /** Build a video media table from the documents fixture: each doc's
+    * UTF-8 text bytes wrapped as a real uncompressed AVI
+    * ([[wrapDibAvi]]) — the video analogue of
+    * [[audioMediaFromDocuments]].
+    */
+  def videoMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = wrapDibAvi(r.getString(1).getBytes("UTF-8"))
+          Row(r.getLong(0), payload, "video/avi", payload.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Per-frame feature extraction with frame sampling: parse each AVI
+    * payload, keep every `stride`-th frame (keyframe-ish sampling — but
+    * on DECODED frames, unlike [[frameSample]]'s opaque byte slices),
+    * and emit a 16-bin palette-resolved luminance histogram per kept
+    * frame. Unparseable payloads contribute no rows (use the strict
+    * whole-payload path when failures must be visible). Runs per
+    * partition like every decode path, so a real compressed codec
+    * amortizes init across the batch.
+    *
+    * Output: (media_id, frame_idx, features ARRAY<FLOAT>).
+    */
+  def decodeVideoFrameFeatures(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media
+      .select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val video = AviCodec.parse(r.getAs[Array[Byte]](1))
+          if (video == null) Iterator.empty
+          else video.frames.iterator.zipWithIndex
+            .filter(_._2 % stride == 0)
+            .map { case (f, i) =>
+              Row(id, i, videoLuminanceHistogram(video, Seq(f)))
+            }
+        }
+      }(enc)
+  }
+
   /** The queryable capability table: (format, decoder) with one `real`
     * row per in-JVM-decodable format plus the `*` default row naming
     * the stub — so a pipeline can JOIN its media formats against this
@@ -248,7 +363,8 @@ object MultimodalOps {
   def formatCapabilities(
       spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
-    ((realFormats ++ realAudioFormats).map((_, "real")) :+ ("*" -> "stub"))
+    ((realFormats ++ realAudioFormats ++ realVideoFormats)
+      .map((_, "real")) :+ ("*" -> "stub"))
       .toDF("format", "decoder")
   }
 
@@ -262,6 +378,7 @@ object MultimodalOps {
   def decodeFeatures(format: String, payload: Array[Byte]): Array[Float] =
     if (realFormats.contains(format)) decodeImageFeatures(payload)
     else if (realAudioFormats.contains(format)) decodeAudioFeatures(payload)
+    else if (realVideoFormats.contains(format)) decodeVideoFeatures(payload)
     else fakeDecodeFeatures(payload)
 
   /** STRICT decode: real formats yield pixel/PCM features or NULL when
@@ -279,6 +396,10 @@ object MultimodalOps {
     } else if (realAudioFormats.contains(format)) {
       val samples = readPcmSamples(payload)
       if (samples == null) null else amplitudeHistogram(samples)
+    } else if (realVideoFormats.contains(format)) {
+      val video = AviCodec.parse(payload)
+      if (video == null) null
+      else videoLuminanceHistogram(video, video.frames)
     } else null
 
   /** Batched feature extraction over the media table. Runs the decoder

@@ -1132,6 +1132,84 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Bigram language-model quality score, the CCNet-style perplexity
+    * filter: fit add-one-smoothed bigram counts on the corpus's own
+    * `train` split ([[assignSplit]] — id-pure, so the model never sees
+    * val/test text) and score EVERY document by its mean negative
+    * log-likelihood under that model. Low score = in-distribution
+    * fluent text; high score = boilerplate, noise, or out-of-domain —
+    * the standard ranking signal for quality-proportional sampling
+    * (compose with [[qualitySample]]).
+    *
+    * Model: p(cur | prev) = (c2(prev,cur) + 1) / (c1(prev) + V) with a
+    * per-document `<s>` start symbol; V = distinct continuation count.
+    * All model statistics are exact integer aggregates (map-side
+    * combined, order-independent), so the probabilities are the SAME
+    * doubles in any engine; per-document log-probs fold in POSITION
+    * order (the [[bm25TopK]] sorted-fold discipline) and the mean is
+    * floor-truncated to 6 decimals — bit-deterministic across runs,
+    * partitionings, and engines.
+    *
+    * Scale shape: one tokenize pass over the train split builds both
+    * count tables; scoring is two key-shuffle left joins on token
+    * strings. Token frequency is Zipfian, so the `prev` join key is
+    * skewed by construction — AQE's skew-join split handles the hot
+    * keys (`the`, `a`, ...) without salting because the build side is a
+    * per-key aggregate (one row per hot key, replicable). At 100 TB the
+    * model tables are vocabulary-sized (far smaller than the corpus)
+    * but not broadcastable; the joins stay shuffles and carry
+    * (doc_id, pos, prev, cur) — never text.
+    *
+    * Output: (doc_id, n_tokens, lm_score), one row per document.
+    */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        explode(transform(col("t"), (x, i) =>
+          struct(
+            i.as("pos"),
+            when(i === 0, lit("<s>"))
+              .otherwise(element_at(col("t"), i)).as("prev"),
+            x.as("cur")))).as("bg"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        col("bg.pos").as("pos"), col("bg.prev").as("prev"),
+        col("bg.cur").as("cur"))
+    // the train-split bigram stream feeds all three model statistics —
+    // tokenized once, OpCaches-tracked
+    val trainBg = graft.util.OpCaches.cache(
+      bigrams
+        .where(assignSplit(col("doc_id")) === "train")
+        .select(col("prev"), col("cur")))
+    val c2 = trainBg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+    val c1 = trainBg.groupBy(col("prev"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+    // V as an exact integer scalar: one row to the driver, O(1)
+    val v = trainBg.agg(countDistinct(col("cur"))).collect()(0)
+      .getLong(0).toDouble
+    bigrams
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .withColumn("logp",
+        -log((coalesce(col("c2"), lit(0.0)) + 1.0) /
+          (coalesce(col("c1"), lit(0.0)) + lit(v))))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      // positional left fold, not sum(): double addition is
+      // order-sensitive and partial-aggregation order is
+      // partitioning-dependent (see bm25TopK)
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("pos"), col("logp")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("logp")).as("raw"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (floor(col("raw") / col("n_tokens") * 1e6) / 1e6).as("lm_score"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -98,11 +98,13 @@ class MultimodalSpec extends AnyFunSuite {
       .as[(String, String)].collect().toMap
     assert(caps("*") === "stub")
     assert(caps.filter(_._2 == "real").keySet ===
-      (MultimodalOps.realFormats ++ MultimodalOps.realAudioFormats).toSet)
+      (MultimodalOps.realFormats ++ MultimodalOps.realAudioFormats ++
+        MultimodalOps.realVideoFormats).toSet)
     // routing agrees with the table: a real format decodes, a stub
-    // format (video — no JVM codec) gets the byte histogram
+    // format (compressed video — no JVM codec) gets the byte histogram
     val payload = "aaaa".getBytes("UTF-8")
-    for (f <- MultimodalOps.realFormats ++ MultimodalOps.realAudioFormats)
+    for (f <- MultimodalOps.realFormats ++ MultimodalOps.realAudioFormats ++
+        MultimodalOps.realVideoFormats)
       assert(caps(f) === "real", s"$f missing from the capability table")
     assert(MultimodalOps.decodeFeatures("video/mp4", payload).toSeq ===
       MultimodalOps.fakeDecodeFeatures(payload).toSeq)
