@@ -207,7 +207,7 @@ object Bench {
       "dd_near_dedup", "dd_near_dedup_hardened", "dd_dup_groups",
       "dd_paragraph_dedup", "tx_bm25_store", "sm_cosine_lsh_neardup",
       "sm_cosine_lsh_sized", "sm_ann_ivf_topk",
-      "sm_semdedup", "sm_semdedup_sized",
+      "sm_semdedup", "sm_semdedup_sized", "sm_knn_join",
       "dd_incremental_store", "sm_ann_ivf_store")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt

@@ -1089,6 +1089,18 @@ object SparkEntry {
         .select(col("id"), col("cell"))
     },
 
+    // kNN-graph builder: every vector's top-3 cosine neighbors within
+    // its quantizer cell (cell-confined — never the n² self-join); the
+    // fixed-iteration Lloyd fit unrolls into the SQL oracle like the
+    // other IVF heads. The SIZED form is the query surface (cell count
+    // from corpus size at 64/cell) so pair volume stays ~n·64 at any
+    // bench SF — the same deployed-form choice as sm_semdedup_sized
+    "sm_knn_join" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.knnJoinSized(vecs, k = 3, targetCellSize = 64L)
+    },
+
     // MLlib MinHashLSH production path. The hash seeds are MLlib-internal,
     // but approxSimilarityJoin filters candidates by TRUE Jaccard distance,
     // so the output is exactly {LSH candidate pairs} ∩ {distance < 0.5}:
@@ -1249,6 +1261,14 @@ object SparkEntry {
     // split, every document scored by mean negative log-likelihood
     "tx_lm_score" -> { (s, dir) =>
       TextOps.lmScore(Graft.table(s, dir, "documents"))
+    },
+
+    // hashed TF-IDF featurization over md5 buckets (engine-portable, no
+    // murmur); stats cover the full corpus, output sampled to every
+    // 10th doc to keep the gate's compare bounded
+    "tx_tfidf" -> { (s, dir) =>
+      TextOps.tfidf(Graft.table(s, dir, "documents"), nBuckets = 1024)
+        .where(col("doc_id") % 10 === 0)
     },
 
     // Time-bounded event join (the batch form of a stream-stream inner
@@ -2656,6 +2676,35 @@ object SparkEntry {
         |       floor(list_sum(list(logp ORDER BY pos)) / n_tokens * 1000000.0) / 1000000.0 AS lm_score
         |FROM lp GROUP BY doc_id, n_tokens""".stripMargin,
 
+    // exact integer tf/df/N + bucket-ordered w^2 folds: ln, sqrt, and
+    // division land on identical doubles in both engines
+    "tx_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |tf AS (
+        |  SELECT doc_id,
+        |         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
+        |         CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |dfq AS (SELECT bucket, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |w AS (
+        |  SELECT t.doc_id, t.bucket,
+        |         t.tf * (ln((nn.n + 1.0) / (d.df + 1.0)) + 1.0) AS w
+        |  FROM tf t JOIN dfq d USING (bucket), nn
+        |),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(list_sum(list(w * w ORDER BY bucket))) AS nrm
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT w.doc_id, w.bucket,
+        |       floor(w.w / nrm.nrm * 1000000.0) / 1000000.0 AS w
+        |FROM w JOIN nrm USING (doc_id)
+        |WHERE w.doc_id % 10 = 0""".stripMargin,
+
     "j2_timebound_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
         |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
@@ -3012,6 +3061,42 @@ object SparkEntry {
          |        >= 0.45
          |)
          |SELECT id, cell FROM cells WHERE id NOT IN (SELECT id FROM dropped)""".stripMargin,
+
+    // kNN-join: same corpus-sized Lloyd-cell assignment as
+    // sm_semdedup_sized, then per-vector top-3 by (raw cosine DESC,
+    // neighbor id) within equal cells — the window ranking compares the
+    // identical doubles the engine ranks on
+    "sm_knn_join" ->
+      s"""WITH ${nLloydCtesSized(5, 64L)},
+         |cells AS (
+         |  SELECT e.pid AS id, e.v,
+         |         sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                      i -> e.v[i] * e.v[i]))) AS nn,
+         |         a.cid AS cell
+         |  FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |pairs AS (
+         |  SELECT a.id, b.id AS nbr_id,
+         |         CASE WHEN a.nn * b.nn = 0 THEN 0.0
+         |              ELSE list_sum(list_transform(range(1, len(a.v) + 1),
+         |                                           i -> a.v[i] * b.v[i]))
+         |                   / (a.nn * b.nn)
+         |         END AS sim
+         |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id
+         |),
+         |ranked AS (
+         |  SELECT id, nbr_id, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+         |  FROM pairs
+         |)
+         |SELECT id, CAST(rnk AS BIGINT) AS "rank", nbr_id,
+         |       floor(sim * 1000000.0) / 1000000.0 AS sim
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
 
     // same pruning, cell count GREATEST((n+63)//64, 1) derived in-query —
     // the integer-exact mirror of semDedupSized's driver-side sizing

@@ -1155,6 +1155,82 @@ object Similarity {
     semDedup(vectors, nlist, threshold, maxIter, fitSampleCap, Some(n))
   }
 
+  /** Cell-confined k-nearest-neighbor SELF-join: for EVERY vector, its
+    * `k` most-cosine-similar neighbors among the vectors sharing its
+    * quantizer cell — the kNN-GRAPH builder (semantic clustering,
+    * stratified corpus visualization, NN-descent seeding, per-doc
+    * redundancy stats), where [[bruteForceTopK]] answers a handful of
+    * query vectors and [[semDedup]] only reports threshold crossings.
+    *
+    * Same confinement discipline as [[semDedup]]: the pairwise step is
+    * Σ|cell|², never the n² self-join; the quantizer is the engine's own
+    * fixed-iteration sampled Lloyd fit ([[graft.kmeans.LloydN]]), so the
+    * whole operator — fit included — unrolls into an external SQL
+    * oracle. The per-vector top-k is a window `row_number` partitioned
+    * by vector id over the within-cell candidates (per-partition
+    * ranking after one hash exchange on id — no global sort), ordered
+    * (sim DESC, neighbor id ASC): a deterministic total order, so the
+    * rank-k cutoff is reproducible cross-engine. Neighbors outside the
+    * cell are invisible BY DESIGN (that is the recall trade of
+    * confinement); vectors in singleton cells emit no rows.
+    *
+    * Output: (id, rank, nbr_id, sim), sim floor-truncated to 6 decimals
+    * AFTER ranking (ranking compares raw doubles).
+    */
+  def knnJoin(
+      vectors: DataFrame,
+      nlist: Int,
+      k: Int,
+      maxIter: Int = 5,
+      fitSampleCap: Long = 100000L,
+      knownCount: Option[Long] = None): DataFrame = {
+    require(k >= 1, s"k=$k")
+    import graft.kmeans.{LloydN, OpsN}
+    val pts = vectors.select(col("id").as("pid"), col("vec").as("features"))
+    val model =
+      LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, knownCount)
+    val assigned = OpsN.assignNAdaptive(pts, model)
+    // both sides of the within-cell join read the assignment;
+    // OpCaches-tracked for post-materialize release
+    val cells = graft.util.OpCaches.cache(
+      assigned.select(
+        col("pid").as("id"), col("features").as("v"),
+        norm(col("features")).as("nn"), col("cid").as("cell")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    cells
+      .select(col("cell"), col("id"), col("v"), col("nn"))
+      .join(
+        cells.select(col("cell"), col("id").as("nbr_id"), col("v").as("v2"),
+          col("nn").as("n2")),
+        Seq("cell"))
+      .filter(col("id") =!= col("nbr_id"))
+      .withColumn("sim",
+        when(col("nn") * col("n2") === 0.0, lit(0.0))
+          .otherwise(dot(col("v"), col("v2")) / (col("nn") * col("n2"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("rank").cast("long").as("rank"), col("nbr_id"),
+        (floor(col("sim") * 1e6) / 1e6).as("sim"))
+  }
+
+  /** [[knnJoin]] with the cell count derived from the corpus size at a
+    * target per-cell occupancy — the same ⌈n / targetCellSize⌉ sizing
+    * as [[semDedupSized]], keeping the within-cell pairwise volume
+    * ~n·targetCellSize (linear) as the corpus grows.
+    */
+  def knnJoinSized(
+      vectors: DataFrame,
+      k: Int,
+      targetCellSize: Long = 4096L,
+      maxIter: Int = 5,
+      fitSampleCap: Long = 100000L): DataFrame = {
+    require(targetCellSize > 0, s"targetCellSize=$targetCellSize")
+    val n = vectors.count()
+    val nlist = math.max((n + targetCellSize - 1) / targetCellSize, 1L).toInt
+    knnJoin(vectors, nlist, k, maxIter, fitSampleCap, Some(n))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with
     * cosine >= threshold. Exact all-pairs — the small-corpus BASELINE:
     * cost is O(n²) pairs, so the guard refuses corpora above

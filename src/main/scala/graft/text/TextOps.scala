@@ -1210,6 +1210,62 @@ object TextOps {
         (floor(col("raw") / col("n_tokens") * 1e6) / 1e6).as("lm_score"))
   }
 
+  /** Hashed TF-IDF featurization (the hashing trick): each document
+    * becomes a sparse weight vector over `nBuckets` term-hash buckets —
+    * the classical text-embedding generator (retrieval scoring,
+    * lightweight classifiers, clustering input for [[graft.sim.Similarity.knnJoin]])
+    * when no learned encoder is in the loop. Buckets come from the
+    * md5-derived hash ([[splitBucket]]'s discipline, not Spark's
+    * engine-private murmur), so the featurization is reproducible in
+    * ANY engine — a training pipeline can re-derive the same features
+    * in its serving stack.
+    *
+    * Weights: w = tf · (ln((N+1)/(df+1)) + 1) (the smoothed-idf
+    * convention), L2-normalized per document. N, tf, df are exact
+    * integer aggregates; the per-document norm folds w² in BUCKET
+    * order (the [[bm25TopK]] sorted-fold discipline), so the output is
+    * bit-deterministic cross-engine.
+    *
+    * Scale shape: one tokenize pass → (doc_id, bucket) counts with
+    * map-side combine; df is an O(nBuckets) aggregate joined back as a
+    * broadcast (nBuckets is a constant, never vocabulary-sized — the
+    * point of the hashing trick); the normalize step is one more
+    * doc-key exchange of (doc_id, bucket, w) triples, never text.
+    *
+    * Output: (doc_id, bucket, w) sparse triples, weights
+    * floor-truncated to 6 decimals.
+    */
+  def tfidf(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(md5(col("tok")).substr(1, 8), 16, 10).cast("long")
+          % nBuckets).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = docs.count()
+    val dfreq = tf.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("idf",
+        log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0)
+    // raw weights feed both the norm fold and the output join;
+    // OpCaches-tracked
+    val w = graft.util.OpCaches.cache(
+      tf.join(broadcast(dfreq.select(col("bucket"), col("idf"))),
+          Seq("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          (col("tf") * col("idf")).as("w")))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(aggregate(
+        array_sort(collect_list(struct(col("bucket"), col("w")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("w") * x.getField("w"))).as("nrm"))
+    w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        (floor(col("w") / col("nrm") * 1e6) / 1e6).as("w"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

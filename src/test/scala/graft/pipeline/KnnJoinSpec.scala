@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kmeans.SparkTestSession
+import graft.sim.Similarity
+
+/** Cell-confined kNN self-join (the kNN-graph builder). */
+class KnnJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  def vecs(vs: (Long, Seq[Double])*): DataFrame = vs.toDF("id", "vec")
+
+  private val cloud = Seq(
+    (1L, Seq(10.0, 0.0)), (2L, Seq(0.0, 10.0)), (3L, Seq(9.0, 1.0)),
+    (4L, Seq(1.0, 9.0)), (5L, Seq(10.0, 1.0)), (6L, Seq(1.0, 10.0)))
+
+  private def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+    val d = a.zip(b).map { case (x, y) => x * y }.sum
+    val na = math.sqrt(a.map(x => x * x).sum)
+    val nb = math.sqrt(b.map(x => x * x).sum)
+    if (na * nb == 0.0) 0.0 else d / (na * nb)
+  }
+
+  test("nlist=1 (single cell) == exact brute-force kNN, hand-computed") {
+    val k = 2
+    val got = Similarity.knnJoin(vecs(cloud: _*), nlist = 1, k = k)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, r, n, s) => (id, r) -> (n, s) }.toMap
+    val expected = cloud.flatMap { case (id, v) =>
+      cloud.filter(_._1 != id)
+        .map { case (nid, nv) => (nid, cosine(v, nv)) }
+        .sortBy { case (nid, s) => (-s, nid) }
+        .take(k).zipWithIndex
+        .map { case ((nid, s), i) =>
+          (id, (i + 1).toLong) -> (nid, math.floor(s * 1e6) / 1e6)
+        }
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("neighbors are confined to the quantizer cell") {
+    val got = Similarity.knnJoin(vecs(cloud: _*), nlist = 2, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+    val clusterX = Set(1L, 3L, 5L) // near the x axis; 2/4/6 near y
+    got.foreach { case (id, _, nbr, _) =>
+      assert(clusterX(id) === clusterX(nbr),
+        s"$id and $nbr must share a cell")
+    }
+    // every vector has both its cluster-mates, ranks 1..2, sims ordered
+    val byId = got.groupBy(_._1)
+    assert(byId.keySet === cloud.map(_._1).toSet)
+    byId.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to rows.length))
+      assert(sorted.map(_._4).toSeq === sorted.map(_._4).sortBy(-_).toSeq)
+    }
+  }
+
+  test("singleton cells emit no rows; zero vectors rank at sim 0") {
+    // one far outlier gets its own cell under nlist=2 with these inits
+    val d = vecs(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1000.0, 1000.0)), (3L, Seq(0.9, 0.1)),
+      (4L, Seq(0.0, 0.0)))
+    val got = Similarity.knnJoin(d, nlist = 2, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    val ids = got.map(_._1).toSet
+    if (!ids.contains(2L)) assert(got.forall(_._3 != 2L))
+    // the zero vector's similarities are exactly 0 wherever it appears
+    got.filter(r => r._1 == 4L || r._3 == 4L).foreach(r => assert(r._4 === 0.0))
+  }
+
+  test("knnJoinSized with targetCellSize >= n degenerates to one cell") {
+    val a = Similarity.knnJoin(vecs(cloud: _*), nlist = 1, k = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Similarity.knnJoinSized(vecs(cloud: _*), k = 2,
+        targetCellSize = 100L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq === b.toSeq)
+  }
+}
