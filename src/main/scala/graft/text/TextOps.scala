@@ -1237,13 +1237,16 @@ object TextOps {
     */
   def tfidf(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val tf = docs
+    // tf is cached: df derives from it and w joins against it — without
+    // this the df branch re-runs the whole tokenize pass (a second full
+    // corpus scan, plan-verified); OpCaches-tracked
+    val tf = graft.util.OpCaches.cache(docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"),
         (conv(md5(col("tok")).substr(1, 8), 16, 10).cast("long")
           % nBuckets).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf")))
     val n = docs.count()
     val dfreq = tf.groupBy(col("bucket"))
       .agg(count(lit(1)).cast("double").as("df"))
