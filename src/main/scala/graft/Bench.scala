@@ -94,11 +94,16 @@ object Bench {
     // warming (max 3 passes) until a pass improves <10% on the previous —
     // then the timed passes start at steady state. Warm-up totals are
     // reported so the decay is visible evidence, not hidden cost.
+    // round-11: cap raised 3 -> 5 and the bar tightened to <5%: with the
+    // suite grown to 96 queries the r11 box still decayed 121 -> 101 s
+    // ACROSS the timed passes after three warm-ups (JIT keeps compiling
+    // that much more codegen output), which inflated total MAD to ~7 s;
+    // the cap stays finite so a genuinely noisy box cannot warm forever
     val warmupTotals = {
       val totals = scala.collection.mutable.ArrayBuffer.empty[Double]
       var prev = Double.MaxValue
-      while (totals.length < 3 &&
-             (totals.isEmpty || prev * 0.9 > totals.last)) {
+      while (totals.length < 5 &&
+             (totals.isEmpty || prev * 0.95 > totals.last)) {
         if (totals.nonEmpty) prev = totals.last
         totals += names.map(runOnce).sum
       }
