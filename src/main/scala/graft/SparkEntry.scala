@@ -1263,6 +1263,17 @@ object SparkEntry {
       TextOps.lmScore(Graft.table(s, dir, "documents"))
     },
 
+    // the fit-once/score-many LM shape: persist the bigram model, then
+    // score every doc from the store — must answer bit-identically to
+    // the inline tx_lm_score (shared oracle)
+    "tx_lm_store" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val store = "target/graft_stores/lm_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.writeLmModel(docs, store)
+      TextOps.lmScoreFromStore(docs, store)
+    },
+
     // hashed TF-IDF featurization over md5 buckets (engine-portable, no
     // murmur); stats cover the full corpus, output sampled to every
     // 10th doc to keep the gate's compare bounded
@@ -1406,6 +1417,9 @@ object SparkEntry {
   private def hardenedOracles: Map[String, String] = Map(
     "dd_near_dedup_hardened" -> baseOracleSql("dd_near_dedup"),
     "sm_cosine_neardedup_hardened" -> baseOracleSql("sm_cosine_neardedup"),
+    // the store-backed LM scorer answers bit-identically to the inline
+    // fit (exact integer counts, shared fold discipline) — same oracle
+    "tx_lm_store" -> baseOracleSql("tx_lm_score"),
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

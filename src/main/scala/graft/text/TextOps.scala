@@ -1163,21 +1163,7 @@ object TextOps {
     * Output: (doc_id, n_tokens, lm_score), one row per document.
     */
   def lmScore(docs: DataFrame): DataFrame = {
-    val bigrams = docs
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(
-        col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        explode(transform(col("t"), (x, i) =>
-          struct(
-            i.as("pos"),
-            when(i === 0, lit("<s>"))
-              .otherwise(element_at(col("t"), i)).as("prev"),
-            x.as("cur")))).as("bg"))
-      .select(
-        col("doc_id"), col("n_tokens"),
-        col("bg.pos").as("pos"), col("bg.prev").as("prev"),
-        col("bg.cur").as("cur"))
+    val bigrams = docBigrams(docs)
     // the train-split bigram stream feeds all three model statistics —
     // tokenized once, OpCaches-tracked
     val trainBg = graft.util.OpCaches.cache(
@@ -1191,6 +1177,32 @@ object TextOps {
     // V as an exact integer scalar: one row to the driver, O(1)
     val v = trainBg.agg(countDistinct(col("cur"))).collect()(0)
       .getLong(0).toDouble
+    scoreBigrams(bigrams, c2, c1, v)
+  }
+
+  /** The per-document bigram stream (doc_id, n_tokens, pos, prev, cur)
+    * with the `<s>` start symbol — shared by the inline and
+    * store-backed LM scorers.
+    */
+  private def docBigrams(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), tokens(col("text")).as("t"))
+    .select(
+      col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      explode(transform(col("t"), (x, i) =>
+        struct(
+          i.as("pos"),
+          when(i === 0, lit("<s>"))
+            .otherwise(element_at(col("t"), i)).as("prev"),
+          x.as("cur")))).as("bg"))
+    .select(
+      col("doc_id"), col("n_tokens"),
+      col("bg.pos").as("pos"), col("bg.prev").as("prev"),
+      col("bg.cur").as("cur"))
+
+  private def scoreBigrams(
+      bigrams: DataFrame, c2: DataFrame, c1: DataFrame,
+      v: Double): DataFrame =
     bigrams
       .join(c2, Seq("prev", "cur"), "left")
       .join(c1, Seq("prev"), "left")
@@ -1208,6 +1220,55 @@ object TextOps {
       .select(
         col("doc_id"), col("n_tokens"),
         (floor(col("raw") / col("n_tokens") * 1e6) / 1e6).as("lm_score"))
+
+  /** Persist the bigram LM for [[lmScoreFromStore]] — the fit-once /
+    * score-many shape of perplexity filtering: a daily quality gate
+    * re-scores every incoming batch but refits the reference model
+    * rarely (and wholesale — a count model over a fixed train split has
+    * no incremental append story, unlike the log-structured stores, so
+    * this store is a plain immutable snapshot: refit = rewrite).
+    *
+    * Layout at `path`: `c2/` (prev, cur, c2), `c1/` (prev, c1), `meta/`
+    * one row (v, train_bigrams) of exact integer-derived stats. One
+    * tokenize pass over the train split builds all three.
+    */
+  def writeLmModel(docs: DataFrame, path: String): Unit = {
+    val trainBg = graft.util.OpCaches.cache(
+      docBigrams(docs)
+        .where(assignSplit(col("doc_id")) === "train")
+        .select(col("prev"), col("cur")))
+    trainBg.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("c2"))
+      .write.mode("overwrite").parquet(s"$path/c2")
+    trainBg.groupBy(col("prev"))
+      .agg(count(lit(1)).cast("double").as("c1"))
+      .write.mode("overwrite").parquet(s"$path/c1")
+    val spark = docs.sparkSession
+    trainBg.agg(
+        countDistinct(col("cur")).as("v"),
+        count(lit(1)).as("train_bigrams"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.util.OpCaches.releaseAll(spark)
+  }
+
+  /** Score documents against a PERSISTED bigram LM ([[writeLmModel]]):
+    * bit-identical to [[lmScore]] when the store was fit on the same
+    * corpus (the counts are exact integers and the fold discipline is
+    * shared), but the scoring pass never re-reads or re-tokenizes the
+    * train split — the model joins are parquet scans of (prev, cur)
+    * count tables, pruned to the three columns each side needs.
+    */
+  def lmScoreFromStore(
+      docs: DataFrame,
+      path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val v = spark.read.parquet(s"$path/meta")
+      .select(col("v")).head().getLong(0).toDouble
+    scoreBigrams(
+      docBigrams(docs),
+      spark.read.parquet(s"$path/c2"),
+      spark.read.parquet(s"$path/c1"), v)
   }
 
   /** Hashed TF-IDF featurization (the hashing trick): each document

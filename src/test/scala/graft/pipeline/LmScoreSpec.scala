@@ -84,6 +84,24 @@ class LmScoreSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("lmScoreFromStore == lmScore bit-exactly (fit-once/score-many)") {
+    val d = docs(corpus: _*)
+    val store = "target/test_stores/lm_spec"
+    TextOps.writeLmModel(d, store)
+    val inline = TextOps.lmScore(d)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val stored = TextOps.lmScoreFromStore(d, store)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(inline.toSeq === stored.toSeq)
+    // scoring a DIFFERENT batch against the stored model works (the
+    // daily-gate shape: the model never refits per batch)
+    val batch = docs((100L, "the cat sat on the rug"), (101L, "zz qq ww"))
+    val got = TextOps.lmScoreFromStore(batch, store)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got.keySet === Set(100L, 101L))
+    assert(got(100L) < got(101L))
+  }
+
   test("in-distribution text scores lower than gibberish") {
     val got = TextOps.lmScore(docs(corpus: _*))
       .as[(Long, Long, Double)].collect()
