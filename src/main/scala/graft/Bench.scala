@@ -95,7 +95,7 @@ object Bench {
     // then the timed passes start at steady state. Warm-up totals are
     // reported so the decay is visible evidence, not hidden cost.
     // round-11: cap raised 3 -> 5 and the bar tightened to <5%: with the
-    // suite grown to 96 queries the r11 box still decayed 121 -> 101 s
+    // suite grown to ~100 queries the r11 box still decayed 121 -> 101 s
     // ACROSS the timed passes after three warm-ups (JIT keeps compiling
     // that much more codegen output), which inflated total MAD to ~7 s;
     // the cap stays finite so a genuinely noisy box cannot warm forever

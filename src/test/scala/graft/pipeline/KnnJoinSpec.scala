@@ -67,7 +67,11 @@ class KnnJoinSpec extends AnyFunSuite {
     val got = Similarity.knnJoin(d, nlist = 2, k = 3)
       .as[(Long, Long, Long, Double)].collect()
     val ids = got.map(_._1).toSet
-    if (!ids.contains(2L)) assert(got.forall(_._3 != 2L))
+    // the fixed sampled-Lloyd init puts the far outlier alone in its
+    // cell — assert that directly, so the singleton contract below is
+    // actually exercised instead of passing vacuously
+    assert(!ids.contains(2L), "outlier 2 must land in a singleton cell")
+    assert(got.forall(_._3 != 2L))
     // the zero vector's similarities are exactly 0 wherever it appears
     got.filter(r => r._1 == 4L || r._3 == 4L).foreach(r => assert(r._4 === 0.0))
   }

@@ -86,7 +86,13 @@ class LmScoreSpec extends AnyFunSuite {
 
   test("lmScoreFromStore == lmScore bit-exactly (fit-once/score-many)") {
     val d = docs(corpus: _*)
-    val store = "target/test_stores/lm_spec"
+    // per-run temp dir: a fixed path would let a stale store from a
+    // previous run mask staleness bugs (overwrite mode hides leftovers)
+    // and collide under concurrent test runs
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("lm_spec_").toFile
+    storeDir.deleteOnExit()
+    val store = storeDir.getAbsolutePath + "/model"
     TextOps.writeLmModel(d, store)
     val inline = TextOps.lmScore(d)
       .as[(Long, Long, Double)].collect().sortBy(_._1)
@@ -100,6 +106,7 @@ class LmScoreSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
     assert(got.keySet === Set(100L, 101L))
     assert(got(100L) < got(101L))
+    org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
   }
 
   test("in-distribution text scores lower than gibberish") {
