@@ -1319,6 +1319,19 @@ object SparkEntry {
         .where(col("doc_id") % 10 === 0)
     },
 
+    // the fit-once/featurize-many TF-IDF shape: persist the df model,
+    // then featurize from the store — must answer bit-identically to
+    // the inline tx_tfidf (shared oracle); the daily-batch form (new
+    // docs under yesterday's idf) is exercised by TfidfSpec
+    "tx_tfidf_store" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val store = "target/graft_stores/tfidf_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.writeTfidfModel(docs, store, nBuckets = 1024)
+      TextOps.tfidfFromStore(docs, store)
+        .where(col("doc_id") % 10 === 0)
+    },
+
     // Time-bounded event join (the batch form of a stream-stream inner
     // join): every click within 30 minutes after a view by the same user
     "j2_timebound_join" -> { (s, dir) =>
@@ -1457,6 +1470,10 @@ object SparkEntry {
     // the store-backed LM scorer answers bit-identically to the inline
     // fit (exact integer counts, shared fold discipline) — same oracle
     "tx_lm_store" -> baseOracleSql("tx_lm_score"),
+    // likewise the store-backed TF-IDF featurizer: df and N are exact
+    // integers, idf derives at read from the shared formula — same
+    // oracle as the inline fit
+    "tx_tfidf_store" -> baseOracleSql("tx_tfidf"),
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

@@ -1200,12 +1200,56 @@ object TextOps {
       col("bg.pos").as("pos"), col("bg.prev").as("prev"),
       col("bg.cur").as("cur"))
 
+  /** How many hot `prev` heads the LM scorer splits off the shuffle
+    * joins (see [[scoreBigrams]]); exposed for tests.
+    */
+  private[graft] val LmHotHeads = 64
+
+  /** Join the bigram stream against the count model and fold per-doc
+    * scores.
+    *
+    * SKEW: token frequency is Zipfian, so the `prev` join key is skewed
+    * by construction — at 100 TB the `the`-keyed probe partitions of a
+    * plain shuffle join are monsters no static partitioning fixes.
+    * Rather than delegating to AQE's runtime skew split (round-11
+    * shape), the top-[[LmHotHeads]] `prev` heads by c1 count are split
+    * off STATICALLY: the head slices of c1/c2 are tiny (c1: one row per
+    * hot key; c2: the hot keys' successor lists — bounded by the head's
+    * share of distinct bigrams, a few MB at web scale), so the hot
+    * probe rows take BROADCAST joins and never ride a prev-keyed
+    * exchange at all; only the long tail — flat by construction once
+    * the head is gone — shuffle-joins. Head membership costs one
+    * O(vocab) agg + O(K) collect against the already-cached train
+    * stream. Plan-locked by PlanShapeSpec (hot branch: broadcast joins
+    * only). The split is row-disjoint and match-preserving (the head
+    * tables carry ALL model rows for hot keys, tails the rest), and the
+    * per-doc fold sorts by position, so scores are bit-identical to the
+    * unsplit join under any partitioning.
+    */
   private def scoreBigrams(
       bigrams: DataFrame, c2: DataFrame, c1: DataFrame,
-      v: Double): DataFrame =
-    bigrams
-      .join(c2, Seq("prev", "cur"), "left")
-      .join(c1, Seq("prev"), "left")
+      v: Double): DataFrame = {
+    // deterministic head: top-K by count, prev as tiebreak
+    val hotKeys = c1.orderBy(col("c1").desc, col("prev"))
+      .limit(LmHotHeads).select(col("prev"))
+      .collect().map(_.getString(0)).toSeq
+    def isHot(c: Column): Column = c.isInCollection(hotKeys)
+    val scored =
+      if (hotKeys.isEmpty)
+        bigrams
+          .join(c2, Seq("prev", "cur"), "left")
+          .join(c1, Seq("prev"), "left")
+      else {
+        val hot = bigrams.where(isHot(col("prev")))
+          .join(broadcast(c2.where(isHot(col("prev")))),
+            Seq("prev", "cur"), "left")
+          .join(broadcast(c1.where(isHot(col("prev")))), Seq("prev"), "left")
+        val tail = bigrams.where(!isHot(col("prev")))
+          .join(c2.where(!isHot(col("prev"))), Seq("prev", "cur"), "left")
+          .join(c1.where(!isHot(col("prev"))), Seq("prev"), "left")
+        hot.unionByName(tail)
+      }
+    scored
       .withColumn("logp",
         -log((coalesce(col("c2"), lit(0.0)) + 1.0) /
           (coalesce(col("c1"), lit(0.0)) + lit(v))))
@@ -1220,6 +1264,7 @@ object TextOps {
       .select(
         col("doc_id"), col("n_tokens"),
         (floor(col("raw") / col("n_tokens") * 1e6) / 1e6).as("lm_score"))
+  }
 
   /** Persist the bigram LM for [[lmScoreFromStore]] — the fit-once /
     * score-many shape of perplexity filtering: a daily quality gate
@@ -1301,25 +1346,48 @@ object TextOps {
     // tf is cached: df derives from it and w joins against it — without
     // this the df branch re-runs the whole tokenize pass (a second full
     // corpus scan, plan-verified); OpCaches-tracked
-    val tf = graft.util.OpCaches.cache(docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        (conv(md5(col("tok")).substr(1, 8), 16, 10).cast("long")
-          % nBuckets).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).cast("double").as("tf")))
+    val tf = graft.util.OpCaches.cache(bucketTf(docs, nBuckets))
     val n = docs.count()
     val dfreq = tf.groupBy(col("bucket"))
       .agg(count(lit(1)).cast("double").as("df"))
-      .withColumn("idf",
-        log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0)
+    tfidfScore(tf, smoothedIdf(dfreq, n), n)
+  }
+
+  /** Per-document term-hash-bucket counts — the shared tokenize pass of
+    * the inline and store-backed TF-IDF paths. Buckets come from the
+    * md5-derived hash (engine-portable, see [[tfidf]]).
+    */
+  private def bucketTf(docs: DataFrame, nBuckets: Int): DataFrame = docs
+    .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    .select(col("doc_id"),
+      (conv(md5(col("tok")).substr(1, 8), 16, 10).cast("long")
+        % nBuckets).as("bucket"))
+    .groupBy(col("doc_id"), col("bucket"))
+    .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** idf = ln((N+1)/(df+1)) + 1 over a (bucket, df) frame — derived at
+    * use time from the EXACT integer df counts (never persisted as a
+    * double), so inline and store-backed scoring share one formula.
+    */
+  private def smoothedIdf(dfreq: DataFrame, n: Long): DataFrame =
+    dfreq.select(col("bucket"),
+      (log((lit(n.toDouble) + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+
+  /** The weight+normalize half of TF-IDF, shared by [[tfidf]] and
+    * [[tfidfFromStore]]: w = tf · idf, L2-normalized per document with
+    * the bucket-ordered fold ([[bm25TopK]]'s sorted-fold discipline).
+    * The idf join is a broadcast LEFT join: a batch bucket the fit
+    * corpus never saw (possible only on the store path) takes the df=0
+    * smoothed idf instead of dropping the term.
+    */
+  private def tfidfScore(tf: DataFrame, idf: DataFrame, n: Long): DataFrame = {
+    val idf0 = log(lit(n.toDouble) + 1.0) + 1.0 // smoothed idf at df = 0
     // raw weights feed both the norm fold and the output join;
     // OpCaches-tracked
     val w = graft.util.OpCaches.cache(
-      tf.join(broadcast(dfreq.select(col("bucket"), col("idf"))),
-          Seq("bucket"))
+      tf.join(broadcast(idf), Seq("bucket"), "left")
         .select(col("doc_id"), col("bucket"),
-          (col("tf") * col("idf")).as("w")))
+          (col("tf") * coalesce(col("idf"), idf0)).as("w")))
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(aggregate(
         array_sort(collect_list(struct(col("bucket"), col("w")))),
@@ -1328,6 +1396,52 @@ object TextOps {
     w.join(norms, Seq("doc_id"))
       .select(col("doc_id"), col("bucket"),
         (floor(col("w") / col("nrm") * 1e6) / 1e6).as("w"))
+  }
+
+  /** Persist the TF-IDF document-frequency model for
+    * [[tfidfFromStore]] — the fit-once/featurize-many shape
+    * ([[writeLmModel]]'s discipline): a daily batch must be featurized
+    * under YESTERDAY'S df statistics or its features drift from the
+    * serving index with every refit. Like the LM store, df is a count
+    * model over a fixed fit corpus with no incremental append story, so
+    * the store is a plain immutable snapshot: refit = rewrite.
+    *
+    * Layout at `path`: `df/` (bucket, df) — at most `nBuckets` rows of
+    * exact integer counts — and `meta/` one row (n_docs, n_buckets).
+    * One tokenize pass over the fit corpus builds both.
+    */
+  def writeTfidfModel(
+      docs: DataFrame, path: String, nBuckets: Int = 1024): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    bucketTf(docs, nBuckets)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .write.mode("overwrite").parquet(s"$path/df")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Featurize documents against a PERSISTED TF-IDF model
+    * ([[writeTfidfModel]]): bit-identical to [[tfidf]] when the store
+    * was fit on the same corpus (df and N are exact integers; idf is
+    * derived at read with the shared [[smoothedIdf]] formula; the fold
+    * discipline is shared), but the featurize pass never re-tokenizes
+    * the fit corpus — the model join is an O(nBuckets) broadcast of a
+    * pruned (bucket, df) parquet scan. Batch buckets unseen at fit time
+    * take the df = 0 smoothed idf.
+    */
+  def tfidfFromStore(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("n_docs"), col("n_buckets")).head()
+    val n = meta.getLong(0)
+    val nBuckets = meta.getInt(1)
+    val dfreq = spark.read.parquet(s"$path/df")
+      .select(col("bucket"), col("df").cast("double").as("df"))
+    val tf = graft.util.OpCaches.cache(bucketTf(docs, nBuckets))
+    tfidfScore(tf, smoothedIdf(dfreq, n), n)
   }
 
   /** Full per-document text-analysis projection over a `documents`-shaped

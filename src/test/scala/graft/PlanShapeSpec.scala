@@ -433,6 +433,40 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("lmScore: the hot prev heads take broadcast joins only — no " +
+      "shuffle exchange anywhere on the hot probe branch") {
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.text.TextOps
+    val plan = TextOps.lmScore(Graft.table(spark, sf, "documents"))
+      .queryExecution.sparkPlan
+    graft.util.OpCaches.releaseAll(spark)
+    // the hot branch is the c1-head BHJ stacked on the c2-head BHJ; its
+    // probe (streamed) spine must reach the raw bigram stream without
+    // crossing any shuffle exchange — the whole point of the split is
+    // that `the`-keyed rows never ride a prev-keyed exchange (the model
+    // AGGREGATES on the build sides keep their exchanges; only the
+    // probe spine must be exchange-free)
+    def streamed(b: BroadcastHashJoinExec): SparkPlan =
+      b.buildSide match {
+        case BuildRight => b.left
+        case BuildLeft  => b.right
+      }
+    def probeHasShuffle(p: SparkPlan): Boolean = p match {
+      case b: BroadcastHashJoinExec => probeHasShuffle(streamed(b))
+      case _: ShuffleExchangeExec   => true
+      case other => other.children.exists(probeHasShuffle)
+    }
+    val bhjs = plan.collect { case b: BroadcastHashJoinExec => b }
+    val hotTop = bhjs.filter(b =>
+      streamed(b).collectFirst { case x: BroadcastHashJoinExec => x }.nonEmpty)
+    assert(hotTop.nonEmpty,
+      s"hot-branch double broadcast join missing:\n${plan.toString.take(1500)}")
+    hotTop.foreach(b => assert(!probeHasShuffle(b),
+      s"shuffle exchange on the hot probe branch:\n${b.toString.take(1500)}"))
+  }
+
   test("paragraphDedup reassembly: no split() inside any lambda in the " +
       "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}

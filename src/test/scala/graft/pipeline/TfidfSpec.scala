@@ -64,4 +64,58 @@ class TfidfSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("tfidfFromStore == tfidf bit-exactly (fit-once/featurize-many)") {
+    val d = docs(corpus: _*)
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("tfidf_spec_").toFile
+    val store = storeDir.getAbsolutePath + "/model"
+    TextOps.writeTfidfModel(d, store, 64)
+    val inline = TextOps.tfidf(d, 64)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val stored = TextOps.tfidfFromStore(d, store)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(inline.toSeq === stored.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
+  }
+
+  test("a fresh batch featurizes under the STORED df, not its own") {
+    val d = docs(corpus: _*)
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("tfidf_spec_").toFile
+    val store = storeDir.getAbsolutePath + "/model"
+    val nBuckets = 64
+    TextOps.writeTfidfModel(d, store, nBuckets)
+    // one doc: a repeated fit-corpus token and a token the fit corpus
+    // never saw — the expected weights derive from the FIT corpus's
+    // per-BUCKET df (collisions at 64 buckets included), with the
+    // unseen token taking the df=0 smoothed idf unless its bucket
+    // happens to collide with a fit bucket
+    val batch = docs((100L, "the the xyzzy"))
+    val got = TextOps.tfidfFromStore(batch, store)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    val n = corpus.size.toDouble
+    val fitDf: Map[Long, Int] = corpus
+      .flatMap { case (id, t) =>
+        t.trim.split("\\s+").map(tok => bucket(tok, nBuckets)).distinct
+          .map(b => (id, b))
+      }
+      .groupBy(_._2).map { case (b, g) => b -> g.size }
+    def idf(b: Long): Double =
+      math.log((n + 1.0) / (fitDf.getOrElse(b, 0) + 1.0)) + 1.0
+    val batchTf: Map[Long, Double] = Seq("the", "the", "xyzzy")
+      .groupBy(tok => bucket(tok, nBuckets))
+      .map { case (b, g) => b -> g.size.toDouble }
+    val w = batchTf.map { case (b, t) => b -> t * idf(b) }
+    val nrm = math.sqrt(w.values.map(x => x * x).sum)
+    val expected = w.map { case (b, x) =>
+      b -> math.floor(x / nrm * 1e6) / 1e6
+    }
+    // the fixture must actually exercise the unseen-bucket leg
+    assert(!fitDf.contains(bucket("xyzzy", nBuckets)),
+      "xyzzy must hash to a bucket the fit corpus never filled")
+    assert(got === expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
+  }
 }
