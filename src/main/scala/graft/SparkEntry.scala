@@ -1138,6 +1138,17 @@ object SparkEntry {
       Similarity.knnJoinSized(vecs, k = 3, targetCellSize = 64L)
     },
 
+    // multi-probe kNN graph (round-12): each vector PROBES its 2
+    // nearest cells while remaining a candidate only in its primary
+    // cell, recovering the cross-boundary neighbors the confined form
+    // hides at ≤2× the pair volume — the IVF nprobe discipline applied
+    // to the self-join
+    "sm_knn_join_probe" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.knnJoinSized(vecs, k = 3, targetCellSize = 64L, nprobe = 2)
+    },
+
     // MLlib MinHashLSH production path. The hash seeds are MLlib-internal,
     // but approxSimilarityJoin filters candidates by TRUE Jaccard distance,
     // so the output is exactly {LSH candidate pairs} ∩ {distance < 0.5}:
@@ -3169,6 +3180,54 @@ object SparkEntry {
          |                   / (a.nn * b.nn)
          |         END AS sim
          |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id != b.id
+         |),
+         |ranked AS (
+         |  SELECT id, nbr_id, sim,
+         |         ROW_NUMBER() OVER (PARTITION BY id ORDER BY sim DESC, nbr_id) AS rnk
+         |  FROM pairs
+         |)
+         |SELECT id, CAST(rnk AS BIGINT) AS "rank", nbr_id,
+         |       floor(sim * 1000000.0) / 1000000.0 AS sim
+         |FROM ranked WHERE rnk <= 3""".stripMargin,
+
+    // multi-probe kNN-join: the probe side takes each vector's TWO
+    // nearest cells (LATERAL ... LIMIT 2 — same (d2, cid) order as the
+    // engine's probeCellsCol sort), the candidate side keeps primary
+    // cells (LIMIT 1); otherwise identical to sm_knn_join
+    "sm_knn_join_probe" ->
+      s"""WITH ${nLloydCtesSized(5, 64L)},
+         |cells AS (
+         |  SELECT e.pid AS id, e.v,
+         |         sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                      i -> e.v[i] * e.v[i]))) AS nn,
+         |         a.cid AS cell
+         |  FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 1
+         |  ) a
+         |),
+         |probes AS (
+         |  SELECT e.pid AS id, e.v,
+         |         sqrt(list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                      i -> e.v[i] * e.v[i]))) AS nn,
+         |         a.cid AS cell
+         |  FROM emb e, LATERAL (
+         |    SELECT c.cid,
+         |           list_sum(list_transform(range(1, len(e.v) + 1),
+         |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
+         |    FROM nc5 c ORDER BY d2, c.cid LIMIT 2
+         |  ) a
+         |),
+         |pairs AS (
+         |  SELECT a.id, b.id AS nbr_id,
+         |         CASE WHEN a.nn * b.nn = 0 THEN 0.0
+         |              ELSE list_sum(list_transform(range(1, len(a.v) + 1),
+         |                                           i -> a.v[i] * b.v[i]))
+         |                   / (a.nn * b.nn)
+         |         END AS sim
+         |  FROM probes a JOIN cells b ON a.cell = b.cell AND a.id != b.id
          |),
          |ranked AS (
          |  SELECT id, nbr_id, sim,

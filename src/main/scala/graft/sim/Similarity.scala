@@ -1170,9 +1170,21 @@ object Similarity {
     * by vector id over the within-cell candidates (per-partition
     * ranking after one hash exchange on id — no global sort), ordered
     * (sim DESC, neighbor id ASC): a deterministic total order, so the
-    * rank-k cutoff is reproducible cross-engine. Neighbors outside the
-    * cell are invisible BY DESIGN (that is the recall trade of
-    * confinement); vectors in singleton cells emit no rows.
+    * rank-k cutoff is reproducible cross-engine. With the default
+    * `nprobe = 1`, neighbors outside the cell are invisible BY DESIGN
+    * (that is the recall trade of confinement) and vectors in singleton
+    * cells emit no rows.
+    *
+    * MULTI-PROBE (`nprobe > 1`): each vector PROBES its `nprobe`
+    * nearest cells (the IVF search discipline of [[ivfTopK]]) while
+    * still being a candidate only in its own primary cell — so a
+    * near-boundary vector sees the neighbors just across the quantizer
+    * boundary that confinement hides, and a singleton-cell vector
+    * recovers neighbors from its next-nearest cells. Pair volume grows
+    * by at most `nprobe`× (each probe leg is one more |probe-cell| scan
+    * per vector; candidates stay Σ over probed cells, never n²), and
+    * each (id, nbr) pair still appears at most once because a
+    * neighbor's primary cell is unique.
     *
     * Output: (id, rank, nbr_id, sim), sim floor-truncated to 6 decimals
     * AFTER ranking (ranking compares raw doubles).
@@ -1183,8 +1195,10 @@ object Similarity {
       k: Int,
       maxIter: Int = 5,
       fitSampleCap: Long = 100000L,
-      knownCount: Option[Long] = None): DataFrame = {
+      knownCount: Option[Long] = None,
+      nprobe: Int = 1): DataFrame = {
     require(k >= 1, s"k=$k")
+    require(nprobe >= 1, s"nprobe=$nprobe")
     import graft.kmeans.{LloydN, OpsN}
     val pts = vectors.select(col("id").as("pid"), col("vec").as("features"))
     val model =
@@ -1196,10 +1210,19 @@ object Similarity {
       assigned.select(
         col("pid").as("id"), col("features").as("v"),
         norm(col("features")).as("nn"), col("cid").as("cell")))
+    // probe side: the primary cell at nprobe=1 (bit-identical to the
+    // confined form — probeCellsCol's (d2, cell) sort is the same
+    // argmin/lowest-cid tiebreak as assignNAdaptive), the nprobe
+    // nearest cells otherwise
+    val probes =
+      if (nprobe == 1) cells.select(col("cell"), col("id"), col("v"), col("nn"))
+      else cells
+        .select(col("id"), col("v"), col("nn"),
+          explode(probeCellsCol(model, nprobe)(col("v"))).as("probe"))
+        .select(col("probe.cell").as("cell"), col("id"), col("v"), col("nn"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("nbr_id"))
-    cells
-      .select(col("cell"), col("id"), col("v"), col("nn"))
+    probes
       .join(
         cells.select(col("cell"), col("id").as("nbr_id"), col("v").as("v2"),
           col("nn").as("n2")),
@@ -1224,11 +1247,12 @@ object Similarity {
       k: Int,
       targetCellSize: Long = 4096L,
       maxIter: Int = 5,
-      fitSampleCap: Long = 100000L): DataFrame = {
+      fitSampleCap: Long = 100000L,
+      nprobe: Int = 1): DataFrame = {
     require(targetCellSize > 0, s"targetCellSize=$targetCellSize")
     val n = vectors.count()
     val nlist = math.max((n + targetCellSize - 1) / targetCellSize, 1L).toInt
-    knnJoin(vectors, nlist, k, maxIter, fitSampleCap, Some(n))
+    knnJoin(vectors, nlist, k, maxIter, fitSampleCap, Some(n), nprobe)
   }
 
   /** Embedding-cosine near-duplicate pairs: all (id1 < id2) with

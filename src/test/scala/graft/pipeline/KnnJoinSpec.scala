@@ -76,6 +76,60 @@ class KnnJoinSpec extends AnyFunSuite {
     got.filter(r => r._1 == 4L || r._3 == 4L).foreach(r => assert(r._4 === 0.0))
   }
 
+  // two angular clusters plus a near-boundary vector (25°): its TRUE
+  // nearest neighbor by cosine (40°, id 3) lives in the OTHER quantizer
+  // cell, while its own cell holds only the farther 0°/2° vectors — the
+  // exact recall hole multi-probe exists to close
+  private def deg(a: Double): Seq[Double] =
+    Seq(math.cos(math.toRadians(a)), math.sin(math.toRadians(a)))
+  private val boundary = Seq(
+    (1L, deg(0)), (2L, deg(2)), (3L, deg(40)),
+    (4L, deg(60)), (5L, deg(62)), (7L, deg(25)))
+
+  test("multi-probe recovers the cross-boundary neighbor confinement hides") {
+    val confined = Similarity.knnJoin(vecs(boundary: _*), nlist = 2, k = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    val probed = Similarity
+      .knnJoin(vecs(boundary: _*), nlist = 2, k = 2, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    def nbrs(rows: Array[(Long, Long, Long, Double)], id: Long): Set[Long] =
+      rows.filter(_._1 == id).map(_._3).toSet
+    // fixture sanity: the fixed sampled-Lloyd fit puts 7 in the
+    // 40°/60°/62° cell, so confinement caps its candidates at {3,4,5} —
+    // its true 2nd-nearest neighbor (2° = id 2, 23° away vs 35° for
+    // 60°) lies across the boundary and is invisible at nprobe=1. If
+    // Lloyd ever converges differently this fails loudly rather than
+    // letting the scenario pass vacuously.
+    assert(nbrs(confined, 7L) === Set(3L, 4L),
+      s"expected 7 confined to the 40°-cluster cell; got ${nbrs(confined, 7L)}")
+    // nprobe=2 lets 7 see across the boundary: its true top-2 is
+    // {40° (id 3), 2° (id 2)}
+    assert(nbrs(probed, 7L) === Set(3L, 2L))
+    // recall vs exact brute force improves and never regresses per id
+    val brute = Similarity
+      .bruteForceTopK(vecs(boundary: _*), vecs(boundary: _*), 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    def recall(rows: Array[(Long, Long, Long, Double)]): Double =
+      rows.map(r => (r._1, r._3)).toSet.intersect(brute).size.toDouble /
+        brute.size
+    assert(recall(probed) > recall(confined))
+  }
+
+  test("nprobe = nlist degenerates to exact brute-force top-k") {
+    val k = 2
+    val got = Similarity
+      .knnJoin(vecs(boundary: _*), nlist = 2, k = k, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, r, n, s) => (id, r) -> (n, s) }.toMap
+    val expected = Similarity
+      .bruteForceTopK(vecs(boundary: _*), vecs(boundary: _*), k)
+      .as[(Long, Long, Double, Int)].collect()
+      .map { case (q, c, s, r) =>
+        (q, r.toLong) -> (c, math.floor(s * 1e6) / 1e6)
+      }.toMap
+    assert(got === expected)
+  }
+
   test("knnJoinSized with targetCellSize >= n degenerates to one cell") {
     val a = Similarity.knnJoin(vecs(cloud: _*), nlist = 1, k = 2)
       .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))

@@ -234,6 +234,79 @@ class StreamingSpec extends AnyFunSuite {
       == exactStream)
   }
 
+  test("deleteFromIvfIndex between streaming micro-batches: deletes stay " +
+      "honored across later batches, replays, and compaction") {
+    import graft.sim.Similarity
+    val base = "target/stream_ivf_delete"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    def vec(i: Int): Array[Double] = {
+      val a = i * math.Pi / 80.0
+      Array(math.cos(a), math.sin(a), 0.01 * i, 1.0)
+    }
+    val initial = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    Similarity.writeIvfIndexSq(initial, nlist = 4, path = store)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[VecRow]
+    val batch1 = (0 until 5).map(i => VecRow(100L + i, vec(31 + i)))
+    mem.addData(batch1: _*)
+    StreamOps.runStreamingIvfAppend(mem.toDF(), store, ckpt)
+
+    // the single-writer contract forbids deletes CONCURRENT WITH
+    // COMPACTION, not deletes between micro-batches: take down one
+    // streamed id and one base id while the stream is quiescent...
+    Similarity.deleteFromIvfIndex(spark, store, Seq(102L, 3L).toDF("id"))
+    // ...then resume the SAME checkpointed stream with a second batch
+    val batch2 = (0 until 5).map(i => VecRow(200L + i, vec(40 + i)))
+    mem.addData(batch2: _*)
+    StreamOps.runStreamingIvfAppend(mem.toDF(), store, ckpt)
+
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      val r = df.collect().map(_.toString).sorted.toSeq
+      graft.util.OpCaches.releaseAll(spark)
+      r
+    }
+    // probe AT the deleted vectors and at a batch-2 vector
+    val queries = Seq(
+      (1102L, vec(31 + 2)), (1003L, vec(3)), (1201L, vec(41)))
+      .toDF("id", "vec")
+    def check(): Seq[String] = {
+      val exact = Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+      val sq = Similarity.ivfTopKFromStoreSq(queries, store, k = 5, nprobe = 2)
+      assert(exact.filter(col("cid") === 102L || col("cid") === 3L)
+        .count() == 0L, "deleted ids surfaced in the exact tier")
+      assert(sq.filter(col("cid") === 102L || col("cid") === 3L)
+        .count() == 0L, "deleted ids surfaced in the SQ tier")
+      val r = rows(exact)
+      // batch-2 ingest is visible (201's own vector ranks first for it)
+      assert(r.exists(_.startsWith("[1201,201,")),
+        "post-delete streamed batch never ranked")
+      r
+    }
+    val after = check()
+
+    // foreachBatch replay of BATCH 1 (the batch whose id 102 was later
+    // deleted): the segment rewrite lands the row again, and the
+    // tombstone must keep hiding it — byte-identical answers
+    Similarity.appendIvfSegment(
+      batch1.map(v => (v.id, v.vec)).toDF("id", "vec"), store,
+      "batch-000000000")
+    assert(check() == after)
+
+    // compaction folds the tombstones physically; answers unchanged and
+    // the deleted ids are gone from the new generation's data files
+    Similarity.compactIvfCells(spark, store)
+    assert(check() == after)
+    val gen = graft.util.GenStore.resolve(spark, s"$store/cells")
+    assert(spark.read.parquet(gen)
+      .filter(col("cid_id") === 102L || col("cid_id") === 3L).count() == 0L)
+  }
+
   test("Graft.events normalizes the fixture ts to TIMESTAMP micros") {
     val sf = "/root/testdata/sf0.001"
     val rawDf = spark.read.parquet(s"$sf/events.parquet")
