@@ -137,13 +137,18 @@ object MultimodalOps {
     "audio/basic")
 
   /** Video container formats with a real in-repo decode path: AVI with
-    * uncompressed 8-bit palettized DIB frames ([[AviCodec]] — a genuine
-    * RIFF chunk walk + palette pixel decode, no native libraries).
-    * Compressed video payloads inside an AVI (or any other container)
-    * fail [[AviCodec.parse]] and degrade to the stub/null like any
-    * undecodable real-format payload.
+    * uncompressed 8-bit palettized DIB frames, and AVI with MOTION-JPEG
+    * frames — the one genuinely COMPRESSED video codec the bare JDK
+    * decodes, because each `00dc` chunk is an independent JPEG for
+    * `javax.imageio` ([[AviCodec]] — a genuine RIFF chunk walk, no
+    * native libraries; `video/x-motion-jpeg` labels MJPEG-in-AVI
+    * payloads). Inter-frame codecs (H.264/MP4 etc.) inside any
+    * container fail [[AviCodec.parse]] and degrade to the stub/null
+    * like any undecodable real-format payload — still visible as stub
+    * rows in [[formatCapabilities]].
     */
-  val realVideoFormats: Seq[String] = Seq("video/avi", "video/x-msvideo")
+  val realVideoFormats: Seq[String] =
+    Seq("video/avi", "video/x-msvideo", "video/x-motion-jpeg")
 
   /** REAL decoder for container audio (WAV/AIFF/AU via
     * `javax.sound.sampled` — no native libraries): decode to PCM,
@@ -315,6 +320,43 @@ object MultimodalOps {
         rows.map { r =>
           val payload = wrapDibAvi(r.getString(1).getBytes("UTF-8"))
           Row(r.getLong(0), payload, "video/avi", payload.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Wrap raw bytes as a real MOTION-JPEG AVI: the bytes become
+    * grayscale pixels chunked into width x height frames (last frame
+    * zero-padded), each JPEG-encoded into a `00dc` chunk
+    * ([[AviCodec.buildMjpeg]]). Unlike [[wrapDibAvi]] the pixel round
+    * trip is LOSSY (JPEG), so synthesized payloads exercise the real
+    * compressed-codec decode path rather than staying SQL-predictable
+    * per pixel; frame COUNT and geometry stay exact.
+    */
+  def wrapMjpegAvi(
+      bytes: Array[Byte], width: Int = 16, height: Int = 8): Array[Byte] = {
+    val data = if (bytes == null) Array.emptyByteArray else bytes
+    val per = width * height
+    val nFrames = (data.length + per - 1) / per
+    val frames = (0 until nFrames).map { i =>
+      val f = new Array[Byte](per)
+      val len = math.min(per, data.length - i * per)
+      System.arraycopy(data, i * per, f, 0, len)
+      f
+    }
+    AviCodec.buildMjpeg(frames, width, height)
+  }
+
+  /** The MJPEG analogue of [[videoMediaFromDocuments]]: each doc's
+    * UTF-8 text bytes wrapped as a real compressed (Motion-JPEG) AVI.
+    */
+  def mjpegMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val enc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = wrapMjpegAvi(r.getString(1).getBytes("UTF-8"))
+          Row(r.getLong(0), payload, "video/x-motion-jpeg",
+            payload.length.toLong)
         }
       }(enc)
   }

@@ -108,4 +108,117 @@ class VideoSpec extends AnyFunSuite {
       .toDF("media_id", "media", "format", "n_bytes")
     assert(MultimodalOps.decodeVideoFrameFeatures(media, 1).count() === 0L)
   }
+
+  test("MJPEG build -> parse: geometry + frame count exact, pixels " +
+      "near-lossless on a smooth gradient, identity palette") {
+    val w = 16; val h = 8
+    // a smooth gradient — the content JPEG compresses near-losslessly,
+    // so the round-trip error bound is tight and stable
+    def grad(base: Int): Array[Byte] =
+      Array.tabulate(w * h)(i => (base + (i % w) * 4 + (i / w) * 8).toByte)
+    val frames = Seq(grad(40), grad(90))
+    val v = AviCodec.parse(AviCodec.buildMjpeg(frames, w, h))
+    assert(v != null)
+    assert(v.width === w && v.height === h)
+    assert(v.frames.length === 2)
+    assert(v.lum.toSeq === (0 until 256))
+    for ((f, i) <- v.frames.zipWithIndex) {
+      val err = f.zip(frames(i)).map { case (a, b) =>
+        math.abs((a & 0xff) - (b & 0xff))
+      }
+      assert(err.sum.toDouble / err.length <= 4.0,
+        s"frame $i mean abs JPEG round-trip error ${err.sum.toDouble / err.length}")
+    }
+  }
+
+  test("MJPEG: a corrupted frame chunk degrades the payload to null") {
+    val w = 16; val h = 8
+    val avi = AviCodec.buildMjpeg(Seq(bytes(w * h)), w, h)
+    val at = avi.indexOfSlice("00dc".getBytes("US-ASCII"))
+    assert(at > 0)
+    avi(at + 8) = 0 // kill the JPEG SOI marker inside the frame body
+    assert(AviCodec.parse(avi) === null)
+    // strict dispatch surfaces the failure as null, permissive degrades
+    assert(MultimodalOps
+      .decodeFeaturesStrict("video/x-motion-jpeg", avi) === null)
+    assert(MultimodalOps.decodeFeatures("video/x-motion-jpeg", avi).toSeq ===
+      MultimodalOps.fakeDecodeFeatures(avi).toSeq)
+  }
+
+  test("MJPEG wrap dispatches to the REAL decode path") {
+    val avi = MultimodalOps.wrapMjpegAvi(bytes(300))
+    val f = MultimodalOps.decodeFeaturesStrict("video/x-motion-jpeg", avi)
+    assert(f != null, "strict decode must succeed on a valid MJPEG AVI")
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0f) < 0.01f)
+    // ...and the capability table carries the format as real
+    val caps = MultimodalOps.formatCapabilities(spark)
+      .as[(String, String)].collect().toMap
+    assert(caps("video/x-motion-jpeg") === "real")
+  }
+
+  test("multi-stream AVI: frames decode only from the FIRST vids " +
+      "stream's chunk prefix, not a size-coincident foreign chunk") {
+    import java.io.ByteArrayOutputStream
+    def le32(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    def le16(o: ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def cc(o: ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes("US-ASCII"))
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      cc(o, id); le32(o, body.length); o.write(body)
+      if (body.length % 2 == 1) o.write(0)
+      o.toByteArray
+    }
+    def lst(kind: String, body: Array[Byte]): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      cc(o, "LIST"); le32(o, body.length + 4); cc(o, kind); o.write(body)
+      o.toByteArray
+    }
+    val w = 4; val h = 2
+    val frame = Array.tabulate(w * h)(i => (i * 10).toByte)
+    def strh(t: String): Array[Byte] = {
+      val o = new ByteArrayOutputStream()
+      cc(o, t); cc(o, if (t == "vids") "DIB " else "PCM ")
+      (0 until 12).foreach(_ => le32(o, 0))
+      o.toByteArray
+    }
+    val strfV = {
+      val o = new ByteArrayOutputStream()
+      le32(o, 40); le32(o, w); le32(o, h); le16(o, 1); le16(o, 8)
+      le32(o, 0); le32(o, w * h); le32(o, 0); le32(o, 0)
+      le32(o, 256); le32(o, 0)
+      for (i <- 0 until 256) { o.write(i); o.write(i); o.write(i); o.write(0) }
+      o.toByteArray
+    }
+    // stream 00 = audio (16-byte WAVEFORMATEX strf), stream 01 = video
+    val strlA = lst("strl",
+      chunk("strh", strh("auds")) ++ chunk("strf", new Array[Byte](16)))
+    val strlV = lst("strl",
+      chunk("strh", strh("vids")) ++ chunk("strf", strfV))
+    val hdrl = lst("hdrl",
+      chunk("avih", new Array[Byte](56)) ++ strlA ++ strlV)
+    // bottom-up DIB rows for the real frame (stride == w here)
+    val dib = new Array[Byte](w * h)
+    for (r <- 0 until h)
+      System.arraycopy(frame, (h - 1 - r) * w, dib, r * w, w)
+    // the AUDIO stream's chunk is named '00db' and sized EXACTLY like a
+    // video frame — the silent-misdecode case: it must be skipped
+    val movi = lst("movi",
+      chunk("00db", Array.fill[Byte](w * h)(99)) ++ chunk("01db", dib))
+    val body = hdrl ++ movi
+    val out = new ByteArrayOutputStream()
+    cc(out, "RIFF"); le32(out, body.length + 4); cc(out, "AVI ")
+    out.write(body)
+    val v = AviCodec.parse(out.toByteArray)
+    assert(v != null)
+    assert(v.frames.length === 1,
+      "the size-coincident stream-00 chunk must not decode as a frame")
+    assert(v.frames(0).toSeq === frame.toSeq)
+  }
 }
