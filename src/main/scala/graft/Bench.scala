@@ -208,12 +208,19 @@ object Bench {
     // the replica corpus deliberately has no cross-replica dups, so the
     // collapse itself only bites on the base corpus's within-replica
     // dup groups (the clique blowup case is spec'd, not benched)
+    // round-12 additions per the r11 verdict: the bigram-LM pair rides
+    // along — tx_lm_score (inline fit+score, O(corpus)+O(corpus)) and
+    // tx_lm_store (fit-once store write + store-backed score); both are
+    // token-key joins with the hot heads broadcast-split, so the ratios
+    // certify the skew fix stays ~linear rather than resting on the
+    // plan lock alone
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_near_dedup_hardened", "dd_dup_groups",
       "dd_paragraph_dedup", "tx_bm25_store", "sm_cosine_lsh_neardup",
       "sm_cosine_lsh_sized", "sm_ann_ivf_topk",
       "sm_semdedup", "sm_semdedup_sized", "sm_knn_join",
-      "dd_incremental_store", "sm_ann_ivf_store")
+      "dd_incremental_store", "sm_ann_ivf_store",
+      "tx_lm_score", "tx_lm_store")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
