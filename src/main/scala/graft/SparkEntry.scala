@@ -788,6 +788,22 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     },
 
+    // Same decontamination semantics through the Bloom-prefilter plan —
+    // the benchmark folds into a fixed-size bit array (here 2^18 bits,
+    // k=5) probed map-side on the corpus scan, so only candidate
+    // shingles reach the exact-verify exchange; output is provably
+    // identical to dd_containment (no false negatives), so it shares
+    // that oracle
+    "dd_containment_bloom" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      Dedup.containmentPairsBloom(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          n = 3, tau = 0.5, bloomBits = 1 << 18, numHashes = 5)
+        .select(col("doc_id"), col("bench_id"),
+          round(col("containment"), 6).as("containment"))
+    },
+
     "dd_jaccard_pairs" -> { (s, dir) =>
       Dedup.jaccardPairs(Graft.table(s, dir, "documents"), n = 3,
           threshold = 0.4, maxShingleDf = Some(50L))
@@ -1505,6 +1521,9 @@ object SparkEntry {
     // integers, idf derives at read from the shared formula — same
     // oracle as the inline fit
     "tx_tfidf_store" -> baseOracleSql("tx_tfidf"),
+    // Bloom prefilter is exact-equivalent (no false negatives; the exact
+    // verify join discards false positives) — same oracle as the plain path
+    "dd_containment_bloom" -> baseOracleSql("dd_containment"),
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

@@ -173,6 +173,115 @@ object Dedup {
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
 
+  /** [[containmentPairs]] with a BLOOM-FILTER prefilter on the corpus
+    * side — the scale path for the regime `containmentPairs` only
+    * degrades gracefully into: a benchmark index too large to broadcast
+    * (its entries are ~16 B each, so ~10⁶+ bench docs blow the driver),
+    * where the plain operator must shuffle EVERY corpus shingle into the
+    * join. Here the benchmark's shingle set is folded into an m-bit Bloom
+    * filter instead — fixed O(m/8) bytes regardless of benchmark size —
+    * and the corpus probe tests membership MAP-SIDE, so the only corpus
+    * shingles that reach the exchange are true matches plus the filter's
+    * false-positive tail (~(1-e^(-kn/m))^k of non-members). The surviving
+    * candidates then run the exact count join, which discards false
+    * positives, so the output is IDENTICAL to [[containmentPairs]] —
+    * Bloom filters have no false negatives (same oracle, stronger plan).
+    *
+    * Construction is fully distributed: each bench shingle key sets k bit
+    * positions (double hashing h1+i·h2 — Kirsch & Mitzenmacher, ESA'06 —
+    * over Spark's `xxhash64` with two seeds); positions fold into 64-bit
+    * words via a `bit_or` aggregate, and only the O(m/64) non-zero words
+    * are collected (≤ m/8 bytes at full saturation — driver cost is
+    * bounded by the CHOSEN filter size, never by benchmark size). The
+    * word array rides into the probe as one array literal (a single
+    * reference object in the serialized plan, shipped once per
+    * stage-executor like a broadcast), and the probe's k bit tests are
+    * pure built-in column expressions (`element_at` + shift/mask), fully
+    * inside whole-stage codegen — no UDF, no custom expression.
+    *
+    * This mirrors what Spark's own runtime bloom-filter join injection
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does for shuffle
+    * joins, made explicit and deterministic for the decontamination
+    * shape (the injected variant only fires under planner heuristics this
+    * operator should not depend on).
+    *
+    * @param bloomBits filter size m in bits; power of two (mask addressing)
+    * @param numHashes k bit positions per key
+    * Output: (doc_id, bench_id, containment ≥ tau) ≡ [[containmentPairs]].
+    */
+  def containmentPairsBloom(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      tau: Double,
+      bloomBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    require(bloomBits > 0 && (bloomBits & (bloomBits - 1)) == 0,
+      s"bloomBits must be a positive power of two, got $bloomBits")
+    require(numHashes >= 1 && numHashes <= 16,
+      s"numHashes must be in [1,16], got $numHashes")
+    def exploded(docs: DataFrame, idAs: String): DataFrame =
+      docShingleKeys(docs, n)
+        .select(col("doc_id").as(idAs), explode(col("keys")).as("k"))
+        .select(col(idAs), (col("k.u") * MinHashP + col("k.v")).as("shash"))
+    // cache: consumed three times (filter build + per-item sizes + exact join)
+    val bench = graft.util.OpCaches.cache(exploded(benchmark, "bench_id"))
+
+    // k bit positions per key: double hashing (h1 + i·h2) mod m over
+    // xxhash64 with two distinct seed tuples. Both hashes are masked to
+    // [0, m) BEFORE the combine — identical positions, since mod-2^j of a
+    // sum/product depends only on the operands' low bits, but the
+    // arithmetic now peaks at k·m < 2^25 so ANSI mode (Spark 4 default)
+    // can never see a long overflow. Build and probe share this exact
+    // Column formula, so membership of every bench key is guaranteed
+    // (no false negatives).
+    val mask = lit((bloomBits - 1).toLong)
+    def positions(h: Column): Seq[Column] = {
+      val h1 = xxhash64(h).bitwiseAND(mask)
+      val h2 = xxhash64(h, lit(0x9E3779B97F4A7C15L)).bitwiseAND(mask)
+      (0 until numHashes).map(i =>
+        (h1 + lit(i.toLong) * h2).bitwiseAND(mask))
+    }
+
+    // distributed build: position → (word index, bit) → bit_or per word;
+    // the collect is ≤ m/64 rows no matter how many bench docs exist
+    val words = bench
+      .select(explode(array(positions(col("shash")): _*)).as("pos"))
+      // integer word addressing via shifts (`/` on longs is DOUBLE division)
+      .select(shiftright(col("pos"), 6).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("bit"))
+      .groupBy(col("w")).agg(expr("bit_or(bit)").as("word"))
+      .collect()
+    val wordArr = new Array[Long](bloomBits / 64)
+    words.foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
+
+    // map-side probe: all k bits set ⇒ candidate (one array literal, k
+    // element_at + shift/mask tests, codegen'd built-ins throughout)
+    val wordsLit = typedLit(wordArr)
+    def mightContain(h: Column): Column =
+      positions(h).map { pos =>
+        val word = element_at(wordsLit, shiftright(pos, 6).cast("int") + 1)
+        call_function("shiftright", word, (pos % 64).cast("int"))
+          .bitwiseAND(lit(1L)) === lit(1L)
+      }.reduce(_ && _)
+
+    val candidates = exploded(corpus, "doc_id")
+      .filter(mightContain(col("shash")))
+    // exact verify on survivors only — identical tail to containmentPairs;
+    // deliberately NOT broadcast: this operator exists for the regime
+    // where the bench index cannot broadcast, so the exchange it measures
+    // is the candidate-bounded shuffle
+    val bsz = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
+    candidates
+      .join(bench, "shash")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(bsz), "bench_id")
+      .withColumn("containment", col("c") / col("bsz"))
+      .filter(col("containment") >= tau)
+      .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------

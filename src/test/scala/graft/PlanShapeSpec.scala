@@ -433,6 +433,61 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("containmentPairsBloom: bloom probe filters the corpus BELOW the " +
+      "verify-join exchange (scale regime, broadcast off)") {
+    import graft.dedup.Dedup
+    val docs = Graft.table(spark, sf, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+    val bench = docs.filter(col("source") === "src0")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // broadcast off = the multi-GB-benchmark regime the bloom variant
+      // exists for: the verify join becomes a shuffle join, and the win
+      // is that only bloom SURVIVORS ride that exchange. AQE off so the
+      // prepared plan's Exchange nodes are walkable (sparkPlan predates
+      // EnsureRequirements; an adaptive executedPlan hides its children
+      // until execution).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val df = Dedup.containmentPairsBloom(corpus, bench, n = 3, tau = 0.5,
+        bloomBits = 1 << 18, numHashes = 5)
+      val plan = df.queryExecution.executedPlan
+      graft.util.OpCaches.releaseAll(spark)
+      assert(plan.toString.contains("SortMergeJoin"),
+        s"no shuffle verify join in scale regime:\n${plan.toString.take(1200)}")
+      // the bloom membership test (shiftright bit probes over the word
+      // array) must sit UNDER an exchange — evaluated map-side on the
+      // scan stage, so shuffled corpus shingles are survivors only; a
+      // post-shuffle bloom filter would have lost the entire property
+      import org.apache.spark.sql.execution.FilterExec
+      import org.apache.spark.sql.execution.exchange.Exchange
+      def isBloomFilter(p: org.apache.spark.sql.execution.SparkPlan) =
+        p match {
+          case f: FilterExec => f.condition.toString.contains("shiftright")
+          case _ => false
+        }
+      val exchanges = plan.collect { case e: Exchange => e }
+      assert(exchanges.nonEmpty, "expected shuffle exchanges in scale regime")
+      assert(exchanges.exists(_.collect {
+          case f if isBloomFilter(f) => f
+        }.nonEmpty),
+        s"bloom probe not below any exchange:\n${plan.toString.take(2000)}")
+      // and it must not ALSO run above the exchanges (double evaluation /
+      // post-shuffle placement)
+      val aboveExchange = plan.collect {
+        case f if isBloomFilter(f) => f
+      }.size - exchanges.map(_.collect {
+        case f if isBloomFilter(f) => f
+      }.size).sum
+      assert(aboveExchange <= 0,
+        "bloom probe evaluated above an exchange")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("lmScore: the hot prev heads take broadcast joins only — no " +
       "shuffle exchange anywhere on the hot probe branch") {
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
