@@ -213,14 +213,19 @@ object Bench {
     // tx_lm_store (fit-once store write + store-backed score); both are
     // token-key joins with the hot heads broadcast-split, so the ratios
     // certify the skew fix stays ~linear rather than resting on the
-    // plan lock alone
+    // plan lock alone; the decontamination pair rides too —
+    // dd_containment (broadcast bench index, corpus scan grows 10×) vs
+    // dd_containment_bloom (same corpus scan behind the map-side bloom
+    // prune), both expected ~linear, the bloom's win being exchange
+    // volume rather than wall at this replica count
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_near_dedup_hardened", "dd_dup_groups",
       "dd_paragraph_dedup", "tx_bm25_store", "sm_cosine_lsh_neardup",
       "sm_cosine_lsh_sized", "sm_ann_ivf_topk",
       "sm_semdedup", "sm_semdedup_sized", "sm_knn_join",
       "dd_incremental_store", "sm_ann_ivf_store",
-      "tx_lm_score", "tx_lm_store")
+      "tx_lm_score", "tx_lm_store",
+      "dd_containment", "dd_containment_bloom")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
