@@ -218,6 +218,15 @@ object Bench {
     // dd_containment_bloom (same corpus scan behind the map-side bloom
     // prune), both expected ~linear, the bloom's win being exchange
     // volume rather than wall at this replica count
+    // round-13 additions per the r12 verdict: tx_tfidf_store (the
+    // fit-once/featurize-many claim — expected ~linear alongside
+    // tx_lm_store, both refit+featurize over the replica corpus) and
+    // sm_knn_join_probe (multi-probe's contract is ≤ nprobe× of
+    // sm_knn_join's pair volume, so its ratio should track
+    // sm_knn_join's); the serve-shaped BM25 CRUD keys ride too — their
+    // base index builds ONCE per corpus (pristine-marker fixture), so
+    // the measured work is one O(batch) append/delete + the store
+    // query, expected well under tx_bm25_store's full-build ratio
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_near_dedup_hardened", "dd_dup_groups",
       "dd_paragraph_dedup", "tx_bm25_store", "sm_cosine_lsh_neardup",
@@ -225,7 +234,9 @@ object Bench {
       "sm_semdedup", "sm_semdedup_sized", "sm_knn_join",
       "dd_incremental_store", "sm_ann_ivf_store",
       "tx_lm_score", "tx_lm_store",
-      "dd_containment", "dd_containment_bloom")
+      "dd_containment", "dd_containment_bloom",
+      "tx_tfidf_store", "sm_knn_join_probe",
+      "tx_bm25_append_serve", "tx_bm25_delete_serve")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")

@@ -751,6 +751,47 @@ object SparkEntry {
         s, Seq("customer", "vector", "stream"), store, k = 10)
     },
 
+    // The PRODUCTION-COST row for append: tx_bm25_append above is the
+    // ≡-rebuild GATE, and because it rebuilds the even-half base index
+    // on every call, its bench row times mostly that O(corpus) build.
+    // This key times what the daily ingest actually pays — ONE
+    // appendToBm25Index batch plus the store query — by paying the base
+    // build once behind a fingerprint-guarded pristine marker and
+    // restoring the store to the pristine base before each mutating
+    // call (StoreFixture; the a5_percentiles_sketch split, applied to
+    // store CRUD). End state is base + batch = the full corpus index,
+    // so it answers bit-identically to tx_bm25_append (shared oracle).
+    "tx_bm25_append_serve" -> { (s, dir) =>
+      val store = "target/graft_stores/bm25srvapp_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = Graft.table(s, dir, "documents")
+      val fp = graft.util.StoreFixture.fingerprint(s, s"$dir/documents.parquet")
+      graft.util.StoreFixture.ensurePristine(s, store, fp) {
+        TextOps.writeBm25Index(d.filter(col("doc_id") % 2 === 0), store)
+      }
+      TextOps.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), store)
+      TextOps.bm25TopKFromStore(
+        s, Seq("customer", "vector", "stream"), store, k = 10)
+    },
+
+    // The PRODUCTION-COST row for delete, same split: full-corpus base
+    // index built once (pristine marker), each call restores then runs
+    // ONE deleteFromBm25Index takedown batch (negation segments + a
+    // tombstone — O(batch)) plus the store query. Bit-identical to
+    // tx_bm25_delete (shared oracle).
+    "tx_bm25_delete_serve" -> { (s, dir) =>
+      val store = "target/graft_stores/bm25srvdel_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val d = Graft.table(s, dir, "documents")
+      val fp = graft.util.StoreFixture.fingerprint(s, s"$dir/documents.parquet")
+      graft.util.StoreFixture.ensurePristine(s, store, fp) {
+        TextOps.writeBm25Index(d, store)
+      }
+      TextOps.deleteFromBm25Index(d.filter(col("doc_id") % 7 === 3), store)
+      TextOps.bm25TopKFromStore(
+        s, Seq("customer", "vector", "stream"), store, k = 10)
+    },
+
     // Top-20 token bigrams with counts (vocabulary / collocation pass):
     // one scan, map-side-combined count aggregate, TakeOrdered top-k
     "tx_ngram_topk" -> { (s, dir) =>
@@ -789,17 +830,21 @@ object SparkEntry {
     },
 
     // Same decontamination semantics through the Bloom-prefilter plan —
-    // the benchmark folds into a fixed-size bit array (here 2^18 bits,
-    // k=5) probed map-side on the corpus scan, so only candidate
-    // shingles reach the exact-verify exchange; output is provably
-    // identical to dd_containment (no false negatives), so it shares
-    // that oracle
+    // the benchmark folds into a bit array probed map-side on the
+    // corpus scan, so only candidate shingles reach the exact-verify
+    // exchange; output is provably identical to dd_containment (no
+    // false negatives), so it shares that oracle. The SIZED form is the
+    // surface (round-13): m derives from the benchmark's real
+    // distinct-shingle count for a 1% FP target, so the prefilter
+    // neither saturates as the benchmark suite grows nor wastes a
+    // maximal filter on a small one; past the plan-literal bound the
+    // word array ships as a real one-row broadcast.
     "dd_containment_bloom" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
-      Dedup.containmentPairsBloom(
+      Dedup.containmentPairsBloomSized(
           docs.filter(col("source") =!= "src0"),
           docs.filter(col("source") === "src0"),
-          n = 3, tau = 0.5, bloomBits = 1 << 18, numHashes = 5)
+          n = 3, tau = 0.5, fpRate = 0.01)
         .select(col("doc_id"), col("bench_id"),
           round(col("containment"), 6).as("containment"))
     },
@@ -1524,6 +1569,11 @@ object SparkEntry {
     // Bloom prefilter is exact-equivalent (no false negatives; the exact
     // verify join discards false positives) — same oracle as the plain path
     "dd_containment_bloom" -> baseOracleSql("dd_containment"),
+    // the serve-shaped store CRUD keys end in the same store state as
+    // their ≡-rebuild gate siblings (base + batch = full corpus /
+    // corpus minus slice), so they share those oracles
+    "tx_bm25_append_serve" -> baseOracleSql("tx_bm25_append"),
+    "tx_bm25_delete_serve" -> baseOracleSql("tx_bm25_delete"),
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

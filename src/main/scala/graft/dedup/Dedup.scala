@@ -149,13 +149,10 @@ object Dedup {
       n: Int,
       tau: Double,
       maxBroadcastEntries: Long = 20000000L): DataFrame = {
-    def exploded(docs: DataFrame, idAs: String): DataFrame =
-      docShingleKeys(docs, n)
-        .select(col("doc_id").as(idAs), explode(col("keys")).as("k"))
-        .select(col(idAs), (col("k.u") * MinHashP + col("k.v")).as("shash"))
     // cache: consumed twice (per-item sizes + the probe join); tracked so
     // the caller can release post-materialize
-    val bench = graft.util.OpCaches.cache(exploded(benchmark, "bench_id"))
+    val bench =
+      graft.util.OpCaches.cache(explodedShingles(benchmark, "bench_id", n))
     // size the broadcast decision on the REAL index cardinality (an O(1)
     // scalar off the cache just built) — an unconditional hint would OOM
     // the driver on an over-large benchmark rather than degrade
@@ -163,7 +160,7 @@ object Dedup {
     val benchIndex =
       if (benchEntries <= maxBroadcastEntries) broadcast(bench) else bench
     val bsz = bench.groupBy(col("bench_id")).agg(count(lit(1)).as("bsz"))
-    exploded(corpus, "doc_id")
+    explodedShingles(corpus, "doc_id", n)
       .join(benchIndex, "shash")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("c"))
@@ -172,6 +169,16 @@ object Dedup {
       .filter(col("containment") >= tau)
       .select(col("doc_id"), col("bench_id"), col("containment"))
   }
+
+  /** The (id, shash) shingle-key stream the containment family joins
+    * on: one md5 per token occurrence ([[docShingleKeys]]), each
+    * distinct n-gram folded to one 62-bit key u·P+v.
+    */
+  private def explodedShingles(
+      docs: DataFrame, idAs: String, n: Int): DataFrame =
+    docShingleKeys(docs, n)
+      .select(col("doc_id").as(idAs), explode(col("keys")).as("k"))
+      .select(col(idAs), (col("k.u") * MinHashP + col("k.v")).as("shash"))
 
   /** [[containmentPairs]] with a BLOOM-FILTER prefilter on the corpus
     * side — the scale path for the regime `containmentPairs` only
@@ -192,12 +199,18 @@ object Dedup {
     * over Spark's `xxhash64` with two seeds); positions fold into 64-bit
     * words via a `bit_or` aggregate, and only the O(m/64) non-zero words
     * are collected (≤ m/8 bytes at full saturation — driver cost is
-    * bounded by the CHOSEN filter size, never by benchmark size). The
-    * word array rides into the probe as one array literal (a single
-    * reference object in the serialized plan, shipped once per
-    * stage-executor like a broadcast), and the probe's k bit tests are
+    * bounded by the CHOSEN filter size, never by benchmark size). Small
+    * word arrays (m ≤ `maxLiteralBits`) ride into the probe as one array
+    * literal (a single reference object in the serialized plan, shipped
+    * once per stage-executor like a broadcast); a LARGER filter would
+    * bloat every plan serialization/string it appears in, so past that
+    * bound the array travels as a real one-row BROADCAST instead — the
+    * corpus cross-joins the single-row frame (broadcast nested-loop of
+    * one row: torrent-shipped once per executor, zero plan growth) and
+    * probes the joined column. Either way the probe's k bit tests are
     * pure built-in column expressions (`element_at` + shift/mask), fully
-    * inside whole-stage codegen — no UDF, no custom expression.
+    * inside whole-stage codegen — no UDF, no custom expression — and sit
+    * BELOW the verify join's shuffle, map-side on the corpus scan.
     *
     * This mirrors what Spark's own runtime bloom-filter join injection
     * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) does for shuffle
@@ -205,8 +218,11 @@ object Dedup {
     * shape (the injected variant only fires under planner heuristics this
     * operator should not depend on).
     *
-    * @param bloomBits filter size m in bits; power of two (mask addressing)
+    * @param bloomBits filter size m in bits; power of two ≥ 64 (mask
+    *   addressing over whole 64-bit words)
     * @param numHashes k bit positions per key
+    * @param maxLiteralBits largest m embedded as a plan literal; larger
+    *   filters ship as a one-row broadcast (identical probe arithmetic)
     * Output: (doc_id, bench_id, containment ≥ tau) ≡ [[containmentPairs]].
     */
   def containmentPairsBloom(
@@ -215,17 +231,15 @@ object Dedup {
       n: Int,
       tau: Double,
       bloomBits: Int = 1 << 20,
-      numHashes: Int = 5): DataFrame = {
-    require(bloomBits > 0 && (bloomBits & (bloomBits - 1)) == 0,
-      s"bloomBits must be a positive power of two, got $bloomBits")
+      numHashes: Int = 5,
+      maxLiteralBits: Int = 1 << 22): DataFrame = {
+    require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
+      s"bloomBits must be a power of two >= 64, got $bloomBits")
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1,16], got $numHashes")
-    def exploded(docs: DataFrame, idAs: String): DataFrame =
-      docShingleKeys(docs, n)
-        .select(col("doc_id").as(idAs), explode(col("keys")).as("k"))
-        .select(col(idAs), (col("k.u") * MinHashP + col("k.v")).as("shash"))
     // cache: consumed three times (filter build + per-item sizes + exact join)
-    val bench = graft.util.OpCaches.cache(exploded(benchmark, "bench_id"))
+    val bench =
+      graft.util.OpCaches.cache(explodedShingles(benchmark, "bench_id", n))
 
     // k bit positions per key: double hashing (h1 + i·h2) mod m over
     // xxhash64 with two distinct seed tuples. Both hashes are masked to
@@ -255,18 +269,35 @@ object Dedup {
     val wordArr = new Array[Long](bloomBits / 64)
     words.foreach(r => wordArr(r.getInt(0)) = r.getLong(1))
 
-    // map-side probe: all k bits set ⇒ candidate (one array literal, k
-    // element_at + shift/mask tests, codegen'd built-ins throughout)
-    val wordsLit = typedLit(wordArr)
-    def mightContain(h: Column): Column =
+    // map-side probe: all k bits set ⇒ candidate (k element_at +
+    // shift/mask tests over the word array, codegen'd built-ins
+    // throughout). `words` is the array-valued Column the route below
+    // binds — a literal for small m, a broadcast-joined column for
+    // large m; the bit arithmetic is identical either way.
+    def mightContain(h: Column, words: Column): Column =
       positions(h).map { pos =>
-        val word = element_at(wordsLit, shiftright(pos, 6).cast("int") + 1)
+        val word = element_at(words, shiftright(pos, 6).cast("int") + 1)
         call_function("shiftright", word, (pos % 64).cast("int"))
           .bitwiseAND(lit(1L)) === lit(1L)
       }.reduce(_ && _)
 
-    val candidates = exploded(corpus, "doc_id")
-      .filter(mightContain(col("shash")))
+    val corpusShingles = explodedShingles(corpus, "doc_id", n)
+    val candidates =
+      if (bloomBits <= maxLiteralBits)
+        corpusShingles.filter(mightContain(col("shash"), typedLit(wordArr)))
+      else {
+        // large m: the filter is a real broadcast, not a plan literal —
+        // one row of ARRAY<BIGINT> cross-joined in (broadcast
+        // nested-loop of a single row is a map-side pass-through), so a
+        // 100 MB filter never inflates plan serialization or EXPLAIN
+        val spark = corpus.sparkSession
+        import spark.implicits._
+        val wordsDf = Seq(Tuple1(wordArr)).toDF("_bloom_words")
+        corpusShingles
+          .crossJoin(broadcast(wordsDf))
+          .filter(mightContain(col("shash"), col("_bloom_words")))
+          .drop("_bloom_words")
+      }
     // exact verify on survivors only — identical tail to containmentPairs;
     // deliberately NOT broadcast: this operator exists for the regime
     // where the bench index cannot broadcast, so the exchange it measures
@@ -280,6 +311,62 @@ object Dedup {
       .withColumn("containment", col("c") / col("bsz"))
       .filter(col("containment") >= tau)
       .select(col("doc_id"), col("bench_id"), col("containment"))
+  }
+
+  /** Bloom geometry from an expected key count and target FP rate: the
+    * textbook optimum m = −n·ln p/(ln 2)² rounded UP to a power of two
+    * (mask addressing), clamped to [2¹⁰, maxBits]; k = (m/n)·ln 2
+    * rounded, clamped to [1, 16]. Exposed for the sizing test.
+    */
+  private[graft] def bloomSizing(
+      nKeys: Long, fpRate: Double, maxBits: Int): (Int, Int) = {
+    require(fpRate > 0.0 && fpRate < 1.0,
+      s"fpRate must be in (0,1), got $fpRate")
+    require(maxBits >= 1024 && (maxBits & (maxBits - 1)) == 0,
+      s"maxBits must be a power of two >= 1024, got $maxBits")
+    val n = math.max(1L, nKeys)
+    val ln2sq = math.log(2) * math.log(2)
+    val ideal = math.ceil(-n * math.log(fpRate) / ln2sq)
+    val target = math.max(1024L, math.min(ideal, maxBits.toDouble).toLong)
+    // round UP to a power of two (maxBits is one, so the cap survives)
+    val floorPow2 = java.lang.Long.highestOneBit(target)
+    val m = (if (floorPow2 == target) target else floorPow2 << 1).toInt
+    val k = math.max(1, math.min(16,
+      math.round(m.toDouble / n * math.log(2)).toInt))
+    (m, k)
+  }
+
+  /** Occupancy-SIZED [[containmentPairsBloom]] — the sizing discipline
+    * the repo's other capacity-sensitive paths follow
+    * ([[graft.sim.Similarity.cosineLshNearDupPairsSized]],
+    * [[graft.text.TextOps.sizedShards]]): a STATIC `bloomBits` either
+    * saturates as the benchmark grows (FP rate → 1, the prefilter prunes
+    * nothing) or wastes a maximal filter on a tiny benchmark. Here m is
+    * derived from the benchmark's REAL distinct-shingle count — one
+    * count off the same cached explode the build consumes — via
+    * [[bloomSizing]], so the false-positive tail (and with it the
+    * exact-verify exchange volume) stays ≤ ~`fpRate` however large the
+    * benchmark suite grows, until `maxBits` caps driver/executor memory
+    * (past the cap the FP rate degrades GRACEFULLY and correctness is
+    * untouched — the exact verify discards every false positive).
+    * Output ≡ [[containmentPairs]], like the fixed-size form.
+    */
+  def containmentPairsBloomSized(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      n: Int,
+      tau: Double,
+      fpRate: Double = 0.01,
+      maxBits: Int = 1 << 28,
+      maxLiteralBits: Int = 1 << 22): DataFrame = {
+    // the count is one O(1)-to-driver agg over the bench explode; the
+    // cache is released with the operator's other tracked entries
+    val bench =
+      graft.util.OpCaches.cache(explodedShingles(benchmark, "bench_id", n))
+    val nKeys = bench.select(col("shash")).distinct().count()
+    val (m, k) = bloomSizing(nKeys, fpRate, maxBits)
+    containmentPairsBloom(corpus, benchmark, n, tau,
+      bloomBits = m, numHashes = k, maxLiteralBits = maxLiteralBits)
   }
 
   // ---------------------------------------------------------------------

@@ -254,9 +254,16 @@ object AviCodec {
             val kind = tag(b)
             walk(b.position() + size - 4, inMovi || kind == "movi",
               inHdrl || kind == "hdrl")
-          } else if (inHdrl && id == "strh" && size >= 4) {
-            val fccType = tag(b)
-            strfIsVids = fccType == "vids" && vidsStream < 0
+          } else if (inHdrl && id == "strh") {
+            // ordinal must track the container's stream order even for a
+            // malformed entry (size < 4 ⇒ no readable fccType, so it
+            // cannot be the vids stream — but it still OWNS a two-digit
+            // movi prefix, and skipping it here would desync every later
+            // stream's prefix onto the wrong chunks)
+            strfIsVids = size >= 4 && {
+              val fccType = tag(b)
+              fccType == "vids" && vidsStream < 0
+            }
             if (strfIsVids) vidsStream = strhCount
             strhCount += 1
           } else if (inHdrl && id == "strf" && strfIsVids && width < 0 &&

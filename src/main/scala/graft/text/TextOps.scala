@@ -1162,7 +1162,15 @@ object TextOps {
     *
     * Output: (doc_id, n_tokens, lm_score), one row per document.
     */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs: DataFrame): DataFrame =
+    lmScoreCapped(docs, LmHotBroadcastMaxRows)
+
+  /** [[lmScore]] with an explicit hot-head broadcast row cap (tests
+    * force `0` to exercise the shuffle-join fallback; production uses
+    * [[LmHotBroadcastMaxRows]] via the public entry).
+    */
+  private[graft] def lmScoreCapped(
+      docs: DataFrame, hotBroadcastMaxRows: Long): DataFrame = {
     val bigrams = docBigrams(docs)
     // the train-split bigram stream feeds all three model statistics —
     // tokenized once, OpCaches-tracked
@@ -1177,7 +1185,7 @@ object TextOps {
     // V as an exact integer scalar: one row to the driver, O(1)
     val v = trainBg.agg(countDistinct(col("cur"))).collect()(0)
       .getLong(0).toDouble
-    scoreBigrams(bigrams, c2, c1, v)
+    scoreBigrams(bigrams, c2, c1, v, hotBroadcastMaxRows)
   }
 
   /** The per-document bigram stream (doc_id, n_tokens, pos, prev, cur)
@@ -1205,6 +1213,20 @@ object TextOps {
     */
   private[graft] val LmHotHeads = 64
 
+  /** Row cap on the hot heads' c2 slice BROADCAST: the c1 head slice is
+    * ≤ [[LmHotHeads]] rows by construction, but the c2 slice carries
+    * the hot keys' SUCCESSOR LISTS, and `the`-class heads can own a
+    * vocabulary-scale successor set at web scale — an unconditional
+    * broadcast() hint would hit the broadcast/driver limits exactly in
+    * the regime the split targets. Same discipline as
+    * [[graft.dedup.Dedup.containmentPairs]]'s `maxBroadcastEntries`:
+    * count the REAL slice off the cache, broadcast only under the cap,
+    * degrade to the plain shuffle join (AQE skew split resumes) above
+    * it — scores are bit-identical either way. ~10⁷ (prev, cur, c2)
+    * rows ≈ low hundreds of MB, inside default driver/broadcast room.
+    */
+  private[graft] val LmHotBroadcastMaxRows = 10000000L
+
   /** Join the bigram stream against the count model and fold per-doc
     * scores.
     *
@@ -1228,21 +1250,29 @@ object TextOps {
     */
   private def scoreBigrams(
       bigrams: DataFrame, c2: DataFrame, c1: DataFrame,
-      v: Double): DataFrame = {
+      v: Double,
+      hotBroadcastMaxRows: Long = LmHotBroadcastMaxRows): DataFrame = {
     // deterministic head: top-K by count, prev as tiebreak
     val hotKeys = c1.orderBy(col("c1").desc, col("prev"))
       .limit(LmHotHeads).select(col("prev"))
       .collect().map(_.getString(0)).toSeq
     def isHot(c: Column): Column = c.isInCollection(hotKeys)
+    def plainJoin = bigrams
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+    // the c2 head slice is cached (the bounds count below materializes
+    // it; the hot join then reuses it instead of re-aggregating)
+    lazy val hotC2 = graft.util.OpCaches.cache(c2.where(isHot(col("prev"))))
     val scored =
-      if (hotKeys.isEmpty)
-        bigrams
-          .join(c2, Seq("prev", "cur"), "left")
-          .join(c1, Seq("prev"), "left")
+      if (hotKeys.isEmpty) plainJoin
+      else if (hotC2.count() > hotBroadcastMaxRows)
+        // hot successor lists too large to broadcast
+        // ([[LmHotBroadcastMaxRows]]): degrade to the plain shuffle
+        // join — AQE's skew split takes the hot keys back over
+        plainJoin
       else {
         val hot = bigrams.where(isHot(col("prev")))
-          .join(broadcast(c2.where(isHot(col("prev")))),
-            Seq("prev", "cur"), "left")
+          .join(broadcast(hotC2), Seq("prev", "cur"), "left")
           .join(broadcast(c1.where(isHot(col("prev")))), Seq("prev"), "left")
         val tail = bigrams.where(!isHot(col("prev")))
           .join(c2.where(!isHot(col("prev"))), Seq("prev", "cur"), "left")

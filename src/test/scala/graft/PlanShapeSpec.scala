@@ -474,13 +474,19 @@ class PlanShapeSpec extends AnyFunSuite {
         }.nonEmpty),
         s"bloom probe not below any exchange:\n${plan.toString.take(2000)}")
       // and it must not ALSO run above the exchanges (double evaluation /
-      // post-shuffle placement)
-      val aboveExchange = plan.collect {
-        case f if isBloomFilter(f) => f
-      }.size - exchanges.map(_.collect {
-        case f if isBloomFilter(f) => f
-      }.size).sum
-      assert(aboveExchange <= 0,
+      // post-shuffle placement): walk from the root, stopping at each
+      // first Exchange — any bloom filter met on the way is above every
+      // exchange on its path (a direct collect; the old count-subtraction
+      // double-counted filters under NESTED exchanges and could
+      // over-subtract an actually-above-exchange filter into a pass)
+      def bloomAboveExchange(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case _: Exchange => Nil
+        case f if isBloomFilter(f) =>
+          f +: f.children.flatMap(bloomAboveExchange)
+        case other => other.children.flatMap(bloomAboveExchange)
+      }
+      assert(bloomAboveExchange(plan).isEmpty,
         "bloom probe evaluated above an exchange")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)

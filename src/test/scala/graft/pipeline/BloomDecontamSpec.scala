@@ -104,7 +104,72 @@ class BloomDecontamSpec extends AnyFunSuite {
       Dedup.containmentPairsBloom(df, df, n = 3, tau = 0.5, bloomBits = 100)
     }
     intercept[IllegalArgumentException] {
+      // < 64 bits would leave the word array empty while masked
+      // positions still address word 0 (the r12 advice finding)
+      Dedup.containmentPairsBloom(df, df, n = 3, tau = 0.5, bloomBits = 32)
+    }
+    intercept[IllegalArgumentException] {
       Dedup.containmentPairsBloom(df, df, n = 3, tau = 0.5, numHashes = 0)
     }
+  }
+
+  test("bloomSizing: m tracks the key count at the target FP rate, " +
+      "rounds to a power of two, and respects the cap") {
+    def bitsPerKey(m: Int, n: Long) = m.toDouble / n
+    // the textbook optimum for p=0.01 is ~9.59 bits/key — rounding up
+    // to a power of two can at most double it
+    for (n <- Seq(1000L, 100000L, 10000000L)) {
+      val (m, k) = Dedup.bloomSizing(n, 0.01, maxBits = 1 << 28)
+      assert((m & (m - 1)) === 0)
+      assert(bitsPerKey(m, n) >= 9.5, s"undersized for n=$n: m=$m")
+      assert(bitsPerKey(m, n) <= 19.3, s"oversized for n=$n: m=$m")
+      assert(k >= 1 && k <= 16)
+    }
+    // monotone: a 10x benchmark never gets a smaller filter
+    val grown = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(n => Dedup.bloomSizing(n, 0.01, 1 << 28)._1)
+    assert(grown === grown.sorted)
+    // the cap binds (driver memory stays bounded; FP degrades, not
+    // correctness)
+    assert(Dedup.bloomSizing(1000000000L, 0.01, 1 << 20)._1 === (1 << 20))
+    // floors: tiny benchmarks still get a >= 1024-bit filter
+    assert(Dedup.bloomSizing(1L, 0.01, 1 << 20)._1 >= 1024)
+    intercept[IllegalArgumentException] { Dedup.bloomSizing(10L, 0.0, 1 << 20) }
+    intercept[IllegalArgumentException] { Dedup.bloomSizing(10L, 0.01, 1000) }
+  }
+
+  test("sized bloom path == plain containmentPairs on the fixture corpus") {
+    val docs = Graft.table(spark, sf, "documents")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val plain = pairs(Dedup.containmentPairs(corpus, bench, n = 3, tau = 0.5))
+    val sized = pairs(Dedup.containmentPairsBloomSized(
+      corpus, bench, n = 3, tau = 0.5, fpRate = 0.01))
+    assert(plain.nonEmpty)
+    assert(sized === plain)
+  }
+
+  test("large-m broadcast route == plan-literal route, with the probe " +
+      "still below the verify exchange") {
+    val docs = Graft.table(spark, sf, "documents")
+    val corpus = docs.filter($"source" =!= "src0")
+    val bench = docs.filter($"source" === "src0")
+    val lit = pairs(Dedup.containmentPairsBloom(
+      corpus, bench, n = 3, tau = 0.5, bloomBits = 1 << 16, numHashes = 5))
+    // force the broadcast route by setting the literal bound BELOW m:
+    // same filter bits, same probe arithmetic, shipped as a one-row
+    // broadcast instead of a plan literal
+    val bcastDf = Dedup.containmentPairsBloom(
+      corpus, bench, n = 3, tau = 0.5, bloomBits = 1 << 16, numHashes = 5,
+      maxLiteralBits = 1 << 10)
+    val plan = bcastDf.queryExecution.executedPlan.toString
+    val bcast = pairs(bcastDf)
+    assert(bcast === lit)
+    // route check: the word array must ride a single-row broadcast
+    // nested-loop join (the no-plan-literal shipping path)
+    assert(plan.contains("_bloom_words"),
+      s"broadcast route not taken:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"one-row broadcast join missing:\n${plan.take(1200)}")
   }
 }

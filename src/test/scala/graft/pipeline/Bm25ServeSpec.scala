@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Graft, SparkEntry}
+import graft.kmeans.SparkTestSession
+import graft.util.StoreFixture
+
+/** The serve-shaped BM25 store keys (`tx_bm25_append_serve` /
+  * `tx_bm25_delete_serve`) and the [[graft.util.StoreFixture]] they
+  * stand on. The gate keys rebuild their store per call; the serve keys
+  * must (a) answer bit-identically to them, (b) answer identically on
+  * REPEATED calls — the pristine restore must actually undo the
+  * previous call's append/delete segments, or the second call
+  * double-counts — and (c) rebuild when the input fingerprint changes.
+  */
+class Bm25ServeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String): Seq[(Long, Double)] = {
+    val r = SparkEntry.queries(name)(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    r
+  }
+
+  test("append_serve == append gate, stable across repeated calls") {
+    val gate = run("tx_bm25_append")
+    val first = run("tx_bm25_append_serve")
+    // second call exercises the pristine restore: without it the
+    // odd-half batch would be appended twice and every df/tf/stat doubles
+    val second = run("tx_bm25_append_serve")
+    assert(gate.nonEmpty)
+    assert(first === gate)
+    assert(second === gate)
+  }
+
+  test("delete_serve == delete gate, stable across repeated calls") {
+    val gate = run("tx_bm25_delete")
+    val first = run("tx_bm25_delete_serve")
+    // the restore must also remove the tombstone segment, or deletes
+    // accumulate and the _tombstones dir read breaks when emptied
+    val second = run("tx_bm25_delete_serve")
+    assert(gate.nonEmpty)
+    assert(first === gate)
+    assert(second === gate)
+  }
+
+  test("StoreFixture rebuilds on fingerprint change, restores on match") {
+    val dir = Files.createTempDirectory("fixture_spec_").toFile
+    dir.deleteOnExit()
+    val store = dir.getAbsolutePath + "/store"
+    var builds = 0
+    def build(): Unit = {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$store/data")
+    }
+    StoreFixture.ensurePristine(spark, store, "fp1")(build())
+    assert(builds === 1)
+    // same fingerprint: no rebuild, and a mutation is rolled back
+    Seq((3L, "c")).toDF("id", "v")
+      .write.mode("append").parquet(s"$store/data")
+    assert(spark.read.parquet(s"$store/data").count() === 3)
+    StoreFixture.ensurePristine(spark, store, "fp1")(build())
+    assert(builds === 1)
+    assert(spark.read.parquet(s"$store/data").count() === 2,
+      "restore must delete files added after the pristine listing")
+    // a whole directory added post-build is pruned once emptied
+    Seq(9L).toDF("_ts_id").write.parquet(s"$store/extra")
+    StoreFixture.ensurePristine(spark, store, "fp1")(build())
+    assert(!new java.io.File(s"$store/extra").exists(),
+      "emptied post-build directory must be pruned")
+    // changed fingerprint: full rebuild
+    StoreFixture.ensurePristine(spark, store, "fp2")(build())
+    assert(builds === 2)
+    assert(spark.read.parquet(s"$store/data").count() === 2)
+  }
+
+  test("fingerprint tracks file length and mtime") {
+    val dir = Files.createTempDirectory("fixture_fp_").toFile
+    dir.deleteOnExit()
+    val d = dir.getAbsolutePath
+    val f = new java.io.File(d, "x.bin")
+    Files.write(f.toPath, Array[Byte](1, 2, 3))
+    val fp1 = StoreFixture.fingerprint(spark, d)
+    Files.write(f.toPath, Array[Byte](1, 2, 3, 4))
+    val fp2 = StoreFixture.fingerprint(spark, d)
+    assert(fp1 !== fp2)
+    assert(StoreFixture.fingerprint(spark, d) === fp2)
+    assert(StoreFixture.fingerprint(spark, d + "_absent")
+      .startsWith("absent:"))
+  }
+}

@@ -109,6 +109,34 @@ class LmScoreSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(storeDir)
   }
 
+  test("hot-head broadcast cap: a cap of 0 degrades to the plain " +
+      "shuffle join with bit-identical scores") {
+    import org.apache.spark.sql.execution.UnionExec
+    val d = docs(corpus: _*)
+    val normalDf = TextOps.lmScore(d)
+    // the split path is recognizable by its hot/tail UNION (the plain
+    // join has none — BHJ presence alone is ambiguous on a fixture this
+    // small, where the planner may auto-broadcast the aggregates)
+    assert(normalDf.queryExecution.sparkPlan
+        .collect { case u: UnionExec => u }.nonEmpty,
+      "under-cap path must take the hot/tail split")
+    val normal = normalDf
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    // cap 0 = the web-scale regime where the hot successor lists exceed
+    // the broadcast bound: the operator must fall back to the plain
+    // (unsplit) join and score identically
+    val cappedDf = TextOps.lmScoreCapped(d, hotBroadcastMaxRows = 0L)
+    val capped = cappedDf
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(capped === normal)
+    val unions = cappedDf.queryExecution.sparkPlan
+      .collect { case u: UnionExec => u }
+    graft.util.OpCaches.releaseAll(spark)
+    assert(unions.isEmpty,
+      "hot/tail split still present despite an exceeded cap")
+  }
+
   test("in-distribution text scores lower than gibberish") {
     val got = TextOps.lmScore(docs(corpus: _*))
       .as[(Long, Long, Double)].collect()

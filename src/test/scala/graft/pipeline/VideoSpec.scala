@@ -220,5 +220,23 @@ class VideoSpec extends AnyFunSuite {
     assert(v.frames.length === 1,
       "the size-coincident stream-00 chunk must not decode as a frame")
     assert(v.frames(0).toSeq === frame.toSeq)
+
+    // same container, but stream 00's strh is MALFORMED (2-byte body,
+    // no readable fccType): the ordinal must still count it, so the
+    // vids stream keeps prefix 01 — an ordinal desync would look up
+    // frames under 00 and decode the foreign chunk (or nothing)
+    val strlBad = lst("strl",
+      chunk("strh", Array[Byte](0, 0)) ++ chunk("strf", new Array[Byte](16)))
+    val hdrl2 = lst("hdrl",
+      chunk("avih", new Array[Byte](56)) ++ strlBad ++ strlV)
+    val body2 = hdrl2 ++ movi
+    val out2 = new ByteArrayOutputStream()
+    cc(out2, "RIFF"); le32(out2, body2.length + 4); cc(out2, "AVI ")
+    out2.write(body2)
+    val v2 = AviCodec.parse(out2.toByteArray)
+    assert(v2 != null)
+    assert(v2.frames.length === 1,
+      "malformed strh desynced the stream ordinal")
+    assert(v2.frames(0).toSeq === frame.toSeq)
   }
 }
