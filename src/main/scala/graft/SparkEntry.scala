@@ -855,6 +855,15 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
     },
 
+    // Exact-substring duplication spans (Lee et al. ACL'22 ExactSubstr,
+    // at window granularity): every 16-token window occurring >= 2
+    // times corpus-wide, merged per doc into maximal [start, end) token
+    // spans — the cut list document-level dedup misses (boilerplate /
+    // quoted chunks inside otherwise-distinct documents)
+    "dd_substring_spans" -> { (s, dir) =>
+      Dedup.substringDupSpans(Graft.table(s, dir, "documents"), w = 16)
+    },
+
     // MinHash+LSH candidate pairs (12 hashes, 4 bands of 3)
     "dd_minhash_pairs" -> { (s, dir) =>
       Dedup.minHashCandidates(Graft.table(s, dir, "documents"),
@@ -1404,6 +1413,18 @@ object SparkEntry {
         .where(col("doc_id") % 10 === 0)
     },
 
+    // DSIR data selection (Xie et al. NeurIPS'23): every non-src0 doc
+    // scored by its hashed-bigram log-likelihood ratio against the
+    // src0 target distribution — the importance-resampling weight that
+    // upranks target-looking raw documents
+    "tx_dsir_score" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      TextOps.dsirScore(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        nBuckets = 4096)
+    },
+
     // Time-bounded event join (the batch form of a stream-stream inner
     // join): every click within 30 minutes after a view by the same user
     "j2_timebound_join" -> { (s, dir) =>
@@ -1556,6 +1577,42 @@ object SparkEntry {
     * recall contract itself is exercised by DedupHardenedSpec's
     * synthetic cliques, which the fixture corpus cannot express.
     */
+  /** The token-key CTE shared by the shingle-family oracles (plain
+    * string: the `\s+` must not pass through an s-interpolator).
+    */
+  private val TK_CTE =
+    """tk AS (
+      |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+      |    tok -> struct_pack(
+      |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+      |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+      |  FROM documents
+      |)""".stripMargin
+
+  /** One side (u or v) of the n-term positional window-key combination
+    * — generated, since the substring-span oracle needs n = 16 terms.
+    */
+  private def winCombo(field: String, n: Int): String =
+    (1 to n).map { j =>
+      val idx = if (j == 1) "k[i]" else s"k[i+${j - 1}]"
+      s"(3266489917 * $j) % 2147483647 * $idx.$field % 2147483647"
+    }.mkString("(", "\n     + ", ") % 2147483647")
+
+  /** `tk` + `win`: every n-gram window's 0-based start position and
+    * 62-bit key, NO dedup — the SQL mirror of
+    * [[graft.expr.PositionalShingleKeys]] for the occurrence-semantics
+    * oracles (`dd_substring_spans`, `tx_dsir_score`).
+    */
+  private def posWinCtes(n: Int): String =
+    s"""$TK_CTE,
+       |win AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    ${winCombo("u", n)}
+       |      * 2147483647
+       |    + ${winCombo("v", n)} AS whash
+       |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - ${n - 2})) AS i) r
+       |)""".stripMargin
+
   private def hardenedOracles: Map[String, String] = Map(
     "dd_near_dedup_hardened" -> baseOracleSql("dd_near_dedup"),
     "sm_cosine_neardedup_hardened" -> baseOracleSql("sm_cosine_neardedup"),
@@ -1851,6 +1908,56 @@ object SparkEntry {
         |SELECT d1, d2, ROUND(c / (s1.sz + s2.sz - c), 6) AS jac
         |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE c / (s1.sz + s2.sz - c) >= 0.4""".stripMargin,
+
+    // positional 16-token window keys (no dedup), corpus-wide
+    // occurrence count >= 2, per-doc gaps-and-islands merge — the SQL
+    // mirror of substringDupSpans' three linear exchanges
+    "dd_substring_spans" ->
+      s"""WITH ${posWinCtes(16)},
+         |dup AS (SELECT whash FROM win GROUP BY whash HAVING COUNT(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM win JOIN dup USING (whash)),
+         |br AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 16
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM hits),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM br)
+         |SELECT doc_id, span_start, span_end FROM (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 16 AS span_end
+         |  FROM isl GROUP BY doc_id, island)""".stripMargin,
+
+    // hashed-bigram (mod 4096) add-one-smoothed log-likelihood ratio of
+    // target (src0) vs raw (everything else), folded per doc in
+    // position order — the DSIR importance weight
+    "tx_dsir_score" ->
+      s"""WITH ${posWinCtes(2)},
+         |rawbg AS (SELECT win.* FROM win JOIN documents USING (doc_id)
+         |          WHERE source <> 'src0'),
+         |tgtbg AS (SELECT win.* FROM win JOIN documents USING (doc_id)
+         |          WHERE source = 'src0'),
+         |rt AS (SELECT COUNT(*) AS n FROM rawbg),
+         |tt AS (SELECT COUNT(*) AS n FROM tgtbg),
+         |rc AS (SELECT whash % 4096 AS bucket, COUNT(*) AS rc
+         |       FROM rawbg GROUP BY 1),
+         |tc AS (SELECT whash % 4096 AS bucket, COUNT(*) AS tc
+         |       FROM tgtbg GROUP BY 1),
+         |model AS (
+         |  SELECT rc.bucket,
+         |    ln((COALESCE(tc.tc, 0) + 1.0) / (tt.n + 4096)) -
+         |    ln((rc.rc + 1.0) / (rt.n + 4096)) AS lr
+         |  FROM rc LEFT JOIN tc USING (bucket), rt, tt),
+         |scored AS (
+         |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+         |    list_sum(list(m.lr ORDER BY b.pos)) AS raw_sum
+         |  FROM (SELECT doc_id, pos, whash % 4096 AS bucket FROM rawbg) b
+         |  JOIN model m USING (bucket)
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bigrams,
+         |  floor(raw_sum / n_bigrams * 1000000.0) / 1000000.0 AS dsir_score
+         |FROM scored""".stripMargin,
 
     // same shingle CTE as dd_jaccard_pairs, asymmetric containment
     // |S(bench) ∩ S(doc)| / |S(bench)| between the src0 benchmark set and

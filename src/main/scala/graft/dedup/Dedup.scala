@@ -369,6 +369,66 @@ object Dedup {
       bloomBits = m, numHashes = k, maxLiteralBits = maxLiteralBits)
   }
 
+  /** EXACT SUBSTRING duplication spans — the sub-document sibling of
+    * [[exactGroups]] and the detection half of ExactSubstr dedup (Lee
+    * et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22: their suffix-array pass removes every ≥50-token
+    * span that appears twice anywhere in the corpus; boilerplate,
+    * licenses, and quoted chunks survive DOCUMENT-level dedup because
+    * the containing documents differ). A distributed suffix array is
+    * the wrong tool on Spark; the standard equivalent is the one used
+    * here: hash every `w`-token window to a 62-bit key
+    * ([[graft.expr.PositionalShingleKeys]] — one compiled pass, one md5
+    * per token), keep windows whose key occurs ≥ 2 times CORPUS-WIDE
+    * (cross-document or self-repetition), and merge each document's
+    * surviving window starts into maximal `[span_start, span_end)`
+    * token spans — same-width intervals sorted by start merge exactly
+    * when the start gap is ≤ w, so the merge is one per-document
+    * window function, never a global sort. A ≥ w-token duplicated
+    * region is covered end-to-end by duplicated windows, so the merged
+    * spans are exactly the ExactSubstr cut list at granularity w.
+    *
+    * Scale shape: three linear exchanges — window-key count with
+    * map-side combine (the [[graft.text.TextOps.ngramTopK]] shape),
+    * the hits join on the key (duplicated-window keys are NOT
+    * broadcast: at 100 TB the dup set is corpus-scale), and one
+    * doc-keyed exchange for the per-document merge. The shuffled rows
+    * are (doc_id, pos, key) triples — never text.
+    *
+    * Output: (doc_id, span_start, span_end), 0-based token offsets,
+    * end exclusive.
+    */
+  def substringDupSpans(docs: DataFrame, w: Int = 16): DataFrame = {
+    require(w >= 2, s"window must be >= 2 tokens, got $w")
+    import org.apache.spark.sql.expressions.Window
+    val wins = graft.util.OpCaches.cache(
+      docs
+        .select(col("doc_id"),
+          explode(graft.expr.PositionalShingleKeys(
+            TextOps.tokens(col("text")), w)).as("k"))
+        .select(col("doc_id"), col("k.pos").as("pos"),
+          (col("k.u") * MinHashP + col("k.v")).as("whash")))
+    val dup = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("whash"))
+    val hits = wins.join(dup, "whash").select(col("doc_id"), col("pos"))
+    // gaps-and-islands per document: a window starts a new span iff its
+    // start is more than w past the previous start (same-width
+    // intervals ⇒ ends are ordered with starts, so this is the exact
+    // overlap-or-touching test); pos is unique per doc ⇒ deterministic
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + w).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH
   // ---------------------------------------------------------------------

@@ -1474,6 +1474,81 @@ object TextOps {
     tfidfScore(tf, smoothedIdf(dfreq, n), n)
   }
 
+  /** DSIR importance score (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS'23): rank raw-corpus
+    * documents by how much they look like a TARGET distribution (a
+    * high-quality reference set, a domain corpus) under hashed n-gram
+    * features — the data-SELECTION step between dedup/quality-gate and
+    * training. Each raw document's importance weight is the bag-of-
+    * features log-likelihood ratio
+    *
+    *   score(d) = (1/|d|) Σ_{bigram g ∈ d} ln p̂_target(b(g)) − ln p̂_raw(b(g))
+    *
+    * over `nBuckets` hashed-bigram buckets (the paper's hashed n-gram
+    * feature space; bigrams via [[graft.expr.PositionalShingleKeys]] —
+    * the same md5-derived engine-portable arithmetic as the shingle
+    * family, folded mod nBuckets). Bucket distributions are add-one
+    * smoothed: p̂(b) = (cnt(b)+1)/(total+nBuckets), so unseen buckets
+    * are finite on both sides. The length normalization (1/|d|) keeps
+    * the score a per-token rate rather than a document-length proxy —
+    * resampling then selects by score (e.g. [[qualitySample]]'s shape).
+    *
+    * Scale shape: one tokenize+bigram pass over each corpus (the raw
+    * stream is cached — it feeds both the raw bucket counts and the
+    * per-document fold); bucket counts are O(nBuckets) aggregates with
+    * map-side combine; the score join is an O(nBuckets) BROADCAST (the
+    * point of the hashing trick — the model is constant-size however
+    * large the corpora grow); the per-document fold sorts by position
+    * (the [[bm25TopK]] discipline) so scores are bit-deterministic
+    * under any partitioning. Raw totals come to the driver as two
+    * exact-integer scalars, like [[lmScore]]'s V.
+    *
+    * Output: (doc_id, n_bigrams, dsir_score) for every raw document
+    * with ≥ 1 bigram, score floor-truncated to 6 decimals.
+    */
+  def dsirScore(
+      raw: DataFrame, target: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def bigramBuckets(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        explode(graft.expr.PositionalShingleKeys(tokens(col("text")), 2))
+          .as("k"))
+      .select(col("doc_id"), col("k.pos").as("pos"),
+        ((col("k.u") * graft.dedup.Dedup.MinHashP + col("k.v"))
+          % nBuckets).as("bucket"))
+    val rawBg = graft.util.OpCaches.cache(bigramBuckets(raw))
+    val targetBg = bigramBuckets(target)
+    val rawCnt = rawBg.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rc"))
+    val targetCnt = targetBg.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("tc"))
+    // totals as exact integer scalars (one row each to the driver)
+    val rawTotal = rawBg.agg(count(lit(1))).collect()(0).getLong(0)
+    val targetTotal = targetBg.agg(count(lit(1))).collect()(0).getLong(0)
+    // per-bucket log ratio: raw counts carry every bucket the raw docs
+    // can probe (the probe side IS the raw corpus), target counts join
+    // in as 0 when absent; ≤ nBuckets rows ⇒ broadcast
+    val model = rawCnt
+      .join(targetCnt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)) + lit(1.0)) /
+            lit((targetTotal + nBuckets).toDouble)) -
+          log((col("rc") + lit(1.0)) /
+            lit((rawTotal + nBuckets).toDouble))).as("lr"))
+    rawBg
+      .join(broadcast(model), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        aggregate(
+          array_sort(collect_list(struct(col("pos"), col("lr")))),
+          lit(0.0),
+          (acc, x) => acc + x.getField("lr")).as("raw_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor(col("raw_sum") / col("n_bigrams") * 1e6) / 1e6)
+          .as("dsir_score"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */
