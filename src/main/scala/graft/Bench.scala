@@ -227,6 +227,12 @@ object Bench {
     // base index builds ONCE per corpus (pristine-marker fixture), so
     // the measured work is one O(batch) append/delete + the store
     // query, expected well under tx_bm25_store's full-build ratio
+    // round-14 additions: dd_substring_cut (spans detection + cut join —
+    // the full ACL'22 ExactSubstr pipeline; three linear exchanges of
+    // (doc_id, pos, key) triples, expected ~linear like tx_lm_score's
+    // token-volume joins) and tx_dsir_sample (score + Gumbel-top-k —
+    // the O(nBuckets) broadcast model's flat-cost claim plus a
+    // TakeOrdered, expected ~linear in the tokenize pass)
     val scaleQueries = Seq(
       "dd_near_dedup", "dd_near_dedup_hardened", "dd_dup_groups",
       "dd_paragraph_dedup", "tx_bm25_store", "sm_cosine_lsh_neardup",
@@ -236,7 +242,8 @@ object Bench {
       "tx_lm_score", "tx_lm_store",
       "dd_containment", "dd_containment_bloom",
       "tx_tfidf_store", "sm_knn_join_probe",
-      "tx_bm25_append_serve", "tx_bm25_delete_serve")
+      "tx_bm25_append_serve", "tx_bm25_delete_serve",
+      "dd_substring_cut", "tx_dsir_sample")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")

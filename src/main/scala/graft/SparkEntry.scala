@@ -759,17 +759,25 @@ object SparkEntry {
     // build once behind a fingerprint-guarded pristine marker and
     // restoring the store to the pristine base before each mutating
     // call (StoreFixture; the a5_percentiles_sketch split, applied to
-    // store CRUD). End state is base + batch = the full corpus index,
-    // so it answers bit-identically to tx_bm25_append (shared oracle).
+    // store CRUD). The batch is SERVE-SIZED — doc_id % 50 == 1, ~2% of
+    // the corpus — with the pristine base built from the complement, so
+    // the row times an O(batch) ingest (an O(corpus/2) batch would just
+    // re-time half the base build and scale with the corpus). End state
+    // is base + batch = the full corpus index, so it answers
+    // bit-identically to tx_bm25_append (shared oracle).
     "tx_bm25_append_serve" -> { (s, dir) =>
       val store = "target/graft_stores/bm25srvapp_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       val d = Graft.table(s, dir, "documents")
-      val fp = graft.util.StoreFixture.fingerprint(s, s"$dir/documents.parquet")
+      // the base-split tag is part of the fingerprint: a marker built
+      // under a different base partition must invalidate, or a restore
+      // would compose the new batch with the old base
+      val fp = "base50:" +
+        graft.util.StoreFixture.fingerprint(s, s"$dir/documents.parquet")
       graft.util.StoreFixture.ensurePristine(s, store, fp) {
-        TextOps.writeBm25Index(d.filter(col("doc_id") % 2 === 0), store)
+        TextOps.writeBm25Index(d.filter(col("doc_id") % 50 =!= 1), store)
       }
-      TextOps.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), store)
+      TextOps.appendToBm25Index(d.filter(col("doc_id") % 50 === 1), store)
       TextOps.bm25TopKFromStore(
         s, Seq("customer", "vector", "stream"), store, k = 10)
     },
@@ -862,6 +870,15 @@ object SparkEntry {
     // quoted chunks inside otherwise-distinct documents)
     "dd_substring_spans" -> { (s, dir) =>
       Dedup.substringDupSpans(Graft.table(s, dir, "documents"), w = 16)
+    },
+
+    // The REMOVAL half of the ACL'22 pair: apply the span list to the
+    // corpus — covered tokens dropped, survivors re-joined; every doc
+    // comes back (uncut docs token-rejoined) with its removed-token
+    // count
+    "dd_substring_cut" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      Dedup.applySubstringCuts(docs, Dedup.substringDupSpans(docs, w = 16))
     },
 
     // MinHash+LSH candidate pairs (12 hashes, 4 bands of 3)
@@ -1425,6 +1442,18 @@ object SparkEntry {
         nBuckets = 4096)
     },
 
+    // DSIR importance RESAMPLING (the paper's selection step): keep the
+    // top ⌈25%⌉ of raw docs by dsir_score + deterministic Gumbel noise
+    // — sampling-without-replacement ∝ exp(score) via Gumbel-top-k,
+    // reproducible through the hashUniform draw
+    "tx_dsir_sample" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      TextOps.dsirSample(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        keepFraction = 0.25, nBuckets = 4096)
+    },
+
     // Time-bounded event join (the batch form of a stream-stream inner
     // join): every click within 30 minutes after a view by the same user
     "j2_timebound_join" -> { (s, dir) =>
@@ -1612,6 +1641,57 @@ object SparkEntry {
        |    + ${winCombo("v", n)} AS whash
        |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - ${n - 2})) AS i) r
        |)""".stripMargin
+
+  /** The `dd_substring_spans` oracle body — also the `spans` CTE of the
+    * `dd_substring_cut` oracle (detection feeds removal, like the
+    * operators themselves).
+    */
+  private def substringSpansSql: String =
+    s"""WITH ${posWinCtes(16)},
+       |dup AS (SELECT whash FROM win GROUP BY whash HAVING COUNT(*) >= 2),
+       |hits AS (SELECT doc_id, pos FROM win JOIN dup USING (whash)),
+       |br AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 16
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM br)
+       |SELECT doc_id, span_start, span_end FROM (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 16 AS span_end
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** The `tx_dsir_score` oracle body — also the `sc` CTE of the
+    * `tx_dsir_sample` oracle (scoring feeds resampling).
+    */
+  private def dsirScoreSql: String =
+    s"""WITH ${posWinCtes(2)},
+       |rawbg AS (SELECT win.* FROM win JOIN documents USING (doc_id)
+       |          WHERE source <> 'src0'),
+       |tgtbg AS (SELECT win.* FROM win JOIN documents USING (doc_id)
+       |          WHERE source = 'src0'),
+       |rt AS (SELECT COUNT(*) AS n FROM rawbg),
+       |tt AS (SELECT COUNT(*) AS n FROM tgtbg),
+       |rc AS (SELECT whash % 4096 AS bucket, COUNT(*) AS rc
+       |       FROM rawbg GROUP BY 1),
+       |tc AS (SELECT whash % 4096 AS bucket, COUNT(*) AS tc
+       |       FROM tgtbg GROUP BY 1),
+       |model AS (
+       |  SELECT rc.bucket,
+       |    ln((COALESCE(tc.tc, 0) + 1.0) / (tt.n + 4096)) -
+       |    ln((rc.rc + 1.0) / (rt.n + 4096)) AS lr
+       |  FROM rc LEFT JOIN tc USING (bucket), rt, tt),
+       |scored AS (
+       |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       |    list_sum(list(m.lr ORDER BY b.pos)) AS raw_sum
+       |  FROM (SELECT doc_id, pos, whash % 4096 AS bucket FROM rawbg) b
+       |  JOIN model m USING (bucket)
+       |  GROUP BY 1)
+       |SELECT doc_id, n_bigrams,
+       |  floor(raw_sum / n_bigrams * 1000000.0) / 1000000.0 AS dsir_score
+       |FROM scored""".stripMargin
 
   private def hardenedOracles: Map[String, String] = Map(
     "dd_near_dedup_hardened" -> baseOracleSql("dd_near_dedup"),
@@ -1912,52 +1992,58 @@ object SparkEntry {
     // positional 16-token window keys (no dedup), corpus-wide
     // occurrence count >= 2, per-doc gaps-and-islands merge — the SQL
     // mirror of substringDupSpans' three linear exchanges
-    "dd_substring_spans" ->
-      s"""WITH ${posWinCtes(16)},
-         |dup AS (SELECT whash FROM win GROUP BY whash HAVING COUNT(*) >= 2),
-         |hits AS (SELECT doc_id, pos FROM win JOIN dup USING (whash)),
-         |br AS (
-         |  SELECT doc_id, pos,
-         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 16
-         |         THEN 0 ELSE 1 END AS brk
-         |  FROM hits),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM br)
-         |SELECT doc_id, span_start, span_end FROM (
-         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 16 AS span_end
-         |  FROM isl GROUP BY doc_id, island)""".stripMargin,
+    "dd_substring_spans" -> substringSpansSql,
+
+    // spans re-derived as a CTE, then the cut: tokens whose position
+    // falls inside ANY of their doc's spans are dropped, survivors
+    // re-joined in position order; LEFT JOIN keeps uncut docs (their
+    // text token-rejoined, n_removed = 0)
+    "dd_substring_cut" ->
+      s"""WITH spans AS (
+         |$substringSpansSql
+         |),
+         |tokp AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+         |        FROM documents) d,
+         |       LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) r),
+         |kept AS (
+         |  SELECT tp.doc_id, tp.pos, tp.tok FROM tokp tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = tp.doc_id
+         |      AND tp.pos >= s.span_start AND tp.pos < s.span_end)),
+         |agg AS (
+         |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS cut_text,
+         |         COUNT(*) AS n_kept
+         |  FROM kept GROUP BY doc_id),
+         |n0 AS (SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n0
+         |       FROM documents)
+         |SELECT n0.doc_id, COALESCE(agg.cut_text, '') AS cut_text,
+         |       CAST(n0.n0 - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM n0 LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // hashed-bigram (mod 4096) add-one-smoothed log-likelihood ratio of
     // target (src0) vs raw (everything else), folded per doc in
     // position order — the DSIR importance weight
-    "tx_dsir_score" ->
-      s"""WITH ${posWinCtes(2)},
-         |rawbg AS (SELECT win.* FROM win JOIN documents USING (doc_id)
-         |          WHERE source <> 'src0'),
-         |tgtbg AS (SELECT win.* FROM win JOIN documents USING (doc_id)
-         |          WHERE source = 'src0'),
-         |rt AS (SELECT COUNT(*) AS n FROM rawbg),
-         |tt AS (SELECT COUNT(*) AS n FROM tgtbg),
-         |rc AS (SELECT whash % 4096 AS bucket, COUNT(*) AS rc
-         |       FROM rawbg GROUP BY 1),
-         |tc AS (SELECT whash % 4096 AS bucket, COUNT(*) AS tc
-         |       FROM tgtbg GROUP BY 1),
-         |model AS (
-         |  SELECT rc.bucket,
-         |    ln((COALESCE(tc.tc, 0) + 1.0) / (tt.n + 4096)) -
-         |    ln((rc.rc + 1.0) / (rt.n + 4096)) AS lr
-         |  FROM rc LEFT JOIN tc USING (bucket), rt, tt),
-         |scored AS (
-         |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
-         |    list_sum(list(m.lr ORDER BY b.pos)) AS raw_sum
-         |  FROM (SELECT doc_id, pos, whash % 4096 AS bucket FROM rawbg) b
-         |  JOIN model m USING (bucket)
-         |  GROUP BY 1)
-         |SELECT doc_id, n_bigrams,
-         |  floor(raw_sum / n_bigrams * 1000000.0) / 1000000.0 AS dsir_score
-         |FROM scored""".stripMargin,
+    "tx_dsir_score" -> dsirScoreSql,
+
+    // the score re-derived as a CTE, then Gumbel-top-k: key =
+    // dsir_score − ln(−ln(u)) with u the 'dsir:'-salted hashUniform
+    // draw, floored to 6 decimals BEFORE ranking (doc_id tiebreak);
+    // keep row_number <= ceil(0.25 · n)
+    "tx_dsir_sample" ->
+      s"""WITH sc AS (
+         |$dsirScoreSql
+         |),
+         |keyed AS (
+         |  SELECT doc_id, dsir_score,
+         |    floor((dsir_score - ln(-ln(
+         |      CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |        / 4294967296.0))) * 1000000.0) / 1000000.0 AS g_key
+         |  FROM sc)
+         |SELECT doc_id, dsir_score, g_key FROM keyed
+         |QUALIFY row_number() OVER (ORDER BY g_key DESC, doc_id)
+         |  <= CAST(ceil(0.25 * COUNT(*) OVER ()) AS BIGINT)""".stripMargin,
 
     // same shingle CTE as dd_jaccard_pairs, asymmetric containment
     // |S(bench) ∩ S(doc)| / |S(bench)| between the src0 benchmark set and

@@ -232,14 +232,33 @@ object Dedup {
       tau: Double,
       bloomBits: Int = 1 << 20,
       numHashes: Int = 5,
-      maxLiteralBits: Int = 1 << 22): DataFrame = {
+      maxLiteralBits: Int = 1 << 22): DataFrame =
+    containmentPairsBloomImpl(
+      corpus,
+      // cache: consumed three times (filter build + per-item sizes +
+      // exact join); the sized wrapper passes its own cached explode
+      // instead, so the identical plan is never persisted twice
+      graft.util.OpCaches.cache(explodedShingles(benchmark, "bench_id", n)),
+      n, tau, bloomBits, numHashes, maxLiteralBits)
+
+  /** Shared tail of [[containmentPairsBloom]] /
+    * [[containmentPairsBloomSized]]: `bench` is the ALREADY-CACHED
+    * bench shingle explode (caching here again would re-persist the
+    * same logical plan — Spark's "already cached" warning path plus a
+    * duplicate release thunk).
+    */
+  private def containmentPairsBloomImpl(
+      corpus: DataFrame,
+      bench: DataFrame,
+      n: Int,
+      tau: Double,
+      bloomBits: Int,
+      numHashes: Int,
+      maxLiteralBits: Int): DataFrame = {
     require(bloomBits >= 64 && (bloomBits & (bloomBits - 1)) == 0,
       s"bloomBits must be a power of two >= 64, got $bloomBits")
     require(numHashes >= 1 && numHashes <= 16,
       s"numHashes must be in [1,16], got $numHashes")
-    // cache: consumed three times (filter build + per-item sizes + exact join)
-    val bench =
-      graft.util.OpCaches.cache(explodedShingles(benchmark, "bench_id", n))
 
     // k bit positions per key: double hashing (h1 + i·h2) mod m over
     // xxhash64 with two distinct seed tuples. Both hashes are masked to
@@ -360,12 +379,15 @@ object Dedup {
       maxBits: Int = 1 << 28,
       maxLiteralBits: Int = 1 << 22): DataFrame = {
     // the count is one O(1)-to-driver agg over the bench explode; the
-    // cache is released with the operator's other tracked entries
+    // cache is released with the operator's other tracked entries, and
+    // the SAME cached frame feeds the filter build / sizes / exact join
+    // downstream (re-deriving it in the inner operator would double-
+    // persist the identical plan and pay this distinct() twice)
     val bench =
       graft.util.OpCaches.cache(explodedShingles(benchmark, "bench_id", n))
     val nKeys = bench.select(col("shash")).distinct().count()
     val (m, k) = bloomSizing(nKeys, fpRate, maxBits)
-    containmentPairsBloom(corpus, benchmark, n, tau,
+    containmentPairsBloomImpl(corpus, bench, n, tau,
       bloomBits = m, numHashes = k, maxLiteralBits = maxLiteralBits)
   }
 
@@ -427,6 +449,47 @@ object Dedup {
       .agg(min(col("pos")).as("span_start"),
         (max(col("pos")) + w).as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Apply ExactSubstr cuts — the REMOVAL half of Lee et al. ACL'22's
+    * substring dedup, completing the pair with [[substringDupSpans]]:
+    * given the span list (doc_id, span_start, span_end) in 0-based
+    * token offsets (end exclusive), drop every covered token and
+    * re-join the survivors with single spaces. Documents absent from
+    * `spans` pass through (token-rejoined — the whole pipeline is
+    * token-space, so multi-whitespace is already collapsed by the
+    * tokenizer on every path).
+    *
+    * Scale shape: spans collapse to one row per cut document (tiny —
+    * span lists are bounded by doc length / w), then ONE doc-keyed
+    * left join against the tokenized corpus; the cut itself is a
+    * per-row `filter(tokens, (tok, pos) -> !∃ span covering pos)` —
+    * nested higher-order builtins, no UDF, no extra exchange beyond
+    * the join. Composes with [[graft.text.TextOps.scrub]]-style
+    * cleaning: cut first (offsets are in raw token space), then clean.
+    *
+    * Output: (doc_id, cut_text, n_removed) for EVERY input document.
+    */
+  def applySubstringCuts(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(collect_list(
+        struct(col("span_start"), col("span_end"))).as("cut_spans"))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("t"),
+        when(col("cut_spans").isNull, col("t"))
+          .otherwise(filter(col("t"), (tok, i) =>
+            !exists(col("cut_spans"), sp =>
+              i.cast("long") >= sp.getField("span_start") &&
+                i.cast("long") < sp.getField("span_end"))))
+          .as("kept"))
+      .select(
+        col("doc_id"),
+        array_join(col("kept"), " ").as("cut_text"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"))
   }
 
   // ---------------------------------------------------------------------

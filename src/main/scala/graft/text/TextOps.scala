@@ -1260,17 +1260,22 @@ object TextOps {
     def plainJoin = bigrams
       .join(c2, Seq("prev", "cur"), "left")
       .join(c1, Seq("prev"), "left")
-    // the c2 head slice is cached (the bounds count below materializes
-    // it; the hot join then reuses it instead of re-aggregating)
-    lazy val hotC2 = graft.util.OpCaches.cache(c2.where(isHot(col("prev"))))
+    // Route off an UNCACHED count first (a cheap agg over the already-
+    // cached train stream): in the over-cap regime — the regime the cap
+    // exists for, >10M successor rows — caching before the check would
+    // pay full MEMORY_AND_DISK materialization of exactly the slice the
+    // fallback then discards. Only the chosen under-cap branch caches,
+    // so the broadcast reads the stored slice instead of re-aggregating.
+    val hotC2Slice = c2.where(isHot(col("prev")))
     val scored =
       if (hotKeys.isEmpty) plainJoin
-      else if (hotC2.count() > hotBroadcastMaxRows)
+      else if (hotC2Slice.count() > hotBroadcastMaxRows)
         // hot successor lists too large to broadcast
         // ([[LmHotBroadcastMaxRows]]): degrade to the plain shuffle
         // join — AQE's skew split takes the hot keys back over
         plainJoin
       else {
+        val hotC2 = graft.util.OpCaches.cache(hotC2Slice)
         val hot = bigrams.where(isHot(col("prev")))
           .join(broadcast(hotC2), Seq("prev", "cur"), "left")
           .join(broadcast(c1.where(isHot(col("prev")))), Seq("prev"), "left")
@@ -1547,6 +1552,45 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         (floor(col("raw_sum") / col("n_bigrams") * 1e6) / 1e6)
           .as("dsir_score"))
+  }
+
+  /** DSIR importance RESAMPLING — the selection step [[dsirScore]]
+    * feeds (Xie et al. NeurIPS'23 §2: score, then sample without
+    * replacement with probability ∝ exp(score)). Sampling-without-
+    * replacement ∝ exp(s_i) is exactly Gumbel-top-k (Vieira 2014 /
+    * Kool et al. ICML'19): draw g_i ~ Gumbel(0), keep the top-k by
+    * s_i + g_i. Made REPRODUCIBLE with the [[hashUniform]] discipline
+    * the pipeline's other draws use (`qualitySample`, `sourceMix`):
+    * g_i = −ln(−ln(u_i)) with u_i the id-pure hash draw, so a re-run,
+    * a different partitioning, or a different engine keeps exactly the
+    * same documents. The key is floor-truncated to 6 decimals BEFORE
+    * ranking (doc_id tiebreak), so the boundary of the selected set is
+    * bit-deterministic across engines rather than hanging on libm's
+    * last ulp — the same reason `dsir_score` itself is truncated.
+    *
+    * Scale shape: [[dsirScore]]'s one-pass shape, plus one O(1) count
+    * to the driver for k = ⌈keepFraction·n⌉ and a TakeOrdered top-k —
+    * never a global sort. The scored frame is cached: it feeds both
+    * the count and the ranking.
+    *
+    * Output: (doc_id, dsir_score, g_key) for the ⌈keepFraction·n⌉
+    * selected documents.
+    */
+  def dsirSample(
+      raw: DataFrame, target: DataFrame,
+      keepFraction: Double, nBuckets: Int = 4096): DataFrame = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0,1], got $keepFraction")
+    val scored = graft.util.OpCaches.cache(dsirScore(raw, target, nBuckets))
+    val n = scored.count()
+    val k = math.ceil(keepFraction * n).toInt
+    scored
+      .withColumn("g_key",
+        floor((col("dsir_score") -
+          log(-log(hashUniform(col("doc_id"), "dsir")))) * 1e6) / 1e6)
+      .orderBy(col("g_key").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dsir_score"), col("g_key"))
   }
 
   /** Full per-document text-analysis projection over a `documents`-shaped

@@ -35,6 +35,15 @@ object StoreFixture {
 
   private val MarkerName = "_graft_pristine"
 
+  /** Marker format version, first line of the marker file: v2 markers
+    * record PROPERLY-RELATIVIZED listings (qualified-root stripping). A
+    * marker without this header predates the fix — its listing may hold
+    * unstripped absolute paths that would mark every pristine file
+    * foreign — so it is treated as a fingerprint mismatch (full
+    * rebuild), never trusted for a restore.
+    */
+  private val MarkerVersion = "graft-pristine-v2"
+
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -66,9 +75,16 @@ object StoreFixture {
     */
   def ensurePristine(spark: SparkSession, store: String, fp: String)(
       build: => Unit): Unit = {
-    val root = new Path(store)
-    val fs = fsOf(spark, root)
-    val marker = new Path(store, MarkerName)
+    val rawRoot = new Path(store)
+    val fs = fsOf(spark, rawRoot)
+    // Qualify BEFORE relativizing: listFiles returns fully-qualified
+    // absolute paths, so a relative `store` (the serve keys pass
+    // `target/graft_stores/...`) would otherwise never strip and the
+    // restore pass would treat every pristine file — marker included —
+    // as foreign and delete it, silently degrading every call after
+    // the first back to a full O(corpus) rebuild.
+    val root = fs.makeQualified(rawRoot)
+    val marker = new Path(root, MarkerName)
     val recorded: Option[Seq[String]] =
       if (!fs.exists(marker)) None
       else {
@@ -78,7 +94,9 @@ object StoreFixture {
             org.apache.commons.io.IOUtils.toByteArray(in),
             StandardCharsets.UTF_8).linesIterator.toSeq
           finally in.close()
-        if (lines.headOption.contains(fp)) Some(lines.drop(1)) else None
+        if (lines.headOption.contains(MarkerVersion) &&
+          lines.drop(1).headOption.contains(fp)) Some(lines.drop(2))
+        else None
       }
     recorded match {
       case Some(keepRel) =>
@@ -88,7 +106,11 @@ object StoreFixture {
           p.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         listFiles(fs, root).foreach { st =>
           val r = rel(st.getPath)
-          if (r != MarkerName && !keep(r)) fs.delete(st.getPath, false)
+          // Belt-and-braces marker guard by NAME, not relativized path:
+          // the marker must survive any relativization surprise or the
+          // fixture degrades to rebuild-every-call.
+          if (st.getPath.getName != MarkerName && !keep(r))
+            fs.delete(st.getPath, false)
         }
         pruneEmptyDirs(fs, root)
       case None =>
@@ -100,8 +122,8 @@ object StoreFixture {
           .filter(_ != MarkerName)
           .sorted
         val out = fs.create(marker, true)
-        try out.write(
-          (fp +: listing).mkString("\n").getBytes(StandardCharsets.UTF_8))
+        try out.write((MarkerVersion +: fp +: listing)
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
         finally out.close()
     }
   }

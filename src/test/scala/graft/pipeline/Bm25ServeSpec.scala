@@ -34,7 +34,8 @@ class Bm25ServeSpec extends AnyFunSuite {
     val gate = run("tx_bm25_append")
     val first = run("tx_bm25_append_serve")
     // second call exercises the pristine restore: without it the
-    // odd-half batch would be appended twice and every df/tf/stat doubles
+    // serve batch (doc_id % 50 == 1) would be appended twice and its
+    // docs' df/tf/stats double
     val second = run("tx_bm25_append_serve")
     assert(gate.nonEmpty)
     assert(first === gate)
@@ -81,6 +82,64 @@ class Bm25ServeSpec extends AnyFunSuite {
     StoreFixture.ensurePristine(spark, store, "fp2")(build())
     assert(builds === 2)
     assert(spark.read.parquet(s"$store/data").count() === 2)
+  }
+
+  test("relative store path: marker survives and build runs exactly once") {
+    // Regression: with an unqualified root, listFiles' absolute paths
+    // never stripPrefix against the relative root URI, so the restore
+    // pass saw every file (marker included) as foreign and deleted it —
+    // every call after the first silently paid a full rebuild. The serve
+    // keys pass relative paths (`target/graft_stores/...`), so this is
+    // the production shape.
+    val store = "target/fixture_spec_rel_" + System.nanoTime() + "/store"
+    var builds = 0
+    def build(): Unit = {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$store/data")
+    }
+    try {
+      StoreFixture.ensurePristine(spark, store, "fp1")(build())
+      StoreFixture.ensurePristine(spark, store, "fp1")(build())
+      Seq((3L, "c")).toDF("id", "v")
+        .write.mode("append").parquet(s"$store/data")
+      StoreFixture.ensurePristine(spark, store, "fp1")(build())
+      assert(builds === 1,
+        "pristine marker must survive restores under a relative root")
+      assert(new java.io.File(s"$store/_graft_pristine").exists())
+      assert(spark.read.parquet(s"$store/data").count() === 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(store).getParentFile)
+    }
+  }
+
+  test("pre-v2 marker (no version header) forces a full rebuild") {
+    // r13-era markers may record unstripped absolute listings (the
+    // relative-root bug); trusting one for a restore would delete every
+    // pristine file, so an unversioned marker must read as a mismatch
+    val dir = Files.createTempDirectory("fixture_v1_").toFile
+    dir.deleteOnExit()
+    val store = dir.getAbsolutePath + "/store"
+    var builds = 0
+    def build(): Unit = {
+      builds += 1
+      Seq((1L, "a")).toDF("id", "v")
+        .write.mode("overwrite").parquet(s"$store/data")
+    }
+    StoreFixture.ensurePristine(spark, store, "fp1")(build())
+    assert(builds === 1)
+    // rewrite the marker in the v1 layout: fingerprint first, no header
+    val marker = new java.io.File(s"$store/_graft_pristine")
+    val v2 = Files.readAllLines(marker.toPath)
+    assert(v2.get(0) === "graft-pristine-v2")
+    Files.write(marker.toPath,
+      String.join("\n", v2.subList(1, v2.size())).getBytes)
+    // drop the local-FS checksum sidecar the out-of-band rewrite broke
+    new java.io.File(s"$store/._graft_pristine.crc").delete()
+    StoreFixture.ensurePristine(spark, store, "fp1")(build())
+    assert(builds === 2, "unversioned marker must trigger a rebuild")
+    assert(spark.read.parquet(s"$store/data").count() === 1)
   }
 
   test("fingerprint tracks file length and mtime") {
