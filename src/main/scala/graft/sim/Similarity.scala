@@ -1211,15 +1211,12 @@ object Similarity {
         col("pid").as("id"), col("features").as("v"),
         norm(col("features")).as("nn"), col("cid").as("cell")))
     // probe side: the primary cell at nprobe=1 (bit-identical to the
-    // confined form — probeCellsCol's (d2, cell) sort is the same
+    // confined form — probeLegs' (d2, cell) order is the same
     // argmin/lowest-cid tiebreak as assignNAdaptive), the nprobe
     // nearest cells otherwise
     val probes =
       if (nprobe == 1) cells.select(col("cell"), col("id"), col("v"), col("nn"))
-      else cells
-        .select(col("id"), col("v"), col("nn"),
-          explode(probeCellsCol(model, nprobe)(col("v"))).as("probe"))
-        .select(col("probe.cell").as("cell"), col("id"), col("v"), col("nn"))
+      else probeLegs(cells, model, nprobe)
     val w = Window.partitionBy(col("id"))
       .orderBy(col("sim").desc, col("nbr_id"))
     probes
@@ -1235,6 +1232,72 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("id"), col("rank").cast("long").as("rank"), col("nbr_id"),
         (floor(col("sim") * 1e6) / 1e6).as("sim"))
+  }
+
+  /** The multi-probe legs of [[knnJoin]]: every vector replicated into
+    * its `min(nprobe, nlist)` nearest cells. Two formulations with
+    * IDENTICAL output (tiebreak (d2 asc, cell asc) in both — the probe
+    * sets are bit-identical, locked by KnnJoinSpec's cross-form test):
+    *
+    *  - nlist ≤ `literalBound`: the [[probeCellsCol]] form — one
+    *    per-row `slice(array_sort(array(<nlist structs>)), 1, nprobe)`.
+    *    Fine while the quantizer is small; but the expression carries
+    *    the whole codebook as an O(nlist·d)-literal tree and pays an
+    *    O(nlist log nlist) array build+sort PER ROW.
+    *  - nlist > `literalBound`: iterated argmin — leg 0 is the ALREADY
+    *    COMPUTED primary assignment riding on `cells`; each further leg
+    *    is one crossJoin against the broadcast centroid table with the
+    *    previously-picked cells excluded, reduced by a map-side-combined
+    *    `min(struct(d2, cell))` (the [[graft.kmeans.OpsN.assignCrossJoinN]]
+    *    discipline). Distance work stays the inherent O(n·nlist) on the
+    *    codegen'd [[graft.expr.ArraySqDist]], every exchange is O(n)
+    *    rows, and no nlist-sized per-row array is ever allocated or
+    *    sorted. This is the 100-TB form: the SIZED quantizer grows
+    *    nlist ~ n/64, so at 10× bench scale the literal form's per-row
+    *    sort over ~10³ cells (a ~10⁵-literal expression) multiplied the
+    *    probe form's wall ~4× over the confined form against a
+    *    ≤ nprobe× pair-volume contract (r12–r13 driver boxes); the
+    *    iterated form keeps the probe overhead proportional to the
+    *    assignment work the confined form already pays.
+    */
+  private[graft] def probeLegs(
+      cells: DataFrame,
+      model: Seq[graft.kmeans.CentroidN],
+      nprobe: Int,
+      literalBound: Int = 64): DataFrame = {
+    val np = math.min(nprobe, model.size)
+    if (model.size <= literalBound)
+      cells
+        .select(col("id"), col("v"), col("nn"),
+          explode(probeCellsCol(model, np)(col("v"))).as("probe"))
+        .select(col("probe.cell").as("cell"), col("id"), col("v"), col("nn"))
+    else {
+      val spark = cells.sparkSession
+      import spark.implicits._
+      val cdf = broadcast(
+        model.map(c => (c.cid, c.features.toSeq)).toDF("pcid", "pcf"))
+      // leg 0: the primary assignment (same argmin, already computed)
+      var legs = cells.select(col("id"), array(col("cell")).as("pcells"))
+      for (_ <- 1 until np) {
+        legs = cells.select(col("id"), col("v"))
+          .join(legs, "id")
+          .crossJoin(cdf)
+          .filter(!array_contains(col("pcells"), col("pcid")))
+          .withColumn("d2",
+            graft.kmeans.OpsN.dist2N(col("v"), col("pcf")))
+          .groupBy(col("id"))
+          .agg(
+            first(col("pcells")).as("prev"),
+            min(struct(col("d2"), col("pcid"))).as("best"))
+          .select(col("id"),
+            concat(col("prev"),
+              array(col("best").getField("pcid"))).as("pcells"))
+      }
+      cells.select(col("id"), col("v"), col("nn"))
+        .join(legs, "id")
+        .select(explode(col("pcells")).as("cell"),
+          col("id"), col("v"), col("nn"))
+    }
   }
 
   /** [[knnJoin]] with the cell count derived from the corpus size at a
