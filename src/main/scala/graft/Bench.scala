@@ -243,7 +243,12 @@ object Bench {
       "dd_containment", "dd_containment_bloom",
       "tx_tfidf_store", "sm_knn_join_probe",
       "tx_bm25_append_serve", "tx_bm25_delete_serve",
-      "dd_substring_cut", "tx_dsir_sample")
+      "dd_substring_cut", "tx_dsir_sample",
+      // tx_token_budget: fixed 10k-token budget from a 10x corpus —
+      // the scoring scan is O(corpus) but the cumsum window runs only
+      // over the pre-pruned budget-prefix partitions, so the ratio
+      // should track the scan, never a corpus sort
+      "tx_token_budget")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")

@@ -656,6 +656,22 @@ object SparkEntry {
           (floor(col("u") * 1e6) / 1e6).as("u"))
     },
 
+    // Token-budget corpus selection: greedy best-quality-first fill of a
+    // 10k-token global budget (range-partitioned prefix sum — no global
+    // single-partition sort; budget-exceeding partitions pruned pre-window)
+    "tx_token_budget" -> { (s, dir) =>
+      TextOps.tokenBudgetSelect(Graft.table(s, dir, "documents"), 10000L)
+    },
+
+    // Token-denominated source mixing: fill each source's floor(share*3000)
+    // token slice greedily by quality (one per-source cumsum window)
+    "tx_token_budget_mix" -> { (s, dir) =>
+      TextOps.tokenBudgetMix(Graft.table(s, dir, "documents"),
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+          "src3" -> 0.05, "src4" -> 0.05),
+        3000L)
+    },
+
     // Deterministic source mixing to target shares (no upsampling);
     // per-source kept counts
     "tx_source_mix" -> { (s, dir) =>
@@ -1606,6 +1622,31 @@ object SparkEntry {
     * recall contract itself is exercised by DedupHardenedSpec's
     * synthetic cliques, which the fixture corpus cannot express.
     */
+  /** The truncated-quality-score CTEs (`scored` + `q`) shared by the
+    * quality-family oracles — same formula as `tx_analyze` (plain
+    * string: the `\s+` must not pass through an s-interpolator).
+    */
+  private val QUALITY_CTES =
+    """scored AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> list_contains(['the','of','and','to','a','in','is','it'], x))) AS s_en,
+      |    length(text) AS n_chars,
+      |    length(regexp_replace(text, '\s', '', 'g')) AS no_space,
+      |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+      |  FROM documents
+      |),
+      |q AS (
+      |  SELECT doc_id,
+      |    floor((
+      |      least(n_tokens / 100.0, 1.0) * 0.3 +
+      |      (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
+      |      least(s_en * 1.0 / n_tokens * 5.0, 1.0) * 0.2 +
+      |      (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0) / 1000000.0 AS q
+      |  FROM scored
+      |)""".stripMargin
+
   /** The token-key CTE shared by the shingle-family oracles (plain
     * string: the `\s+` must not pass through an s-interpolator).
     */
@@ -2191,34 +2232,53 @@ object SparkEntry {
     // digits of 'smp:<id>' over 2^32 (exact double in both engines);
     // keep iff u < truncated quality
     "tx_quality_sample" ->
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
-        |    len(list_filter(string_split_regex(trim(text), '\s+'),
-        |        x -> list_contains(['the','of','and','to','a','in','is','it'], x))) AS s_en,
-        |    length(text) AS n_chars,
-        |    length(regexp_replace(text, '\s', '', 'g')) AS no_space,
-        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
-        |  FROM documents
-        |),
-        |q AS (
-        |  SELECT doc_id,
-        |    floor((
-        |      least(n_tokens / 100.0, 1.0) * 0.3 +
-        |      (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
-        |      least(s_en * 1.0 / n_tokens * 5.0, 1.0) * 0.2 +
-        |      (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0) / 1000000.0 AS q
-        |  FROM scored
-        |),
-        |u AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |      / 4294967296.0 AS u
-        |  FROM documents
-        |)
-        |SELECT q.doc_id, q.q, floor(u.u * 1000000.0) / 1000000.0 AS u
-        |FROM q JOIN u ON q.doc_id = u.doc_id
-        |WHERE u.u < q.q""".stripMargin,
+      s"""WITH $QUALITY_CTES,
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         |      / 4294967296.0 AS u
+         |  FROM documents
+         |)
+         |SELECT q.doc_id, q.q, floor(u.u * 1000000.0) / 1000000.0 AS u
+         |FROM q JOIN u ON q.doc_id = u.doc_id
+         |WHERE u.u < q.q""".stripMargin,
+
+    // global greedy best-quality-first fill of a 10k-token budget: keep
+    // iff the running token total BEFORE the doc (cum - n_tokens) is
+    // under budget; (q desc, doc_id) is a unique total order, so the
+    // default RANGE cumulative frame has single-row peers and both
+    // engines produce the identical prefix sum
+    "tx_token_budget" ->
+      s"""WITH $QUALITY_CTES,
+         |sel AS (
+         |  SELECT s.doc_id, q.q,
+         |    CAST(s.n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(SUM(s.n_tokens)
+         |      OVER (ORDER BY q.q DESC, s.doc_id) AS BIGINT) AS cum_tokens
+         |  FROM scored s JOIN q USING (doc_id))
+         |SELECT doc_id, q, n_tokens, cum_tokens FROM sel
+         |WHERE cum_tokens - n_tokens < 10000""".stripMargin,
+
+    // per-source token slices floor(share * 3000), filled greedily by
+    // quality within each source; sources outside the share map drop
+    "tx_token_budget_mix" ->
+      s"""WITH $QUALITY_CTES,
+         |tgt AS (
+         |  SELECT * FROM (VALUES
+         |    ('src0', CAST(1200 AS BIGINT)), ('src1', CAST(900 AS BIGINT)),
+         |    ('src2', CAST(600 AS BIGINT)), ('src3', CAST(150 AS BIGINT)),
+         |    ('src4', CAST(150 AS BIGINT))) AS t(source, tgt)
+         |),
+         |sel AS (
+         |  SELECT s.doc_id, d.source, q.q,
+         |    CAST(s.n_tokens AS BIGINT) AS n_tokens,
+         |    CAST(SUM(s.n_tokens) OVER (PARTITION BY d.source
+         |      ORDER BY q.q DESC, s.doc_id) AS BIGINT) AS cum_tokens,
+         |    t.tgt
+         |  FROM scored s JOIN q USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN tgt t USING (source))
+         |SELECT doc_id, source, q, n_tokens, cum_tokens FROM sel
+         |WHERE cum_tokens - n_tokens < tgt""".stripMargin,
 
     // rates: share_s * M / n_s with M = min_s(n_s / share_s) — the
     // largest no-upsampling corpus at the target shares; keep iff

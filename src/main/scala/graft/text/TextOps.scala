@@ -477,6 +477,111 @@ object TextOps {
       .toSeq
   }
 
+  /** Token-budget corpus selection: the "fill a B-token training budget
+    * with the best documents" step — greedily keep documents in
+    * (quality desc, doc_id asc) order until the running token total
+    * reaches `budgetTokens` (the last kept document may overshoot; its
+    * prefix-before-it is < B). Quality is the 6-decimal-truncated
+    * [[qualityScore]] and tokens the whitespace [[tokenCount]], so the
+    * keep set is a pure deterministic function of the corpus.
+    *
+    * Scale shape — a global ordered prefix sum WITHOUT a global sort
+    * serialized through one partition (the [[graft.kmeans.Ops.splitContiguous]]
+    * discipline): range-partition on the selection order, collect ONE
+    * O(#partitions) row of per-partition token sums, broadcast the
+    * exclusive offsets back as a literal map, and run the cumulative-sum
+    * window per partition (range disjointness makes offset + local
+    * cumsum the global cumsum). Partitions whose start offset already
+    * meets the budget are dropped BEFORE the window — selecting a 1T-token
+    * mix from a 100 TB corpus sorts only the ~budget-sized prefix, not
+    * the corpus.
+    *
+    * Output: (doc_id, q, n_tokens, cum_tokens) for kept docs,
+    * cum_tokens the inclusive global running total.
+    */
+  def tokenBudgetSelect(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs.select(
+      col("doc_id"),
+      (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    // OpCaches-tracked: the per-partition sums collect and the returned
+    // plan must see the SAME (sample-based) range partitioning
+    val ranged = graft.util.OpCaches.cache(
+      scored
+        .repartitionByRange(col("q").desc, col("doc_id").asc)
+        .withColumn("_pidx", spark_partition_id()))
+    val sums = ranged.groupBy(col("_pidx"))
+      .agg(sum(col("n_tokens")).as("s"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (sums.isEmpty)
+      return scored.withColumn("cum_tokens", col("n_tokens")).limit(0)
+    var acc = 0L
+    val offsets = sums.map { case (p, s) => val o = (p, acc); acc += s; o }
+    val offsetCol = element_at(
+      map(offsets.flatMap { case (p, o) => Seq(lit(p), lit(o)) }
+        .toIndexedSeq: _*),
+      col("_pidx"))
+    val w = Window.partitionBy(col("_pidx"))
+      .orderBy(col("q").desc, col("doc_id"))
+    ranged
+      // partition-level prune: a partition starting at >= B holds no row
+      // with prefix-before-it < B (its rows' prefixes all start there)
+      .filter(offsetCol < budgetTokens)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + offsetCol)
+      .filter(col("cum_tokens") - col("n_tokens") < budgetTokens)
+      .drop("_pidx")
+  }
+
+  /** Token-budget SOURCE MIX: compose a training mix of ~`budgetTokens`
+    * total at target source `shares`, filling each source's
+    * ⌊share·B⌋-token slice greedily by quality — the token-denominated
+    * sibling of [[sourceMixExact]] (domain reweighting recipes quote
+    * token budgets, not document counts; GLaM/LLaMA-style mixture specs).
+    * Per source, documents are kept in (quality desc, doc_id asc) order
+    * while the source-local running total BEFORE the doc is under its
+    * slice — so every listed source lands within one document of its
+    * budget (sources lacking enough tokens are exhausted; no upsampling).
+    * Sources missing from `shares` are dropped.
+    *
+    * Cost shape: one broadcast of the O(#sources) budget table and ONE
+    * exchange — a per-source cumulative-sum window (hash partition by
+    * source + per-source sort). Like [[sourceMixExact]], a source holding
+    * most of the corpus serializes its sort through one partition; at
+    * extreme scale run [[tokenBudgetSelect]] per source slice instead
+    * (same output per source, range-partitioned prefix sum).
+    *
+    * Output: (doc_id, source, q, n_tokens, cum_tokens) for kept docs,
+    * cum_tokens the inclusive source-local running total.
+    */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      shares: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budgets = shares.toSeq.sortBy(_._1)
+      .map { case (s, sh) => (s, math.floor(sh * budgetTokens).toLong) }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    docs
+      .select(
+        col("doc_id"), col("source"),
+        (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .join(broadcast(budgets.toDF("source", "tgt")), Seq("source"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("tgt"))
+      .drop("tgt")
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences by concat-then-chunk — documents are laid out in doc_id
     * order within a shard and each starts in bin
