@@ -1408,6 +1408,15 @@ object SparkEntry {
         Graft.table(s, dir, "documents"), m = 64, k = 20)
     },
 
+    // Count-Min point-frequency estimates (4 x 1024 sketch), the
+    // bound-checked head: est >= exact always (ok_over) and
+    // est <= exact + 2N/width (ok_bound) for every probe; production
+    // path is cmSketch once + broadcast cmEstimate per probe set
+    "tx_count_min" -> { (s, dir) =>
+      TextOps.cmChecked(Graft.table(s, dir, "documents"), CmProbes,
+        depth = 4, width = 1024)
+    },
+
     // CCNet-style bigram LM perplexity scoring: model fit on the train
     // split, every document scored by mean negative log-likelihood
     "tx_lm_score" -> { (s, dir) =>
@@ -1622,6 +1631,14 @@ object SparkEntry {
     * recall contract itself is exercised by DedupHardenedSpec's
     * synthetic cliques, which the fixture corpus cannot express.
     */
+  /** The Count–Min probe tokens: frequent stopwords, mid/rare corpus
+    * words, and one token guaranteed absent (exact = 0, estimate =
+    * pure collision mass).
+    */
+  private val CmProbes = Seq(
+    "the", "of", "and", "to", "a", "in", "is", "it",
+    "neural", "quantum", "qqqzzz")
+
   /** The truncated-quality-score CTEs (`scored` + `q`) shared by the
     * quality-family oracles — same formula as `tx_analyze` (plain
     * string: the `\s+` must not pass through an s-interpolator).
@@ -3077,6 +3094,45 @@ object SparkEntry {
         |)
         |SELECT source, COUNT(DISTINCT tok) AS vocab, 1 AS ok
         |FROM t GROUP BY source""".stripMargin,
+
+    // Count-Min oracle: DuckDB re-derives the 4x1024 sketch from the
+    // same md5-prefix hash family ('cm<i>:<tok>'), takes the per-probe
+    // min cell count, and recomputes both verdicts; the estimates are
+    // a pure deterministic function of the corpus so the compare is an
+    // exact hash match, not a tolerance
+    "tx_count_min" ->
+      s"""WITH toks AS (
+         |  SELECT UNNEST(string_split_regex(trim(text), '${"\\"}s+')) AS tok
+         |  FROM documents
+         |),
+         |nn AS (SELECT COUNT(*) AS n FROM toks),
+         |probes AS (SELECT UNNEST([${CmProbes.map("'" + _ + "'").mkString(", ")}]) AS tok),
+         |cells AS (
+         |  SELECT r.i AS row,
+         |    CAST(('0x' || substr(md5('cm' || r.i || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS cell,
+         |    COUNT(*) AS c
+         |  FROM toks CROSS JOIN range(4) r(i)
+         |  GROUP BY 1, 2
+         |),
+         |pc AS (
+         |  SELECT p.tok, r.i AS row,
+         |    CAST(('0x' || substr(md5('cm' || r.i || ':' || p.tok), 1, 8)) AS BIGINT) % 1024 AS cell
+         |  FROM probes p CROSS JOIN range(4) r(i)
+         |),
+         |est AS (
+         |  SELECT pc.tok, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN cells c ON pc.row = c.row AND pc.cell = c.cell
+         |  GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT tok, COUNT(*) AS exact FROM toks
+         |  WHERE tok IN (SELECT tok FROM probes) GROUP BY 1
+         |)
+         |SELECT e.tok, CAST(COALESCE(x.exact, 0) AS BIGINT) AS exact, e.est,
+         |  CASE WHEN e.est >= COALESCE(x.exact, 0) THEN 1 ELSE 0 END AS ok_over,
+         |  CASE WHEN e.est * 1024 <= COALESCE(x.exact, 0) * 1024 + 2 * nn.n
+         |       THEN 1 ELSE 0 END AS ok_bound
+         |FROM est e LEFT JOIN ex x USING (tok), nn""".stripMargin,
 
     // Bound-checked sketch oracle, frequency edition: DuckDB recomputes
     // the exact top-20 token counts and asserts both Misra-Gries

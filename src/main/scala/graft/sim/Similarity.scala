@@ -1186,6 +1186,15 @@ object Similarity {
     * each (id, nbr) pair still appears at most once because a
     * neighbor's primary cell is unique.
     *
+    * `nprobe = 2` is the PRODUCTION RECOMMENDATION for
+    * boundary-sensitive users (graph quality, per-doc redundancy): the
+    * round-14 quiet-box certification measured it at 1.15× the confined
+    * form's wall at 10× scale (9.80 s vs 8.56 s, `BENCH_full_r14.json`)
+    * — the ≤ nprobe× pair-volume contract holds with margin now that
+    * probe legs are computed by iterated argmin above 64 cells
+    * ([[probeLegs]]) instead of a per-row codebook sort. Cost-sensitive
+    * bulk paths keep the confined default.
+    *
     * Output: (id, rank, nbr_id, sim), sim floor-truncated to 6 decimals
     * AFTER ranking (ranking compares raw doubles).
     */

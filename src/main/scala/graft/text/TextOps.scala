@@ -1237,6 +1237,113 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
   }
 
+  /** Count–Min sketch of token frequencies (Cormode & Muthukrishnan,
+    * J. Algorithms 2005): `depth` hash rows × `width` cells, each cell
+    * the count of tokens hashing into it — the mergeable
+    * point-frequency-estimate sibling of the [[heavyHitters]] top-k
+    * summary (MG answers "which tokens are frequent", CM answers "how
+    * frequent is THIS token" for arbitrary later probes). Row hashes
+    * are the md5-prefix family (`cm<i>:<tok>`, same discipline as
+    * [[hashUniform]]) so the sketch is a pure deterministic function of
+    * the corpus and DuckDB re-derives it exactly.
+    *
+    * Scale shape: ONE tokenize scan; each token emits its `depth`
+    * (row, cell) pairs via a single `posexplode` (no per-row array
+    * sort, no second scan) into a map-side-combined count over at most
+    * `depth·width` cells — the sketch is O(d·w) REGARDLESS of corpus
+    * size, partial aggregates merge by cell-wise sum (the CM merge
+    * property, locked by spec), and the result broadcasts anywhere.
+    * Standard bounds: est ≥ true always; est ≤ true + 2N/width with
+    * probability 1 − (1/2)^depth per probe.
+    *
+    * Output: (row, cell, c) — sparse (empty cells omitted ≡ zero).
+    */
+  def cmSketch(docs: DataFrame, depth: Int, width: Int): DataFrame =
+    cmSketchOfTokens(
+      docs.select(explode(tokens(col("text"))).as("tok")), depth, width)
+
+  /** [[cmSketch]] over an already-exploded `tok` column (shared with
+    * [[cmChecked]], whose cached token pass feeds sketch AND exact).
+    */
+  private def cmSketchOfTokens(
+      toks: DataFrame, depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 16, s"width must be >= 16, got $width")
+    toks
+      .select(posexplode(cmCells(col("tok"), depth, width))
+        .as(Seq("row", "cell")))
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The `depth` cell indices of one token, rows 0..depth−1 in order. */
+  private def cmCells(tok: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map { i =>
+      conv(md5(concat(lit(s"cm$i:"), tok)).substr(1, 8), 16, 10)
+        .cast("long") % width
+    }: _*)
+
+  /** Point-frequency estimates from a [[cmSketch]]: for each probe
+    * token, min over the sketch's `depth` rows of its cell count
+    * (absent cell ≡ 0). The probe list is driver-side (the ad-hoc
+    * "how frequent are THESE tokens" shape); the sketch side arrives
+    * as a broadcast — O(d·w) — so estimation is scan-free and never
+    * touches the corpus. Output: (tok, est).
+    */
+  def cmEstimate(
+      sketch: DataFrame,
+      keys: Seq[String],
+      depth: Int,
+      width: Int): DataFrame = {
+    require(keys.nonEmpty, "keys must be non-empty")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    keys.toDF("tok")
+      .select(col("tok"),
+        posexplode(cmCells(col("tok"), depth, width)).as(Seq("row", "cell")))
+      .join(broadcast(sketch), Seq("row", "cell"), "left")
+      .groupBy(col("tok"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+  }
+
+  /** Bound-checked Count–Min head, the exact-side-verifies-sketch shape
+    * of [[heavyHittersChecked]]: one tokenize pass feeds BOTH the
+    * sketch and the probes' exact counts, and the output carries two
+    * verdict columns the oracle asserts:
+    *   - `ok_over`  = est ≥ exact (CM can never undercount — a theorem
+    *     for every probe);
+    *   - `ok_bound` = est ≤ exact + 2N/width (the expected-error bound;
+    *     deterministic here because the sketch is hash-determined).
+    * The exact side is the verification harness, not the production
+    * path — at 100 TB build [[cmSketch]] once and answer probes with
+    * [[cmEstimate]] alone.
+    *
+    * Output: (tok, exact, est, ok_over, ok_bound), one row per probe.
+    */
+  def cmChecked(
+      docs: DataFrame,
+      keys: Seq[String],
+      depth: Int,
+      width: Int): DataFrame = {
+    val toks = graft.util.OpCaches.cache(
+      docs.select(explode(tokens(col("text"))).as("tok")))
+    val sketch = cmSketchOfTokens(toks, depth, width)
+    val n = toks.count()
+    val exact = toks
+      .filter(col("tok").isInCollection(keys))
+      .groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    cmEstimate(sketch, keys, depth, width)
+      .join(exact, Seq("tok"), "left")
+      .select(
+        col("tok"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        col("est"),
+        (col("est") >= coalesce(col("exact"), lit(0L)))
+          .cast("int").as("ok_over"),
+        (col("est") * width <= coalesce(col("exact"), lit(0L)) * width
+          + 2L * n).cast("int").as("ok_bound"))
+  }
+
   /** Bigram language-model quality score, the CCNet-style perplexity
     * filter: fit add-one-smoothed bigram counts on the corpus's own
     * `train` split ([[assignSplit]] — id-pure, so the model never sees
