@@ -388,6 +388,52 @@ object StreamOps {
     finally q.stop()
   }
 
+  /** Streaming Count–Min sketch: maintain a running token-frequency
+    * sketch over a document stream — each micro-batch's
+    * [[graft.text.TextOps.cmSketch]] lands as a per-batch overwrite
+    * SEGMENT (`batch-<id>`), so at-least-once foreachBatch replays
+    * rewrite identical bytes (the batch sketch is a pure deterministic
+    * function of the batch) instead of double-counting. The CM merge
+    * property (cell-wise SUM — spec-locked in CountMinSpec) makes the
+    * segment layout exactly equivalent to one sketch of the whole
+    * stream; [[readCmSketchStore]] folds it at query time, and a
+    * periodic compaction is the same fold written back as one segment.
+    * No streaming state store: the sketch IS the state, and it lives in
+    * the segment files — nothing to watermark, O(d·w) per segment
+    * regardless of stream volume.
+    */
+  def runStreamingCmSketch(
+      stream: DataFrame,
+      storePath: String,
+      checkpointDir: String,
+      depth: Int,
+      width: Int): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.text.TextOps.cmSketch(batch, depth, width)
+          .write.mode("overwrite")
+          .parquet(f"$storePath/batch-$batchId%09d")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+  }
+
+  /** The merged sketch of a [[runStreamingCmSketch]] store: every
+    * segment's cells folded by the CM merge property (cell-wise sum).
+    * Output: (row, cell, c) — the same shape as a batch
+    * [[graft.text.TextOps.cmSketch]] of the entire streamed corpus, and
+    * ≤ d·w rows however long the stream has run.
+    */
+  def readCmSketchStore(
+      spark: SparkSession,
+      storePath: String): DataFrame =
+    spark.read.parquet(s"$storePath/batch-*")
+      .groupBy(col("row"), col("cell"))
+      .agg(sum(col("c")).as("c"))
+
   /** One micro-batch of [[runStreamingDedupAgainstStore]] — deterministic
     * and idempotent in (batch contents, batchId, pre-batch store state):
     * re-executing it (foreachBatch replay) overwrites both segment

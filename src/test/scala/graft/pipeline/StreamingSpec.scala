@@ -574,4 +574,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(updates.contains((0, 3.0, 2L)))
     } finally q.stop()
   }
+
+  test("runStreamingCmSketch: segment store folds to the batch sketch " +
+      "of the whole stream; replay overwrites identical segments") {
+    import graft.text.TextOps
+    val base = "target/stream_cm_sketch"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    val b1 = Seq(Doc(1L, "x x y", "s"), Doc(2L, "z q r s t", "s"))
+    val b2 = Seq(Doc(3L, "x y y w", "s"), Doc(4L, "q q v", "s"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(b1: _*)
+    StreamOps.runStreamingCmSketch(mem.toDF(), store, ckpt,
+      depth = 3, width = 64)
+    mem.addData(b2: _*)
+    StreamOps.runStreamingCmSketch(mem.toDF(), store, ckpt,
+      depth = 3, width = 64)
+
+    // two segment dirs, one per micro-batch
+    val segs = new java.io.File(store).listFiles
+      .filter(_.getName.startsWith("batch-")).map(_.getName).sorted
+    assert(segs.length === 2)
+
+    // merged store == one batch sketch of the entire streamed corpus
+    val merged = StreamOps.readCmSketchStore(spark, store)
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = TextOps.cmSketch((b1 ++ b2).toDF(), depth = 3, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+
+    // estimates off the merged store behave like the batch sketch
+    val est = TextOps.cmEstimate(
+        StreamOps.readCmSketchStore(spark, store),
+        Seq("x", "q", "absent"), depth = 3, width = 64)
+      .as[(String, Long)].collect().toMap
+    assert(est("x") >= 2L && est("q") >= 3L)
+
+    // at-least-once replay: re-running a batch body with the same
+    // batchId rewrites the same segment, not a double count
+    TextOps.cmSketch(b1.toDF(), 3, 64)
+      .write.mode("overwrite").parquet(f"$store/batch-${0L}%09d")
+    val replayed = StreamOps.readCmSketchStore(spark, store)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(replayed === whole)
+  }
 }
