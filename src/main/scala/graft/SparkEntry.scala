@@ -656,6 +656,14 @@ object SparkEntry {
           (floor(col("u") * 1e6) / 1e6).as("u"))
     },
 
+    // Overlapping fixed-token chunking (32-token windows every 24):
+    // the retrieval-indexing / context-window prep step; one narrow
+    // pass, zero exchanges
+    "tx_chunk_docs" -> { (s, dir) =>
+      TextOps.chunkDocuments(Graft.table(s, dir, "documents"),
+        chunkTokens = 32, overlap = 8)
+    },
+
     // Token-budget corpus selection: greedy best-quality-first fill of a
     // 10k-token global budget (range-partitioned prefix sum — no global
     // single-partition sort; budget-exceeding partitions pruned pre-window)
@@ -2259,6 +2267,27 @@ object SparkEntry {
          |SELECT q.doc_id, q.q, floor(u.u * 1000000.0) / 1000000.0 AS u
          |FROM q JOIN u ON q.doc_id = u.doc_id
          |WHERE u.u < q.q""".stripMargin,
+
+    // chunk starts 0, 24, 48, ... while < len(tk) (DuckDB range
+    // excludes its stop, Spark sequence includes it — range(0, n, 24)
+    // == sequence(0, n-1, 24) for n >= 1, and the whitespace split of
+    // any text is never empty); list_slice is 1-based inclusive like
+    // Spark's slice
+    "tx_chunk_docs" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    string_split_regex(trim(text), '${"\\"}s+') AS toks
+         |  FROM documents
+         |),
+         |st AS (
+         |  SELECT doc_id, toks, UNNEST(range(0, len(toks), 24)) AS start
+         |  FROM tk
+         |)
+         |SELECT doc_id,
+         |  CAST(start // 24 AS INT) AS chunk_id,
+         |  array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+         |  CAST(LEAST(len(toks) - start, 32) AS BIGINT) AS n_tokens
+         |FROM st""".stripMargin,
 
     // global greedy best-quality-first fill of a 10k-token budget: keep
     // iff the running token total BEFORE the doc (cum - n_tokens) is

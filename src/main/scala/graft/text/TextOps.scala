@@ -582,6 +582,50 @@ object TextOps {
       .drop("tgt")
   }
 
+  /** Overlapping fixed-token document chunking — the retrieval-indexing
+    * / context-window prep step ([[packSequences]] packs WHOLE docs into
+    * training bins; this SPLITS each doc into `chunkTokens`-token
+    * windows every `chunkTokens − overlap` tokens, so consecutive
+    * chunks share `overlap` tokens and no span longer than the stride
+    * is ever split across a chunk boundary without also appearing
+    * intact in one chunk). Chunk starts are `0, stride, 2·stride, …`
+    * while < the token count, so every document — including one
+    * shorter than a chunk — emits at least one chunk and every token
+    * lands in ≥ 1 chunk.
+    *
+    * Scale shape: ONE narrow pass — tokenize, per-row `sequence` of
+    * starts, explode, per-row `slice`+`array_join` — no exchange at
+    * all (the operator is embarrassingly row-parallel; output rows ≈
+    * tokens/stride per doc). Deterministic pure function of the text,
+    * so DuckDB re-derives it exactly.
+    *
+    * Output: (doc_id, chunk_id, chunk_text, n_tokens), chunk_id the
+    * 0-based window index, n_tokens the actual (≤ chunkTokens) size of
+    * the possibly-short final chunk.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(
+          lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(stride)))
+          .as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("int").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * sequences by concat-then-chunk — documents are laid out in doc_id
     * order within a shard and each starts in bin
