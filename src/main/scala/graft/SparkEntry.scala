@@ -1442,6 +1442,29 @@ object SparkEntry {
       TextOps.lmScoreFromStore(docs, store)
     },
 
+    // CCNet head/middle/tail perplexity terciles over the LM score:
+    // rank-based NTILE (pure integer arithmetic, no interpolated
+    // threshold), global rank via the offsets discipline — never a
+    // single-task Window.orderBy
+    "tx_ppl_buckets" -> { (s, dir) =>
+      TextOps.pplBuckets(Graft.table(s, dir, "documents"))
+    },
+
+    // positional phrase search: exact token-adjacency occurrences
+    // counted IN PLACE on the token array (one codegen'd map-only scan,
+    // no positional-postings shuffle), top-k docs by hit count
+    "tx_phrase_search" -> { (s, dir) =>
+      TextOps.phraseSearch(Graft.table(s, dir, "documents"),
+        PhraseTerms, k = 10)
+    },
+
+    // fastText-shaped hashed linear classifier score: O(nBuckets)
+    // weight literal rides the closure like a broadcast, one tokenize
+    // scan, zero shuffle — the learned-quality-gate shape (CCNet §4.3)
+    "tx_classifier_score" -> { (s, dir) =>
+      TextOps.classifierScore(Graft.table(s, dir, "documents"))
+    },
+
     // hashed TF-IDF featurization over md5 buckets (engine-portable, no
     // murmur); stats cover the full corpus, output sampled to every
     // 10th doc to keep the gate's compare bounded
@@ -1647,6 +1670,13 @@ object SparkEntry {
     "the", "of", "and", "to", "a", "in", "is", "it",
     "neural", "quantum", "qqqzzz")
 
+  /** The phrase the positional search key queries — two adjacent
+    * vocabulary terms that genuinely co-occur in the synthetic corpus
+    * (including multi-hit documents, so the hit-count ordering is
+    * exercised, not just membership).
+    */
+  private val PhraseTerms = Seq("fast", "table")
+
   /** The truncated-quality-score CTEs (`scored` + `q`) shared by the
     * quality-family oracles — same formula as `tx_analyze` (plain
     * string: the `\s+` must not pass through an s-interpolator).
@@ -1777,6 +1807,24 @@ object SparkEntry {
     // corpus minus slice), so they share those oracles
     "tx_bm25_append_serve" -> baseOracleSql("tx_bm25_append"),
     "tx_bm25_delete_serve" -> baseOracleSql("tx_bm25_delete"),
+    // CCNet terciles: NTILE(3) over (lm_score, doc_id) on the lm
+    // oracle's own output — rank-based bucketing is pure integer
+    // arithmetic once the (shared, bit-deterministic) score fixes the
+    // order, so no interpolated-percentile ulp hazard exists
+    "tx_ppl_buckets" ->
+      s"""WITH base AS (
+         |${baseOracleSql("tx_lm_score")}
+         |),
+         |r AS (
+         |  SELECT doc_id, n_tokens, lm_score,
+         |         NTILE(3) OVER (ORDER BY lm_score, doc_id) AS b
+         |  FROM base
+         |)
+         |SELECT CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS ppl_bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         |       MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
+         |FROM r GROUP BY 1""".stripMargin,
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate
@@ -3204,6 +3252,48 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |       floor(list_sum(list(logp ORDER BY pos)) / n_tokens * 1000000.0) / 1000000.0 AS lm_score
         |FROM lp GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // phrase adjacency re-derived with a list-lambda over candidate
+    // start positions (DuckDB lists are 1-based; range() excludes its
+    // stop, so starts run 1 .. len−m+1 and vanish for short docs)
+    "tx_phrase_search" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '${"\\"}s+') AS t FROM documents
+         |),
+         |hits AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(range(1, len(t) - ${PhraseTerms.length} + 2),
+         |              i -> ${PhraseTerms.zipWithIndex.map { case (w, j) =>
+                              s"t[i + $j] = '$w'" }.mkString(" AND ")})) AS BIGINT) AS n_hits
+         |  FROM tok
+         |)
+         |SELECT doc_id, n_hits FROM hits WHERE n_hits > 0
+         |ORDER BY n_hits DESC, doc_id LIMIT 10""".stripMargin,
+
+    // the hash-derived weight vector re-derived inline: bucket and
+    // weight are both exact integer md5-prefix arithmetic, the per-doc
+    // fold is in position order, and the sigmoid is floor-truncated —
+    // the lm-oracle determinism discipline
+    "tx_classifier_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+        |),
+        |big AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, i AS pos,
+        |         t[CAST(i + 1 AS INT)] AS tok
+        |  FROM (SELECT doc_id, t, UNNEST(range(len(t))) AS i FROM tok)
+        |),
+        |wgt AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         (CAST(('0x' || substr(md5('w:' ||
+        |            CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)
+        |          ), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+        |  FROM big
+        |)
+        |SELECT doc_id, n_tokens,
+        |       floor(1.0 / (1.0 + exp(-(list_sum(list(w ORDER BY pos)) / n_tokens)))
+        |             * 1000000.0) / 1000000.0 AS cls_score
+        |FROM wgt GROUP BY doc_id, n_tokens""".stripMargin,
 
     // exact integer tf/df/N + bucket-ordered w^2 folds: ln, sqrt, and
     // division land on identical doubles in both engines

@@ -1849,6 +1849,172 @@ object TextOps {
       .select(col("doc_id"), col("dsir_score"), col("g_key"))
   }
 
+  /** Positional phrase search: per-document occurrence count of an exact
+    * consecutive-token phrase, top-k documents by hit count. The lexical
+    * sibling of [[bm25TopK]] for queries where term ADJACENCY matters
+    * ("new york" ≠ "york new") — the classic positional-index query of
+    * IR engines (Manning et al., IIR §2.4).
+    *
+    * Deliberately NOT a positional-postings self-join: a posting-list
+    * formulation shuffles (term, doc_id, pos) triples and joins them
+    * `phrase.length − 1` times on `pos + i`. Here the token array is
+    * checked IN PLACE with native higher-order functions — a `filter`
+    * over the candidate start positions conjoining `element_at` probes —
+    * so the whole match is one codegen'd map-only pass over the corpus;
+    * the only exchange is the k-row TakeOrdered. At 100 TB that is the
+    * difference between a corpus-sized shuffle and none.
+    *
+    * Output: (doc_id, n_hits) for matching docs, hit-count descending,
+    * doc_id tiebreak, limit k.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    require(k > 0, "k must be positive")
+    val m = phrase.length
+    // candidate starts 0 .. size-m (0-based); sequence() with start >
+    // stop generates a DESCENDING ramp in Spark, so the short-doc case
+    // must short-circuit to an empty array rather than rely on it
+    val starts = when(size(col("t")) >= m,
+      sequence(lit(0), size(col("t")) - m))
+      .otherwise(array().cast("array<int>"))
+    val matchAt = (i: Column) =>
+      phrase.zipWithIndex.map { case (w, j) =>
+        // element_at is 1-based; i + j + 1 ≤ size by the starts guard
+        element_at(col("t"), i + j + 1) === lit(w)
+      }.reduce(_ && _)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(filter(starts, matchAt)).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+      .orderBy(col("n_hits").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Linear text-classifier scoring — the fastText shape (Joulin et al.
+    * EACL'17) that production pipelines use as the learned quality gate
+    * (CCNet §4.3, LLaMA's Wikipedia-reference classifier): tokens hash
+    * into `nBuckets` bag-of-words buckets, the bucket weights dot with
+    * the document, the mean-pooled margin squashes through a sigmoid.
+    *
+    * The weight vector here is hash-DERIVED (each bucket's weight is a
+    * deterministic function of its id) because no trained model ships
+    * with a library — the operator's value is its SHAPE: the model is an
+    * O(nBuckets) array literal riding the closure into every task
+    * exactly like a broadcast (swap in trained floats and nothing else
+    * changes), scoring is ONE tokenize scan with the per-document fold
+    * in array order (the [[bm25TopK]] bit-determinism discipline), and
+    * there is NO shuffle at all — the aggregate happens inside the
+    * per-row `aggregate` lambda, not a groupBy. At 100 TB this is the
+    * cheapest possible operator class: map-only, model O(kB).
+    *
+    * Output: (doc_id, n_tokens, cls_score) with cls_score ∈ (0, 1)
+    * floor-truncated to 6 decimals.
+    */
+  def classifierScore(docs: DataFrame, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    // the "trained model": weight(b) = (H("w:b") mod 2001 − 1000)/1000 ∈
+    // [−1, 1], H the engine-portable md5-prefix hash — derived ONCE on
+    // the driver with exact integer arithmetic, shipped as an 8·nBuckets
+    // byte array literal
+    val weights = Array.tabulate(nBuckets) { b =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$b".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(4).map(x => f"$x%02x").mkString, 16)
+      (h % 2001 - 1000).toDouble / 1000.0
+    }
+    val wlit = lit(weights)
+    val weightOf = (tok: Column) =>
+      element_at(wlit,
+        (conv(md5(tok).substr(1, 8), 16, 10).cast("long") % nBuckets)
+          .cast("int") + 1)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        aggregate(col("t"), lit(0.0), (acc, tok) => acc + weightOf(tok))
+          .as("raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(lit(1.0) / (lit(1.0) + exp(-(col("raw") / col("n_tokens"))))
+          * 1e6) / 1e6).as("cls_score"))
+  }
+
+  /** CCNet-style perplexity terciles (Wenzek et al. LREC'20 §4.3): rank
+    * every document by its [[lmScore]] (low = fluent, in-distribution)
+    * and split the corpus into equal-count `head` / `middle` / `tail`
+    * buckets — the standard coarse quality partition that downstream
+    * mixes sample from (head kept, middle down-weighted, tail dropped).
+    *
+    * Rank-based, not threshold-based, ON PURPOSE: a percentile threshold
+    * compares doubles at an interpolated boundary (engine last-ulp
+    * territory), while an NTILE over (lm_score, doc_id) is pure integer
+    * arithmetic once the order is fixed. The global rank uses the
+    * [[graft.kmeans.Ops.splitContiguous]] discipline — range-partition
+    * on the sort key, per-partition counts to the driver (one tiny
+    * aggregate), global rank = partition offset + LOCAL row_number — so
+    * no `Window.orderBy` with an empty partition spec ever drags the
+    * corpus through one task. NTILE remainder semantics (first `n mod 3`
+    * buckets take the extra row) are replicated exactly.
+    *
+    * Output: (ppl_bucket, n_docs, sum_tokens, min_score, max_score),
+    * one row per non-empty bucket.
+    */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    // cached: the range partitioning is sample-based (nondeterministic
+    // across jobs) and feeds both the count collect and the ranked plan
+    val ranged = graft.util.OpCaches.cache(
+      lmScore(docs)
+        .repartitionByRange(col("lm_score"), col("doc_id"))
+        .withColumn("_pidx", spark_partition_id()))
+    val counts = ranged.groupBy(col("_pidx")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty)
+      return spark.emptyDataFrame.select(
+        lit("head").as("ppl_bucket"), lit(0L).as("n_docs"),
+        lit(0L).as("sum_tokens"), lit(0.0).as("min_score"),
+        lit(0.0).as("max_score"))
+    val total = counts.map(_._2).sum
+    val q = total / 3
+    val rem = total % 3
+    var acc = 0L
+    val offsets = counts.map { case (p, c) => val o = (p, acc); acc += c; o }
+    val offsetCol = element_at(
+      map(offsets.flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }.toIndexedSeq: _*),
+      col("_pidx"))
+    val w = Window.partitionBy(col("_pidx"))
+      .orderBy(col("lm_score"), col("doc_id"))
+    // NTILE(3) from the 1-based global rank r: the first `rem` buckets
+    // hold q+1 rows each. Column./ is DOUBLE division — the explicit
+    // floor keeps this integer arithmetic (exact: ranks ≪ 2^53)
+    val r = row_number().over(w).cast("long") + offsetCol
+    val bucket = when(r <= rem * (q + 1),
+      floor((r - 1) / lit((q + 1).toDouble)).cast("long"))
+      .otherwise(lit(rem) +
+        floor((r - 1 - rem * (q + 1)) / lit(math.max(q, 1L).toDouble))
+          .cast("long"))
+    ranged
+      .withColumn("b", bucket)
+      .groupBy(col("b"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("lm_score")).as("min_score"),
+        max(col("lm_score")).as("max_score"))
+      .select(
+        when(col("b") === 0, "head")
+          .when(col("b") === 1, "middle")
+          .otherwise("tail").as("ppl_bucket"),
+        col("n_docs"), col("sum_tokens"),
+        col("min_score"), col("max_score"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

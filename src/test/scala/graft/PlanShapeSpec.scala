@@ -528,6 +528,49 @@ class PlanShapeSpec extends AnyFunSuite {
       s"shuffle exchange on the hot probe branch:\n${b.toString.take(1500)}"))
   }
 
+  test("phraseSearch: map-only scan — the only exchange is the k-row " +
+      "TakeOrdered, never a positional-postings shuffle") {
+    import graft.text.TextOps
+    val plan = executed(TextOps.phraseSearch(
+      Graft.table(spark, sf, "documents"), Seq("fast", "table"), 10))
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-k not a TakeOrdered:\n${s.take(800)}")
+    // TakeOrdered does its own limit-exchange; below it there must be NO
+    // Exchange (no explode, no join, no aggregation shuffle)
+    assert(!s.contains("Exchange"),
+      s"unexpected shuffle in the phrase scan:\n${s.take(1000)}")
+    assert(!s.contains("Generate"),
+      s"positional explode present — should match in place:\n${s.take(1000)}")
+  }
+
+  test("classifierScore: zero exchanges of any kind — pure map-side " +
+      "projection with the weight array inlined") {
+    import graft.text.TextOps
+    val s = executed(
+      TextOps.classifierScore(Graft.table(spark, sf, "documents"))).toString
+    assert(!s.contains("Exchange"),
+      s"classifier scoring shuffled:\n${s.take(1000)}")
+    assert(!s.contains("Generate") && !s.contains("Join"),
+      s"classifier scoring exploded or joined:\n${s.take(1000)}")
+  }
+
+  test("pplBuckets: ranking windows are per-range-partition (partitionBy " +
+      "_pidx), never a single-task global Window.orderBy") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import graft.text.TextOps
+    // the rank window rides ABOVE the OpCaches boundary, so assert on the
+    // optimized LOGICAL plan (an executed-plan collect would stop at the
+    // InMemoryTableScan and miss nothing — but also prove nothing)
+    val plan = TextOps.pplBuckets(Graft.table(spark, sf, "documents"))
+      .queryExecution.optimizedPlan
+    graft.util.OpCaches.releaseAll(spark)
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window for the per-partition rank")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"empty-partition-spec window (single-task global sort):\n${w.toString.take(600)}"))
+  }
+
   test("paragraphDedup reassembly: no split() inside any lambda in the " +
       "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}

@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kmeans.SparkTestSession
+import graft.text.TextOps
+
+/** Positional phrase search ([[TextOps.phraseSearch]]), the fastText-shaped
+  * linear classifier ([[TextOps.classifierScore]]), and CCNet perplexity
+  * terciles ([[TextOps.pplBuckets]]).
+  */
+class PhraseClassifierPplSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- phrase
+
+  private def hits(docs: Seq[(Long, String)], phrase: Seq[String], k: Int = 10) =
+    TextOps.phraseSearch(docs.toDF("doc_id", "text"), phrase, k)
+      .as[(Long, Long)].collect().toSeq
+
+  test("phraseSearch counts overlapping occurrences at every start") {
+    // "a a a" contains "a a" at starts 0 and 1 — overlapping matches count
+    assert(hits(Seq((1L, "a a a")), Seq("a", "a")) === Seq((1L, 2L)))
+  }
+
+  test("phraseSearch requires exact adjacency, not co-occurrence") {
+    val docs = Seq(
+      (1L, "new york city"),   // phrase present
+      (2L, "york new city"),   // both terms, wrong order
+      (3L, "new haven york"))  // both terms, not adjacent
+    assert(hits(docs, Seq("new", "york")) === Seq((1L, 1L)))
+  }
+
+  test("phraseSearch orders by hit count desc, doc_id tiebreak, limit k") {
+    val docs = Seq(
+      (5L, "x y x y x y"), // 3 hits
+      (2L, "x y q x y"),   // 2 hits
+      (9L, "q x y q"),     // 1 hit
+      (1L, "x y z"))       // 1 hit
+    assert(hits(docs, Seq("x", "y")) ===
+      Seq((5L, 3L), (2L, 2L), (1L, 1L), (9L, 1L)))
+    assert(hits(docs, Seq("x", "y"), k = 2) === Seq((5L, 3L), (2L, 2L)))
+  }
+
+  test("phraseSearch: docs shorter than the phrase yield no row") {
+    assert(hits(Seq((1L, "a b"), (2L, "a")), Seq("a", "b", "c")) === Seq())
+  }
+
+  test("phraseSearch with a 1-term phrase degenerates to term frequency") {
+    assert(hits(Seq((1L, "t q t t"), (2L, "q q")), Seq("t")) ===
+      Seq((1L, 3L)))
+  }
+
+  test("phraseSearch rejects empty phrase and non-positive k") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](TextOps.phraseSearch(df, Seq(), 1))
+    intercept[IllegalArgumentException](TextOps.phraseSearch(df, Seq("a"), 0))
+  }
+
+  // ------------------------------------------------------------ classifier
+
+  /** The operator's hash-derived weight, recomputed independently. */
+  private def refWeight(tok: String, nBuckets: Int = 1024): Double = {
+    def h(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map(x => f"$x%02x").mkString,
+      16)
+    val b = h(tok) % nBuckets
+    (h(s"w:$b") % 2001 - 1000).toDouble / 1000.0
+  }
+
+  test("classifierScore equals the sigmoid of the mean hash-derived weight") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha"))
+    val got = TextOps.classifierScore(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def expect(toks: Seq[String]): Double = {
+      val mean = toks.foldLeft(0.0)(_ + refWeight(_)) / toks.length
+      math.floor(1.0 / (1.0 + math.exp(-mean)) * 1e6) / 1e6
+    }
+    assert(got === Seq(
+      (1L, 3L, expect(Seq("alpha", "beta", "gamma"))),
+      (2L, 1L, expect(Seq("alpha")))))
+  }
+
+  test("classifierScore is bounded in (0, 1) and partitioning-invariant") {
+    val docs = (0L until 40L).map(i => (i, s"tok$i common words here"))
+    val df = docs.toDF("doc_id", "text")
+    val a = TextOps.classifierScore(df)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = TextOps.classifierScore(df.repartition(7))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a === b)
+    assert(a.forall { case (_, _, s) => s > 0.0 && s < 1.0 })
+  }
+
+  // ------------------------------------------------------------------- ppl
+
+  test("pplBuckets replicates NTILE(3) remainder semantics and orders by score") {
+    // 7 docs => ntile sizes 3, 2, 2 (first bucket takes the remainder)
+    val docs = (0L until 7L)
+      .map(i => (i, ("w " * (3 + i.toInt)).trim + s" unique$i"))
+    val got = TextOps.pplBuckets(docs.toDF("doc_id", "text"))
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("head", "middle", "tail"))
+    assert(got("head")._2 === 3L)
+    assert(got("middle")._2 === 2L)
+    assert(got("tail")._2 === 2L)
+    // tercile boundaries are ordered: head holds the LOWEST lm scores
+    assert(got("head")._5 <= got("middle")._4)
+    assert(got("middle")._5 <= got("tail")._4)
+  }
+
+  test("pplBuckets conserves doc and token totals") {
+    val docs = (0L until 30L)
+      .map(i => (i, (0 to (i % 5).toInt).map(j => s"w${(i + j) % 7}").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextOps.pplBuckets(df)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._2).sum === 30L)
+    val totalTokens = df.select(sum(size(split(trim(col("text")), "\\s+"))))
+      .as[Long].collect()(0)
+    assert(got.map(_._3).sum === totalTokens)
+  }
+
+  test("pplBuckets agrees with a direct ntile over the collected lm scores") {
+    val docs = (0L until 23L)
+      .map(i => (i, (0 to (i % 6).toInt).map(j => s"t${(i * 3 + j) % 11}").mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val scored = TextOps.lmScore(df)
+      .select(col("doc_id"), col("lm_score"))
+      .as[(Long, Double)].collect().sortBy(r => (r._2, r._1)).toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    val n = scored.length
+    val (q, rem) = (n / 3, n % 3)
+    val sizes = (0 until 3).map(b => if (b < rem) q + 1 else q)
+    val expected = sizes.zip(Seq("head", "middle", "tail"))
+      .foldLeft((Map.empty[String, Long], 0)) {
+        case ((m, off), (sz, lbl)) => (m + (lbl -> sz.toLong), off + sz)
+      }._1.filter(_._2 > 0)
+    val got = TextOps.pplBuckets(df)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got === expected)
+  }
+}
