@@ -1030,6 +1030,19 @@ object SparkEntry {
       Dedup.dupGroups(pairs)
     },
 
+    // canonical-keeper selection on top of the same group chain: per
+    // duplicate group the highest-quality member (doc_id tiebreak),
+    // singletons pass through — quality projected map-side, argmax via
+    // partially-aggregable max_by, never a text shuffle
+    "dd_dup_canonical" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val pairs = Dedup.verifyJaccard(
+        docs,
+        Dedup.minHashCandidates(docs, n = 3, numHashes = 12, bands = 4),
+        n = 3, threshold = 0.5)
+      Dedup.canonicalDocs(docs, Dedup.dupGroups(pairs))
+    },
+
     // ---- training-data pipeline: similarity search ----------------------
     // Embedding-cosine near-duplicate pairs (exact all-pairs baseline)
     "sm_cosine_neardup" -> { (s, dir) =>
@@ -3127,6 +3140,31 @@ object SparkEntry {
         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
         |)
         |SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a""".stripMargin,
+
+    // the group chain (shared template + the recursive reach) composed
+    // with the quality CTEs; keeper = row_number 1 over (q DESC, doc_id)
+    // per gid ≡ Spark's max_by on the (q, −doc_id) total order
+    "dd_dup_canonical" ->
+      s"""WITH RECURSIVE ${dedupVerCtes("documents")},
+         |edges AS (SELECT d1 AS a, d2 AS b FROM ver UNION SELECT d2, d1 FROM ver),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+         |),
+         |grp AS (SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a),
+         |$QUALITY_CTES,
+         |mem AS (SELECT g.doc_id, g.gid, q.q FROM grp g JOIN q USING (doc_id)),
+         |keep AS (
+         |  SELECT doc_id, gid, q,
+         |         CAST(COUNT(*) OVER (PARTITION BY gid) AS BIGINT) AS n_members,
+         |         ROW_NUMBER() OVER (PARTITION BY gid ORDER BY q DESC, doc_id) AS rn
+         |  FROM mem
+         |)
+         |SELECT doc_id, gid, q, n_members FROM keep WHERE rn = 1
+         |UNION ALL
+         |SELECT doc_id, doc_id AS gid, q, CAST(1 AS BIGINT) AS n_members
+         |FROM q WHERE doc_id NOT IN (SELECT doc_id FROM grp)""".stripMargin,
 
     // quality gate (repetition + length) mirrored from tx_repetition,
     // then the shared near-dedup chain rebased onto the filtered docs

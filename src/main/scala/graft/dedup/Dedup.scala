@@ -1304,6 +1304,49 @@ object Dedup {
     (groups, round)
   }
 
+  /** Canonical-representative selection: the production step AFTER
+    * grouping — a pipeline doesn't just find duplicate groups, it must
+    * decide which member to KEEP. Keeps, per group, the member with the
+    * highest [[TextOps.qualityScore]] (lowest doc_id on ties); documents
+    * in no group are their own keepers.
+    *
+    * Scale shape: quality is projected map-side BEFORE anything shuffles
+    * (the join and aggregate move (doc_id, gid, q) triples, never text);
+    * the per-group argmax is a `max_by` over a (q, −doc_id) ordering
+    * struct — a partially-aggregable function, so each map task reduces
+    * its groups to one candidate row before the exchange, exactly like a
+    * max. The singleton pass-through is a left-anti join on doc_id (no
+    * corpus self-join). The ordering struct is a TOTAL order (doc_id is
+    * unique), so the argmax is deterministic — no arbitrary-tie hazard.
+    *
+    * @param docs   (doc_id, text, ...) corpus
+    * @param groups (doc_id, gid) membership, e.g. [[dupGroups]] output
+    * @return (doc_id, gid, q, n_members) — one keeper row per group plus
+    *         one row per singleton (gid = own doc_id, n_members = 1)
+    */
+  def canonicalDocs(docs: DataFrame, groups: DataFrame): DataFrame = {
+    val q = docs.select(
+      col("doc_id"),
+      (floor(TextOps.qualityScore(col("text")) * 1e6) / 1e6).as("q"))
+    val keepers = groups
+      .join(q, Seq("doc_id"))
+      .groupBy(col("gid"))
+      .agg(
+        max_by(
+          struct(col("doc_id"), col("q")),
+          struct(col("q"), -col("doc_id"))).as("k"),
+        count(lit(1)).as("n_members"))
+      .select(
+        col("k.doc_id").as("doc_id"), col("gid"),
+        col("k.q").as("q"), col("n_members"))
+    val singles = q
+      .join(groups.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"), col("doc_id").as("gid"),
+        col("q"), lit(1L).as("n_members"))
+    keepers.unionByName(singles)
+  }
+
   // ---------------------------------------------------------------------
   // SimHash
   // ---------------------------------------------------------------------

@@ -571,6 +571,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"empty-partition-spec window (single-task global sort):\n${w.toString.take(600)}"))
   }
 
+  test("canonicalDocs: the keeper argmax is a partial+final aggregate " +
+      "pair and no exchange ever carries the text column") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val docs = Graft.table(spark, sf, "documents")
+    val groups = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "gid")
+    // sparkPlan, not executedPlan: the AQE wrapper hides its inner tree
+    // from collect() until execution
+    val plan = Dedup.canonicalDocs(docs, groups).queryExecution.sparkPlan
+    // quality is projected map-side: every shuffle moves (id, gid, q)
+    // triples, never the text column
+    plan.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+      assert(!e.output.exists(_.name == "text"),
+        s"exchange carries text:\n${e.toString.take(600)}"))
+    // max_by is a DeclarativeAggregate: partial aggregation must reduce
+    // each map task's groups before the gid exchange (the struct-typed
+    // ordering buffer rules out HashAggregate — SortAggregate is fine,
+    // the property under lock is the Partial mode, not the exec)
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.exists(_.aggregateExpressions.exists(ae =>
+        ae.mode.toString.contains("Partial") &&
+          ae.aggregateFunction.prettyName == "max_by")),
+      s"no partial max_by aggregate:\n${plan.toString.take(1200)}")
+  }
+
   test("paragraphDedup reassembly: no split() inside any lambda in the " +
       "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}

@@ -802,6 +802,44 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.toMap === nodes.map(n => n -> find(n)).toMap)
   }
 
+  test("canonicalDocs keeps the highest-quality member per group; " +
+      "singletons pass through as their own keepers") {
+    val d = docs(
+      // group 1: doc 2 is longer with stopwords → higher quality score
+      (1L, "zz zz"),
+      (2L, "the quick brown fox jumps over the lazy dog and it is fine"),
+      // group 7: equal text → equal q, lowest doc_id must win
+      (7L, "same words here"),
+      (9L, "same words here"),
+      // singleton
+      (4L, "alone in the corpus"))
+    val groups = Seq((1L, 1L), (2L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "gid")
+    val got = Dedup.canonicalDocs(d, groups)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    // independent reference for the selection: the operator's own quality
+    // projection (separately oracle-tested), argmax by (q, -doc_id)
+    val q = d.select($"doc_id",
+        floor(TextOps.qualityScore($"text") * 1e6) / 1e6)
+      .as[(Long, Double)].collect().toMap
+    assert(q(2L) > q(1L)) // the premise of the group-1 case
+    assert(q(7L) === q(9L)) // the premise of the tiebreak case
+    assert(got.map(r => (r._1, r._2, r._4)).toSeq ===
+      Seq((2L, 1L, 2L), (4L, 4L, 1L), (7L, 7L, 2L)))
+    got.foreach(r => assert(r._3 === q(r._1)))
+    // conservation: every corpus doc is either a keeper or absorbed
+    assert(got.map(_._4).sum === 5L)
+  }
+
+  test("canonicalDocs on an empty group set passes every doc through") {
+    val d = docs((1L, "a b c"), (2L, "d e f"))
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "gid")
+    val got = Dedup.canonicalDocs(d, empty)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(got.map(r => (r._1, r._2, r._4)).toSeq ===
+      Seq((1L, 1L, 1L), (2L, 2L, 1L)))
+  }
+
   test("simHashWeighted: repetition shifts the fingerprint toward the heavy token") {
     val d = docs(
       (1L, "alpha beta"),
