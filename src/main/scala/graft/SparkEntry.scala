@@ -1463,6 +1463,14 @@ object SparkEntry {
       TextOps.pplBuckets(Graft.table(s, dir, "documents"))
     },
 
+    // per-source quality deciles (pre-mixing normalization): the offsets
+    // discipline generalized to grouped ranking — per-(partition, source)
+    // offsets + a (_pidx, source) window, never a per-source
+    // single-task sort
+    "tx_quality_calibration" -> { (s, dir) =>
+      TextOps.qualityCalibration(Graft.table(s, dir, "documents"))
+    },
+
     // positional phrase search: exact token-adjacency occurrences
     // counted IN PLACE on the token array (one codegen'd map-only scan,
     // no positional-postings shuffle), top-k docs by hit count
@@ -1838,6 +1846,20 @@ object SparkEntry {
          |       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          |       MIN(lm_score) AS min_score, MAX(lm_score) AS max_score
          |FROM r GROUP BY 1""".stripMargin,
+    // per-source NTILE over the shared quality CTEs — the grouped form
+    // of the tx_ppl_buckets rank-vs-threshold argument: once the
+    // truncated q fixes the per-source order, the decile is pure
+    // integer arithmetic
+    "tx_quality_calibration" ->
+      s"""WITH $QUALITY_CTES,
+         |j AS (
+         |  SELECT d.doc_id, d.source, q.q
+         |  FROM documents d JOIN q USING (doc_id)
+         |)
+         |SELECT doc_id, source, q,
+         |       CAST(NTILE(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT)
+         |         AS cal_decile
+         |FROM j""".stripMargin,
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

@@ -2015,6 +2015,88 @@ object TextOps {
         col("min_score"), col("max_score"))
   }
 
+  /** Per-source quality calibration: each document's [[qualityScore]]
+    * decile WITHIN its source (NTILE(nBuckets) over (q, doc_id) per
+    * source) — the standard pre-mixing normalization: raw quality scores
+    * are not comparable across sources (a median web page and a median
+    * reference page score very differently), so per-source mixing rates
+    * are expressed against each source's OWN distribution.
+    *
+    * The [[pplBuckets]] offsets discipline generalized to grouped
+    * ranking: range-partition on (source, q, doc_id), collect per
+    * (partition, source) counts (≤ partitions × sources tiny rows — the
+    * group keys of a pre-aggregated map-side combine, NOT data), and the
+    * per-source global rank is the (partition, source) offset plus a
+    * `Window.partitionBy(_pidx, source)` row_number. No per-source
+    * single-task sort ever happens — the naive
+    * `Window.partitionBy(source).orderBy(q)` drags each source's entire
+    * corpus (billions of rows at 100 TB for a web-scale source) through
+    * ONE task; here every task ranks only its own slice. NTILE remainder
+    * semantics (first `total mod n` buckets take one extra row) are
+    * replicated exactly in integer arithmetic.
+    *
+    * Output: (doc_id, source, q, cal_decile) with cal_decile 1-based.
+    */
+  def qualityCalibration(docs: DataFrame, nBuckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = docs.sparkSession
+    val scored = docs.select(
+      col("doc_id"), col("source"),
+      (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"))
+    // cached: the range partitioning is sample-based (nondeterministic
+    // across jobs) and feeds both the count collect and the ranked plan
+    val ranged = graft.util.OpCaches.cache(
+      scored
+        .repartitionByRange(col("source"), col("q"), col("doc_id"))
+        .withColumn("_pidx", spark_partition_id()))
+    val counts = ranged
+      .groupBy(col("_pidx"), col("source")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    if (counts.isEmpty)
+      return spark.emptyDataFrame.select(
+        lit(0L).as("doc_id"), lit("").as("source"),
+        lit(0.0).as("q"), lit(0L).as("cal_decile"))
+    // per-source cumulative offsets keyed by "pidx:source"; totals per
+    // source — both tiny driver-side literals (sources × partitions)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val totals = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (p, s, c) =>
+      val acc = totals.getOrElse(s, 0L)
+      offsets += (s"$p:$s" -> acc)
+      totals(s) = acc + c
+    }
+    val offsetCol = element_at(
+      map(offsets.toSeq.flatMap { case (k, o) =>
+        Seq(lit(k), lit(o)) }.toIndexedSeq: _*),
+      concat(col("_pidx").cast("string"), lit(":"), col("source")))
+    val totalCol = element_at(
+      map(totals.toSeq.flatMap { case (s, t) =>
+        Seq(lit(s), lit(t)) }.toIndexedSeq: _*),
+      col("source"))
+    val w = Window.partitionBy(col("_pidx"), col("source"))
+      .orderBy(col("q"), col("doc_id"))
+    val r = row_number().over(w).cast("long") + offsetCol
+    // NTILE(n) from the 1-based per-source rank: qsize = total / n,
+    // rem = total % n; the first rem buckets hold qsize+1 rows. Column./
+    // is DOUBLE division — floor keeps it exact (ranks ≪ 2^53); for
+    // total < n, qsize = 0 and every rank lands in the rem branch,
+    // degenerating to one row per bucket — NTILE's exact semantics.
+    val qsize = floor(totalCol / lit(nBuckets.toDouble)).cast("long")
+    val rem = totalCol % nBuckets
+    val bucket = when(r <= rem * (qsize + 1L),
+      floor((r - 1L) / (qsize + 1L).cast("double")).cast("long"))
+      .otherwise(rem +
+        floor((r - 1L - rem * (qsize + 1L)) /
+          greatest(qsize, lit(1L)).cast("double")).cast("long"))
+    ranged
+      .select(
+        col("doc_id"), col("source"), col("q"),
+        (bucket + 1L).as("cal_decile"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -599,6 +599,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no partial max_by aggregate:\n${plan.toString.take(1200)}")
   }
 
+  test("qualityCalibration: ranking windows are per-(range-partition, " +
+      "source), never a single-task-per-source Window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import graft.text.TextOps
+    val plan = TextOps.qualityCalibration(Graft.table(spark, sf, "documents"))
+      .queryExecution.optimizedPlan
+    graft.util.OpCaches.releaseAll(spark)
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window for the per-partition rank")
+    // a (source)-only partition spec would drag a web-scale source
+    // through one task; the spec must carry the range-partition index too
+    windows.foreach(w => assert(
+      w.partitionSpec.exists(_.references.exists(_.name == "_pidx")),
+      s"window not keyed by the range-partition index:\n${w.toString.take(600)}"))
+  }
+
   test("paragraphDedup reassembly: no split() inside any lambda in the " +
       "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}

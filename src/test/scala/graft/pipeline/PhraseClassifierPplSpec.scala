@@ -145,4 +145,58 @@ class PhraseClassifierPplSpec extends AnyFunSuite {
       .map(r => r._1 -> r._2).toMap
     assert(got === expected)
   }
+
+  // ----------------------------------------------------------- calibration
+
+  /** Driver-side NTILE reference over a (q, doc_id)-sorted source slice. */
+  private def refNtile(n: Int, ranked: Seq[Long]): Map[Long, Long] = {
+    val total = ranked.length
+    val (qs, rem) = (total / n, total % n)
+    ranked.zipWithIndex.map { case (id, i) =>
+      val b = if (i < rem * (qs + 1)) i / (qs + 1)
+              else rem + (i - rem * (qs + 1)) / math.max(qs, 1)
+      id -> (b + 1L)
+    }.toMap
+  }
+
+  test("qualityCalibration ranks within each source independently and " +
+      "replicates NTILE remainder semantics") {
+    // 2 sources × uneven sizes (7 and 13) against nBuckets = 5:
+    // source a has rem 2, source b rem 3 — both remainder paths hit
+    val docs = (0L until 20L).map { i =>
+      val src = if (i < 7) "a" else "b"
+      (i, src, (0 to (i % 6).toInt).map(j => s"w${(i * 7 + j) % 13}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = TextOps.qualityCalibration(df, nBuckets = 5)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got.length === 20)
+    val bySrc = got.groupBy(_._2)
+    bySrc.foreach { case (_, rows) =>
+      val ranked = rows.sortBy(r => (r._3, r._1)).map(_._1)
+      val expect = refNtile(5, ranked)
+      rows.foreach(r => assert(r._4 === expect(r._1),
+        s"doc ${r._1} decile ${r._4} != ${expect(r._1)}"))
+    }
+    // per-source independence: each source's deciles span 1..5 on its own
+    assert(bySrc("a").map(_._4).min === 1L && bySrc("a").map(_._4).max === 5L)
+    assert(bySrc("b").map(_._4).min === 1L && bySrc("b").map(_._4).max === 5L)
+  }
+
+  test("qualityCalibration: a source smaller than nBuckets degenerates to " +
+      "one row per decile (NTILE semantics)") {
+    val df = Seq(
+      (1L, "tiny", "a b c"), (2L, "tiny", "d e f g h"),
+      (3L, "tiny", "i j")).toDF("doc_id", "source", "text")
+    val got = TextOps.qualityCalibration(df, nBuckets = 10)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got.map(_._4).sorted === Seq(1L, 2L, 3L))
+  }
+
+  test("qualityCalibration on an empty corpus returns the empty shape") {
+    val df = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextOps.qualityCalibration(df).count() === 0L)
+  }
 }
