@@ -1112,6 +1112,20 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
+    // hybrid lexical+dense retrieval: BM25 top-k over documents fused
+    // with cosine top-k over the aligned embeddings by reciprocal-rank
+    // fusion — rank-based, so no cross-scale score normalization; the
+    // fusion join touches two ≤ 10-row lists, the retrievals keep their
+    // own certified plans
+    "sm_hybrid_rrf" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.hybridRrfTopK(
+        docs, vecs, Seq("customer", "vector", "stream"),
+        queryVecId = 7L, k = 10)
+    },
+
     // Sign-LSH bucketed approximate top-k (deterministic md5 hyperplanes
     // make the buckets oracle-expressible; recall vs brute force is
     // asserted in SimilaritySpec)
@@ -1828,6 +1842,45 @@ object SparkEntry {
     // corpus minus slice), so they share those oracles
     "tx_bm25_append_serve" -> baseOracleSql("tx_bm25_append"),
     "tx_bm25_delete_serve" -> baseOracleSql("tx_bm25_delete"),
+    // hybrid RRF: the lexical leg is the tx_bm25_topk oracle verbatim as
+    // a derived table; the dense leg mirrors sm_ann_topk pinned to
+    // vec_id 7, rank ≤ 10; 1/(60 + rank) terms are exact-integer-to-
+    // double arithmetic in both engines, sum floor-truncated at 1e-9
+    "sm_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id,
+         |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+         |  FROM (
+         |${baseOracleSql("tx_bm25_topk")}
+         |  )
+         |),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT vec_id AS qid, v AS w FROM e WHERE vec_id = 7),
+         |dscored AS (
+         |  SELECT c.vec_id AS doc_id,
+         |    list_sum(list_transform(range(1, len(q.w)+1), i -> q.w[i]*c.v[i]))
+         |    / (sqrt(list_sum(list_transform(range(1, len(q.w)+1), i -> q.w[i]*q.w[i])))
+         |     * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))) AS sim
+         |  FROM qv q, e c WHERE c.vec_id != q.qid
+         |),
+         |den AS (
+         |  SELECT doc_id, dense_rank FROM (
+         |    SELECT doc_id,
+         |           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+         |    FROM dscored
+         |  ) WHERE dense_rank <= 10
+         |),
+         |f AS (
+         |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         |         CAST(d.dense_rank AS BIGINT) AS dense_rank,
+         |         floor((COALESCE(1.0 / (60.0 + l.lex_rank), 0.0)
+         |              + COALESCE(1.0 / (60.0 + d.dense_rank), 0.0))
+         |               * 1000000000.0) / 1000000000.0 AS rrf_score
+         |  FROM lex l FULL OUTER JOIN den d ON l.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, lex_rank, dense_rank, rrf_score
+         |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
     // CCNet terciles: NTILE(3) over (lm_score, doc_id) on the lm
     // oracle's own output — rank-based bucketing is pure integer
     // arithmetic once the (shared, bit-deterministic) score fixes the

@@ -1578,4 +1578,58 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("d1"), col("d2"), col("sim"))
   }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    * Buettcher, SIGIR'09): fuse a lexical BM25 ranking over the
+    * documents table with a dense cosine ranking over the aligned
+    * embeddings table — the standard RAG serving shape, where neither
+    * ranker alone is robust (BM25 misses paraphrase, dense misses rare
+    * exact terms). `rrf = Σ_rankers 1/(rrfK + rank)`, rank-based on
+    * purpose: raw BM25 scores and cosines live on incomparable scales,
+    * and RRF needs no per-query score normalization.
+    *
+    * Scale shape: all the heavy lifting is inside the two retrievals,
+    * which keep their own certified plans ([[graft.text.TextOps.bm25TopK]]
+    * one pruned corpus scan + TakeOrdered; [[bruteForceTopK]] a broadcast
+    * probe — swap in [[ivfTopKFromStore]] for a served corpus). The
+    * fusion itself touches two ≤ kEach-row lists: the rank windows and
+    * the full-outer join are O(kEach), not corpus-sized, so the
+    * empty-partition-spec window here is deliberate and harmless.
+    *
+    * The dense query is a corpus vector by id (the "more like this"
+    * anchor form); [[bruteForceTopK]] excludes the anchor itself.
+    *
+    * Output: (doc_id, lex_rank, dense_rank, rrf_score), rrf descending,
+    * doc_id tiebreak, limit k. Ranks are null where a ranker did not
+    * surface the doc; rrf is floor-truncated to 9 decimals.
+    */
+  def hybridRrfTopK(
+      docs: DataFrame,
+      vecs: DataFrame,
+      queryTerms: Seq[String],
+      queryVecId: Long,
+      k: Int,
+      kEach: Int = 10,
+      rrfK: Double = 60.0): DataFrame = {
+    require(k > 0 && kEach > 0, "k and kEach must be positive")
+    val lex = graft.text.TextOps.bm25TopK(docs, queryTerms, kEach)
+      .withColumn("lex_rank",
+        row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val dense = bruteForceTopK(
+        vecs.filter(col("id") === queryVecId), vecs, kEach)
+      .select(col("cid").as("doc_id"), col("rank").cast("long").as("dense_rank"))
+    lex
+      .join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        floor((coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)))
+          * 1e9) / 1e9)
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf_score"))
+  }
 }

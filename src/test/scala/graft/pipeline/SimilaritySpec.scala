@@ -429,4 +429,62 @@ class SimilaritySpec extends AnyFunSuite {
       .select($"id").as[Long].collect().toSet
     assert(sized === keptIds)
   }
+
+  // ------------------------------------------------------------ hybrid RRF
+
+  test("hybridRrfTopK fuses lexical and dense ranks with 1/(60+r) and " +
+      "orders by the fused score") {
+    // docs 1..4 carry the query term with different tf; embeddings are
+    // 2-D with doc 2 closest to the anchor (id 9), then 3, then 1
+    val docs = Seq(
+      (1L, "needle a b c d e f g"),
+      (2L, "needle needle needle a b"),
+      (3L, "needle needle x y"),
+      (4L, "nothing relevant here"),
+      (9L, "anchor doc")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 0.05)), (3L, Seq(1.0, 0.4)),
+      (4L, Seq(-1.0, 0.0)), (9L, Seq(1.0, 0.0))).map { case (i, v) =>
+      (i, v.toArray) }.toDF("id", "vec")
+    val got = Similarity.hybridRrfTopK(
+        docs, vecs, Seq("needle"), queryVecId = 9L, k = 5, kEach = 3)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    val byDoc = got.map(r => r._1 -> r).toMap
+    // lexical ranks by bm25 tf: 2 (tf 3), 3 (tf 2), 1 (tf 1); dense ranks
+    // by cosine to (1,0): 2, 3, 1 — doc 4 and the anchor surface nowhere
+    assert(byDoc(2L)._2 === Some(1L) && byDoc(2L)._3 === Some(1L))
+    assert(byDoc(3L)._2 === Some(2L) && byDoc(3L)._3 === Some(2L))
+    assert(byDoc(1L)._2 === Some(3L) && byDoc(1L)._3 === Some(3L))
+    assert(!byDoc.contains(4L) && !byDoc.contains(9L))
+    // fused score = sum of reciprocal ranks, truncated at 1e-9
+    def rrf(l: Long, d: Long): Double =
+      math.floor((1.0 / (60.0 + l) + 1.0 / (60.0 + d)) * 1e9) / 1e9
+    assert(byDoc(2L)._4 === rrf(1, 1))
+    assert(byDoc(1L)._4 === rrf(3, 3))
+    // output is rrf-descending
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
+  test("hybridRrfTopK keeps docs surfaced by only one ranker (null rank " +
+      "on the other, single reciprocal term)") {
+    // doc 5 has the term but a zero-ish opposite embedding; doc 6 is
+    // dense-close but term-free
+    val docs = Seq(
+      (5L, "needle needle needle"),
+      (6L, "irrelevant words only"),
+      (9L, "anchor")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (5L, Seq(-1.0, 0.0)), (6L, Seq(1.0, 0.1)), (9L, Seq(1.0, 0.0)))
+      .map { case (i, v) => (i, v.toArray) }.toDF("id", "vec")
+    val got = Similarity.hybridRrfTopK(
+        docs, vecs, Seq("needle"), queryVecId = 9L, k = 5, kEach = 1)
+      .as[(Long, Option[Long], Option[Long], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got(5L)._2 === Some(1L) && got(5L)._3 === None)
+    assert(got(6L)._2 === None && got(6L)._3 === Some(1L))
+    assert(got(5L)._4 === math.floor(1.0 / 61.0 * 1e9) / 1e9)
+    assert(got(6L)._4 === math.floor(1.0 / 61.0 * 1e9) / 1e9)
+  }
 }
