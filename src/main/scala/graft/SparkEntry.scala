@@ -1126,6 +1126,31 @@ object SparkEntry {
         queryVecId = 7L, k = 10)
     },
 
+    // JL random projection 64→16 under the sign-LSH hyperplanes (the
+    // LSH signature is this map's 1-bit quantization): dOut·d plan
+    // literals, one ArrayDot fold per output component — the FLOP/
+    // shuffle-byte reducer in front of distance-heavy stages
+    "sm_random_projection" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.projectVectors(vecs, dIn = 64, dOut = 16)
+        .select(col("id"), posexplode(col("pvec")))
+        .select(col("id"), col("pos").cast("long").as("j"),
+          (floor(col("col") * 1e9) / 1e9).as("pval"))
+    },
+
+    // brute-force cosine top-k IN THE PROJECTED SPACE — the search half
+    // of the project-search-rerank recipe, at 1/4 of the per-pair FLOPs
+    "sm_ann_projected" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val proj = Similarity.projectVectors(vecs, dIn = 64, dOut = 16)
+        .select(col("id"), col("pvec").as("vec"))
+      Similarity.bruteForceTopK(proj.filter(col("id") < 10), proj, k = 5)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // Sign-LSH bucketed approximate top-k (deterministic md5 hyperplanes
     // make the buckets oracle-expressible; recall vs brute force is
     // asserted in SimilaritySpec)
@@ -3682,6 +3707,45 @@ object SparkEntry {
         |)
         |SELECT vec_id AS id FROM e
         |WHERE vec_id NOT IN (SELECT d2 FROM verpairs WHERE sim >= 0.45)""".stripMargin,
+
+    // the JL projection re-derived per component: plane(j,i) mirrors
+    // Similarity.planeComponent (md5 15-hex / 2⁵⁹ − 1.0, identical
+    // doubles); list_sum(list_transform) is the same left fold as the
+    // Spark-side ArrayDot, pval floor-truncated at 1e-9
+    "sm_random_projection" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id AS id, CAST(j AS BIGINT) AS j,
+        |  floor(list_sum(list_transform(range(1, len(v)+1), i ->
+        |    v[i] * (CAST(('0x' || substr(md5(j || ',' || (i-1)), 1, 15)) AS BIGINT)
+        |            / 576460752303423488.0 - 1.0))) * 1000000000.0)
+        |    / 1000000000.0 AS pval
+        |FROM e, LATERAL (SELECT UNNEST(range(0, 16)) AS j) r""".stripMargin,
+
+    // cosine top-k over the UNTRUNCATED projected vectors — the
+    // sm_ann_topk pattern rebased onto the projected CTE
+    "sm_ann_projected" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, list_transform(range(0, 16), j ->
+        |    list_sum(list_transform(range(1, len(v)+1), i ->
+        |      v[i] * (CAST(('0x' || substr(md5(j || ',' || (i-1)), 1, 15)) AS BIGINT)
+        |              / 576460752303423488.0 - 1.0)))) AS v
+        |  FROM e
+        |),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*q.qv[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))) AS sim
+        |  FROM q, p c WHERE c.vec_id != q.qid
+        |),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
 
     // signature mirrors Similarity.planeComponent exactly: plane(p,i) =
     // first-15-hex-digits of md5("p,i") as BIGINT / 2⁵⁹ − 1.0 (identical

@@ -1579,6 +1579,34 @@ object Similarity {
       .select(col("d1"), col("d2"), col("sim"))
   }
 
+  /** Johnson–Lindenstrauss random projection: reduce each vector to
+    * `dOut` dimensions, y_j = ⟨v, plane_j⟩ under the SAME deterministic
+    * md5-derived hyperplanes as the sign-LSH path ([[planeComponent]]) —
+    * sign-LSH is precisely the 1-bit quantization of this map, so the
+    * two share one projection discipline (and one oracle formula).
+    *
+    * Why it matters at 100 TB: every downstream distance computation —
+    * brute-force rerank, IVF training, kNN-graph construction — costs
+    * O(d) FLOPs and O(d) shuffle bytes per vector. Projecting 64→16 (or
+    * 768→64) cuts both by the same factor while JL preserves pairwise
+    * geometry to within ~1/√dOut distortion; the standard recipe is
+    * search in the projected space, exact-rerank the survivors in the
+    * original space. The plane matrix is dOut·d driver-side constants
+    * riding the plan as literals (like the LSH hyperplanes and the
+    * classifier weights) — no broadcast, no second input, and each
+    * output component is one codegen'd [[graft.expr.ArrayDot]] fold.
+    *
+    * Output: (id, pvec ARRAY<DOUBLE> of length dOut).
+    */
+  def projectVectors(vecs: DataFrame, dIn: Int, dOut: Int): DataFrame = {
+    require(dOut > 0 && dIn > 0, "dimensions must be positive")
+    val planes = hyperplanes(dOut, dIn)
+    vecs.select(
+      col("id"),
+      array(planes.toIndexedSeq.map(p => dot(col("vec"), lit(p))): _*)
+        .as("pvec"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, SIGIR'09): fuse a lexical BM25 ranking over the
     * documents table with a dense cosine ranking over the aligned

@@ -635,4 +635,18 @@ class PlanShapeSpec extends AnyFunSuite {
     val splits = exprs.flatMap(_.collect { case sp: StringSplit => sp })
     assert(splits.nonEmpty, s"no split() in the reassembly plan at all:\n$plan")
   }
+
+  test("projectVectors: map-only — zero exchanges, plane matrix riding " +
+      "the plan as literals (no join, no broadcast, codegen'd folds)") {
+    import graft.kmeans.OpsN
+    import graft.sim.Similarity
+    val vecs = OpsN.pointsFromEmbeddings(Graft.table(spark, sf, "embeddings"))
+      .select(col("pid").as("id"), col("features").as("vec"))
+    val s = executed(Similarity.projectVectors(vecs, dIn = 64, dOut = 16))
+      .toString
+    assert(!s.contains("Exchange"), s"projection shuffled:\n${s.take(1000)}")
+    assert(!s.contains("Join") && !s.contains("Broadcast"),
+      s"plane matrix not inlined — join/broadcast present:\n${s.take(1000)}")
+    assert(s.contains("*("), s"no codegen span in:\n${s.take(800)}")
+  }
 }

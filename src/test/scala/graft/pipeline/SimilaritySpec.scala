@@ -430,6 +430,63 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sized === keptIds)
   }
 
+  // ------------------------------------------------------- random projection
+
+  test("projectVectors is linear and deterministic") {
+    val a = Seq.tabulate(8)(i => (i + 1).toDouble)
+    val b = Seq.tabulate(8)(i => math.sin(i + 1))
+    val combo = a.zip(b).map { case (x, y) => 2.0 * x - 3.0 * y }
+    val d = vecs((1L, a), (2L, b), (3L, combo))
+    val p = Similarity.projectVectors(d, dIn = 8, dOut = 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p(1L).length === 4)
+    // linearity: P(2a − 3b) = 2·Pa − 3·Pb (up to fp re-association)
+    p(3L).zip(p(1L).zip(p(2L))).foreach { case (got, (pa, pb)) =>
+      assert(math.abs(got - (2.0 * pa - 3.0 * pb)) < 1e-9)
+    }
+    val again = Similarity.projectVectors(d, dIn = 8, dOut = 4)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again === p)
+  }
+
+  test("sign-LSH signatures are exactly the 1-bit quantization of the " +
+      "projection (shared hyperplanes)") {
+    val d = vecs(
+      (1L, Seq.tabulate(8)(i => math.cos(i * 1.7) * (i + 1))),
+      (2L, Seq.tabulate(8)(i => math.sin(i * 0.9) - 0.3)))
+    val planes = Similarity.hyperplanes(16, 8)
+    val sigs = d.select($"id", Similarity.lshSignature($"vec", planes))
+      .as[(Long, String)].collect().toMap
+    val projs = Similarity.projectVectors(d, dIn = 8, dOut = 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    sigs.foreach { case (id, s) =>
+      val expect = projs(id).map(x => if (x >= 0) '1' else '0').mkString
+      assert(s === expect, s"id $id: sig $s != quantized projection $expect")
+    }
+  }
+
+  test("projected-space ANN preserves cluster structure (JL sanity): " +
+      "top-1 neighbors stay within their 64-d cluster") {
+    // two tight clusters of 6 vectors in 64-d, centers far apart
+    val rnd = new scala.util.Random(7)
+    def jitter(center: Array[Double]) =
+      center.map(_ + rnd.nextGaussian() * 0.05)
+    val c1 = Array.tabulate(64)(i => math.sin(i * 0.3) * 3.0 + 5.0)
+    val c2 = Array.tabulate(64)(i => math.cos(i * 0.7) * 3.0 - 5.0)
+    val d = ((0L until 6L).map(i => (i, jitter(c1).toSeq)) ++
+      (6L until 12L).map(i => (i, jitter(c2).toSeq)))
+    val df = vecs(d: _*)
+    val proj = Similarity.projectVectors(df, dIn = 64, dOut = 16)
+      .select($"id", $"pvec".as("vec"))
+    val top1 = Similarity.bruteForceTopK(proj, proj, k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top1.length === 12)
+    top1.foreach { case (q, c, _, _) =>
+      assert((q < 6) === (c < 6),
+        s"projected neighbor of $q crossed clusters to $c")
+    }
+  }
+
   // ------------------------------------------------------------ hybrid RRF
 
   test("hybridRrfTopK fuses lexical and dense ranks with 1/(60+r) and " +
