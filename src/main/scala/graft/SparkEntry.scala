@@ -1510,6 +1510,12 @@ object SparkEntry {
       TextOps.qualityCalibration(Graft.table(s, dir, "documents"))
     },
 
+    // RefinedWeb-style per-source cap: top-7 docs per source by quality
+    // (offsets-ranked, cap-pruned partitions skip the window entirely)
+    "tx_source_cap" -> { (s, dir) =>
+      TextOps.sourceCap(Graft.table(s, dir, "documents"), cap = 7)
+    },
+
     // positional phrase search: exact token-adjacency occurrences
     // counted IN PLACE on the token array (one codegen'd map-only scan,
     // no positional-postings shuffle), top-k docs by hit count
@@ -1938,6 +1944,23 @@ object SparkEntry {
          |       CAST(NTILE(10) OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT)
          |         AS cal_decile
          |FROM j""".stripMargin,
+    // per-source top-cap by the shared quality CTEs: once the truncated
+    // q fixes the per-source order (doc_id tiebreak), the kept set and
+    // ranks are exact — ROW_NUMBER is the single-engine restatement of
+    // the offsets+window rank
+    "tx_source_cap" ->
+      s"""WITH $QUALITY_CTES,
+         |j AS (
+         |  SELECT d.doc_id, d.source, q.q
+         |  FROM documents d JOIN q USING (doc_id)
+         |),
+         |r AS (
+         |  SELECT doc_id, source, q,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY source ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM j
+         |)
+         |SELECT doc_id, source, q, rnk FROM r WHERE rnk <= 7""".stripMargin,
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

@@ -2097,6 +2097,74 @@ object TextOps {
         (bucket + 1L).as("cal_decile"))
   }
 
+  /** Per-source document cap: keep at most `cap` documents per source,
+    * best [[qualityScore]] first (doc_id ascending as the deterministic
+    * tiebreak) — the RefinedWeb/C4-style domain cap that stops any
+    * single domain from dominating the mixture, applied here at source
+    * granularity (at web scale `source` is the registered domain).
+    *
+    * Ranking discipline: the [[qualityCalibration]] offsets pattern —
+    * range-partition on (source, q DESC, doc_id), collect per
+    * (partition, source) counts (group keys, not data), and compute the
+    * per-source global rank as the partition offset plus a
+    * `Window.partitionBy(_pidx, source)` row_number — a web-scale
+    * source never drags its corpus through one task. On top of that,
+    * the cap adds the [[tokenBudgetSelect]] prefix prune: a
+    * (partition, source) slice whose offset already ≥ `cap` cannot
+    * contribute a kept row, so those partitions' rows are filtered out
+    * BEFORE the ranking window ever sorts them — with a web-scale
+    * source and a small cap, all but the first slice of that source
+    * skips the window entirely.
+    *
+    * Output: (doc_id, source, q, rnk) for kept docs, rnk 1-based per
+    * source.
+    */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap > 0, "cap must be positive")
+    val spark = docs.sparkSession
+    val scored = docs.select(
+      col("doc_id"), col("source"),
+      (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"))
+    // cached: the range partitioning is sample-based (nondeterministic
+    // across jobs) and feeds both the count collect and the ranked plan
+    val ranged = graft.util.OpCaches.cache(
+      scored
+        .repartitionByRange(col("source"), col("q").desc, col("doc_id"))
+        .withColumn("_pidx", spark_partition_id()))
+    val counts = ranged
+      .groupBy(col("_pidx"), col("source")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._2, t._1))
+    if (counts.isEmpty)
+      return spark.emptyDataFrame.select(
+        lit(0L).as("doc_id"), lit("").as("source"),
+        lit(0.0).as("q"), lit(0L).as("rnk"))
+    // per-source cumulative offsets keyed by "pidx:source" — kept ONLY
+    // where offset < cap (the prefix prune: any later slice of that
+    // source starts past the cap, so element_at misses → null → dropped)
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    counts.foreach { case (p, s, c) =>
+      val off = acc.getOrElse(s, 0L)
+      if (off < cap) offsets += (s"$p:$s" -> off)
+      acc(s) = off + c
+    }
+    val offsetCol = element_at(
+      map(offsets.toSeq.flatMap { case (k, o) =>
+        Seq(lit(k), lit(o)) }.toIndexedSeq: _*),
+      concat(col("_pidx").cast("string"), lit(":"), col("source")))
+    val w = Window.partitionBy(col("_pidx"), col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    ranged
+      .withColumn("_off", offsetCol)
+      .where(col("_off").isNotNull)
+      .withColumn("rnk", row_number().over(w).cast("long") + col("_off"))
+      .where(col("rnk") <= cap)
+      .select(col("doc_id"), col("source"), col("q"), col("rnk"))
+  }
+
   /** Full per-document text-analysis projection over a `documents`-shaped
     * frame (doc_id, text, ...).
     */

@@ -615,6 +615,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"window not keyed by the range-partition index:\n${w.toString.take(600)}"))
   }
 
+  test("sourceCap: ranking windows are per-(range-partition, source) and " +
+      "the cap prune filters BELOW the window (pruned slices never sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    import graft.text.TextOps
+    val plan = TextOps.sourceCap(Graft.table(spark, sf, "documents"), cap = 7)
+      .queryExecution.optimizedPlan
+    graft.util.OpCaches.releaseAll(spark)
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window for the per-partition rank")
+    windows.foreach(w => assert(
+      w.partitionSpec.exists(_.references.exists(_.name == "_pidx")),
+      s"window not keyed by the range-partition index:\n${w.toString.take(600)}"))
+    // the offset-miss (IS NOT NULL) prune must sit under the window, so
+    // past-the-cap slices are dropped before the window's sort runs
+    // (the optimizer inlines the single-use _off alias, so match the
+    // collapsed isnotnull(element_at(<offset map>, ...)) condition)
+    windows.foreach(w => assert(
+      w.child.collectFirst {
+        case f: LFilter if f.condition.toString.contains("isnotnull") &&
+          f.condition.toString.contains("element_at") => f
+      }.isDefined,
+      s"cap prune not below the window:\n${plan.toString.take(1200)}"))
+  }
+
   test("paragraphDedup reassembly: no split() inside any lambda in the " +
       "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}

@@ -199,4 +199,52 @@ class PhraseClassifierPplSpec extends AnyFunSuite {
     val df = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
     assert(TextOps.qualityCalibration(df).count() === 0L)
   }
+
+  // ------------------------------------------------------------ source cap
+
+  test("sourceCap keeps exactly the per-source top-cap by quality with " +
+      "doc_id tiebreak (ranks included)") {
+    // 3 sources × 10 docs with varied shapes; cap 4 forces both the kept
+    // and dropped branches, and with 4 shuffle partitions some
+    // (partition, source) slices start past the cap — the prune path
+    val docs = (0L until 30L).map { i =>
+      val src = s"s${i % 3}"
+      (i, src, (0 to (i % 7).toInt).map(j => s"w${(i * 5 + j) % 11}").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = TextOps.sourceCap(df, cap = 4)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    // reference: naive per-source sort of the SAME truncated scores
+    val scored = df.select($"doc_id", $"source",
+      (floor(TextOps.qualityScore($"text") * 1e6) / 1e6).as("q"))
+      .as[(Long, String, Double)].collect().toSeq
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(4).zipWithIndex
+        .map { case ((id, s, q), i) => (id, s, q, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet === expect)
+    assert(got.groupBy(_._2).forall(_._2.length === 4))
+  }
+
+  test("sourceCap with cap >= group size keeps everything and is " +
+      "partitioning-invariant") {
+    val docs = (0L until 12L).map(i => (i, s"s${i % 2}", s"w$i a b"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val a = TextOps.sourceCap(df, cap = 100)
+      .as[(Long, String, Double, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    val b = TextOps.sourceCap(df.repartition(7), cap = 100)
+      .as[(Long, String, Double, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    assert(a === b)
+    assert(a.size === 12)
+  }
+
+  test("sourceCap on an empty corpus returns the empty shape; rejects " +
+      "non-positive cap") {
+    val df = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    assert(TextOps.sourceCap(df, 3).count() === 0L)
+    intercept[IllegalArgumentException](TextOps.sourceCap(df, 0))
+  }
 }
