@@ -1151,6 +1151,18 @@ object SparkEntry {
           col("rank").cast("long").as("rank"))
     },
 
+    // the COMPLETE project-search-rerank recipe: 16-d candidate search
+    // oversampled 3x, exact 64-d cosine rerank of the 15 survivors
+    "sm_projected_rerank" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      Similarity.projectedRerankTopK(
+        vecs.filter(col("id") < 10), vecs,
+        dIn = 64, dOut = 16, k = 5, overscan = 3)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
+    },
+
     // Sign-LSH bucketed approximate top-k (deterministic md5 hyperplanes
     // make the buckets oracle-expressible; recall vs brute force is
     // asserted in SimilaritySpec)
@@ -3767,6 +3779,50 @@ object SparkEntry {
         |  SELECT qid, cid, sim,
         |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
         |  FROM scored
+        |)
+        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
+
+    // the full recipe re-derived: projected candidates at rank <= 15
+    // (k·overscan), exact cosine over the ORIGINAL e.v for the rerank —
+    // the sim/rank columns come from the 64-d space, the candidate SET
+    // from the 16-d space
+    "sm_projected_rerank" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, list_transform(range(0, 16), j ->
+        |    list_sum(list_transform(range(1, len(v)+1), i ->
+        |      v[i] * (CAST(('0x' || substr(md5(j || ',' || (i-1)), 1, 15)) AS BIGINT)
+        |              / 576460752303423488.0 - 1.0)))) AS v
+        |  FROM e
+        |),
+        |pq AS (SELECT vec_id AS qid, v AS qv FROM p WHERE vec_id < 10),
+        |pscored AS (
+        |  SELECT pq.qid, c.vec_id AS cid,
+        |    list_sum(list_transform(range(1, len(pq.qv)+1), i -> pq.qv[i]*c.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(pq.qv)+1), i -> pq.qv[i]*pq.qv[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))) AS sim
+        |  FROM pq, p c WHERE c.vec_id != pq.qid
+        |),
+        |cand AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qid, cid,
+        |           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+        |    FROM pscored)
+        |  WHERE rnk <= 15
+        |),
+        |rescored AS (
+        |  SELECT cand.qid, cand.cid,
+        |    list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*ce.v[i]))
+        |    / (sqrt(list_sum(list_transform(range(1, len(qe.v)+1), i -> qe.v[i]*qe.v[i])))
+        |     * sqrt(list_sum(list_transform(range(1, len(ce.v)+1), i -> ce.v[i]*ce.v[i])))) AS sim
+        |  FROM cand
+        |  JOIN e qe ON qe.vec_id = cand.qid
+        |  JOIN e ce ON ce.vec_id = cand.cid
+        |),
+        |ranked AS (
+        |  SELECT qid, cid, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rank
+        |  FROM rescored
         |)
         |SELECT qid, cid, ROUND(sim, 6) AS sim, rank FROM ranked WHERE rank <= 5""".stripMargin,
 

@@ -1607,6 +1607,55 @@ object Similarity {
         .as("pvec"))
   }
 
+  /** The full project-search-rerank recipe: candidate SEARCH runs in the
+    * [[projectVectors]] JL space (dOut dims, oversampled to
+    * `k * overscan` candidates per query), then the final ranking
+    * re-scores ONLY those candidates with exact cosine in the ORIGINAL
+    * dIn-dim space.
+    *
+    * Scale shape: the O(nq·N) pair scan — the term that dominates at
+    * 100 TB — pays dOut-dim FLOPs and ships dOut-dim vectors
+    * (dIn/dOut× cheaper than exact brute force); the exact pass touches
+    * only nq·k·overscan candidate pairs. Both rerank join sides are
+    * tiny relative to the corpus, so the candidate list broadcasts INTO
+    * the corpus scan (the corpus is filtered by a broadcast hash join,
+    * never shuffled) and the query vectors broadcast on top. JL
+    * distortion ~1/√dOut is absorbed by the oversample: a true
+    * neighbor missing from the final k requires `(overscan-1)·k`
+    * non-neighbors to beat it in the projected space.
+    *
+    * Output: (qid, cid, sim, rank) with `sim` the EXACT original-space
+    * cosine, rank 1-based per query, cid as tiebreak.
+    */
+  def projectedRerankTopK(
+      queries: DataFrame, corpus: DataFrame,
+      dIn: Int, dOut: Int, k: Int, overscan: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(overscan >= 1, "overscan must be >= 1")
+    val projQ = projectVectors(queries, dIn, dOut)
+      .select(col("id"), col("pvec").as("vec"))
+    val projC = projectVectors(corpus, dIn, dOut)
+      .select(col("id"), col("pvec").as("vec"))
+    val cands = bruteForceTopK(projQ, projC, k * overscan)
+      .select(col("qid"), col("cid"))
+    val q = broadcast(
+      queries.select(col("id").as("qid"), col("vec").as("qv"),
+        norm(col("vec")).as("qn")))
+    val c = corpus.select(col("id").as("cid"), col("vec").as("cv"),
+      norm(col("vec")).as("cn"))
+    val rescored = broadcast(cands)
+      .join(c, Seq("cid"))
+      .join(q, Seq("qid"))
+      .withColumn("sim",
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(dot(col("qv"), col("cv")) / (col("qn") * col("cn"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
+    rescored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("sim"), col("rank"))
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
     * Buettcher, SIGIR'09): fuse a lexical BM25 ranking over the
     * documents table with a dense cosine ranking over the aligned

@@ -487,6 +487,52 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("projectedRerankTopK with overscan covering the corpus equals " +
+      "exact brute force (rerank IS the exact pass)") {
+    val rnd = new scala.util.Random(11)
+    val d = (0L until 10L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))
+    val df = vecs(d: _*)
+    // k·overscan = 9 >= corpus-1: every pair survives the projected cut
+    val got = Similarity.projectedRerankTopK(
+      df, df, dIn = 16, dOut = 4, k = 3, overscan = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(df, df, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("projectedRerankTopK sims are ORIGINAL-space cosines and the " +
+      "output is a subset of the projected candidate set") {
+    val rnd = new scala.util.Random(3)
+    val d = (0L until 20L).map(i => (i, Seq.fill(32)(rnd.nextGaussian())))
+    val df = vecs(d: _*)
+    val q = df.filter($"id" < 3)
+    val got = Similarity.projectedRerankTopK(
+      q, df, dIn = 32, dOut = 8, k = 2, overscan = 3)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(got.nonEmpty && got.forall(_._4 <= 2))
+    // sims must match the exact 32-d cosine, not the 8-d one
+    val byId = d.toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      dp / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case (qid, cid, sim, _) =>
+      assert(math.abs(sim - cos(byId(qid), byId(cid))) < 1e-9,
+        s"($qid,$cid) sim $sim != original-space cosine")
+    }
+    // subset of the projected candidates (k·overscan = 6 per query)
+    val proj = Similarity.projectVectors(df, dIn = 32, dOut = 8)
+      .select($"id", $"pvec".as("vec"))
+    val cands = Similarity.bruteForceTopK(
+      proj.filter($"id" < 3), proj, k = 6)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2)).toSet
+    got.foreach { case (qid, cid, _, _) =>
+      assert(cands((qid, cid)), s"($qid,$cid) not in the projected candidates")
+    }
+  }
+
   // ------------------------------------------------------------ hybrid RRF
 
   test("hybridRrfTopK fuses lexical and dense ranks with 1/(60+r) and " +
