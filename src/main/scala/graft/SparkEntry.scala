@@ -375,6 +375,14 @@ object SparkEntry {
         .select(col("pid"), col("cid"), round(col("dist2"), 6).as("d2"))
     },
 
+    // prototype-distance outlier pruning: per-cluster p90 distance cut
+    // over the first-4 prototypes — the D4/SSL-prototypes curation step
+    "sm_prototype_outliers" -> { (s, dir) =>
+      OpsN.prototypeOutliers(npoints(s, dir), firstKN(s, dir, 4), pct = 0.9)
+        .select(col("pid"), col("cid"), round(col("d2"), 6).as("d2"),
+          col("cut"))
+    },
+
     // A2 n-D: per-dimension mean update (exploded — the SQL-expressible
     // shape; LloydN uses the one-pass VectorMean aggregator instead)
     "an_ndim_mean" -> { (s, dir) =>
@@ -2094,6 +2102,21 @@ object SparkEntry {
          |SELECT cid, i - 1 AS dim, ROUND(AVG(v[i]), 6) AS mean
          |FROM nassigned, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
          |GROUP BY cid, i""".stripMargin,
+
+    // per-cluster p90 cut over the shared NEMB assignment, truncated at
+    // 1e-6 exactly as the Spark side truncates before comparing —
+    // quantile_cont and Spark's percentile share the (n-1)·p linear
+    // interpolation, and membership hangs only on the truncated value
+    "sm_prototype_outliers" ->
+      s"""WITH $NEMB,
+         |cuts AS (
+         |  SELECT cid,
+         |         floor(quantile_cont(d2, 0.9) * 1000000.0) / 1000000.0 AS cut
+         |  FROM nassigned GROUP BY cid
+         |)
+         |SELECT n.pid, n.cid, ROUND(n.d2, 6) AS d2, c.cut
+         |FROM nassigned n JOIN cuts c USING (cid)
+         |WHERE n.d2 > c.cut""".stripMargin,
 
     "an_ndim_sizes" ->
       s"WITH $NEMB SELECT cid, COUNT(*) AS n FROM nassigned GROUP BY cid",

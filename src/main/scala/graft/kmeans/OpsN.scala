@@ -189,4 +189,44 @@ object OpsN {
   def convergedN(oldC: Seq[CentroidN], newC: Seq[CentroidN], tol: Double): Boolean =
     oldC.map(_.cid).toSet == newC.map(_.cid).toSet &&
       maxMovementN(oldC, newC) <= tol
+
+  /** Prototype-distance outlier pruning (Sorscher et al. NeurIPS'22
+    * prototypicality; D4, Tirumala et al. NeurIPS'23): assign each
+    * embedding to its nearest prototype and emit the points whose
+    * squared distance exceeds their OWN cluster's `pct` quantile — the
+    * off-manifold tail an embedding-curation pipeline drops before
+    * training (a global cut would mistake every small/tight cluster's
+    * whole population for inliers and a diffuse cluster's core for
+    * outliers; the per-cluster cut normalizes by local density).
+    *
+    * Scale shape: the assignment is the map-only [[assignN]] literal
+    * chain (no shuffle); the per-cluster cut is ONE partial+final
+    * `percentile` aggregation producing k rows that broadcast back onto
+    * the assigned stream; the outlier filter is map-side. One k-row
+    * shuffle total, never a corpus sort. Exact `percentile` buffers
+    * per-group values — at real corpus sizes swap `percentile_approx`
+    * (the a5_percentiles_sketch contrast); exact is kept here so the
+    * cut is oracle-derivable.
+    *
+    * The cut is TRUNCATED at 1e-6 before the comparison (the
+    * [[graft.text.TextOps.qualitySample]] discipline): membership then
+    * hangs on the truncated value both engines agree on, not the last
+    * ulp of two engines' interpolation arithmetic.
+    *
+    * Output: (pid, cid, d2, cut) for points with d2 > cut.
+    */
+  def prototypeOutliers(
+      points: DataFrame, centroids: Seq[CentroidN], pct: Double): DataFrame = {
+    require(pct > 0.0 && pct < 1.0, s"pct must be in (0,1), got $pct")
+    // cached: feeds both the cut aggregation and the outlier join
+    val assigned = graft.util.OpCaches.cache(
+      assignN(points, centroids).select(col("pid"), col("cid"), col("dist2")))
+    val cuts = assigned
+      .groupBy(col("cid"))
+      .agg((floor(expr(s"percentile(dist2, $pct)") * 1e6) / 1e6).as("cut"))
+    assigned
+      .join(broadcast(cuts), Seq("cid"))
+      .where(col("dist2") > col("cut"))
+      .select(col("pid"), col("cid"), col("dist2").as("d2"), col("cut"))
+  }
 }

@@ -121,4 +121,53 @@ class NDimSpec extends AnyFunSuite {
     assert(assigned.select("cid").distinct().count() === 4)
     assert(MLlibKMeans.centroids(spark, model).count() === 4)
   }
+
+  // interpolated percentile exactly as Spark/DuckDB compute it:
+  // pos = (n-1)·p, linear between the two bracketing order statistics
+  private def refPercentile(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    val pos = (s.length - 1) * p
+    val lo = pos.toInt
+    if (lo == s.length - 1) s(lo)
+    else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+  }
+
+  test("prototypeOutliers flags exactly the points above their own " +
+      "cluster's truncated p-quantile distance") {
+    val rnd = new scala.util.Random(5)
+    // two clusters of different spread: a global cut would misclassify
+    val pts = (0L until 40L).map { i =>
+      val (cx, spread) = if (i % 2 == 0) (0.0, 1.0) else (100.0, 10.0)
+      (i, Seq.tabulate(4)(_ => cx + rnd.nextGaussian() * spread))
+    }
+    val df = ndDf(pts: _*)
+    val cs = Seq(
+      CentroidN(0, Array.fill(4)(0.0)), CentroidN(1, Array.fill(4)(100.0)))
+    val got = OpsN.prototypeOutliers(df, cs, pct = 0.8)
+      .select("pid", "cid", "d2", "cut")
+      .as[(Long, Int, Double, Double)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    // reference: assignments + per-cluster truncated quantile in Scala
+    val assigned = pts.map { case (pid, v) =>
+      val d0 = v.map(x => (x - 0.0) * (x - 0.0)).sum
+      val d1 = v.map(x => (x - 100.0) * (x - 100.0)).sum
+      (pid, if (d0 <= d1) 0 else 1, math.min(d0, d1))
+    }
+    val cuts = assigned.groupBy(_._2).map { case (cid, rows) =>
+      cid -> math.floor(refPercentile(rows.map(_._3), 0.8) * 1e6) / 1e6
+    }
+    val expect = assigned
+      .filter { case (_, cid, d2) => d2 > cuts(cid) }
+      .map { case (pid, cid, d2) => (pid, cid, d2, cuts(cid)) }.toSet
+    assert(got.map(r => (r._1, r._2, r._3, r._4)).toSet === expect)
+    // both clusters contribute outliers despite 100x spread difference
+    assert(got.map(_._2).toSet === Set(0, 1))
+  }
+
+  test("prototypeOutliers rejects pct outside (0,1)") {
+    val df = ndDf((1L, Seq(0.0)))
+    val cs = Seq(CentroidN(0, Array(0.0)))
+    intercept[IllegalArgumentException](OpsN.prototypeOutliers(df, cs, 0.0))
+    intercept[IllegalArgumentException](OpsN.prototypeOutliers(df, cs, 1.0))
+  }
 }
