@@ -1612,6 +1612,23 @@ object SparkEntry {
     },
 
     // As-of join: each click's most recent preceding view (same user)
+    // keyless interval-overlap join via bucket-explode: view activity
+    // windows [ts, ts+floor(value) s] × purchase windows — a cartesian
+    // turned into a width-600s bucket equi-join, each pair credited to
+    // the first shared bucket
+    "j4_interval_join" -> { (s, dir) =>
+      val ev = Graft.events(s, dir)
+      def iv(t: String, p: String) = ev.filter(col("event_type") === t)
+        .select(col("event_id").as(p + "_id"),
+          unix_timestamp(col("ts")).as(p + "_s"),
+          (unix_timestamp(col("ts")) + floor(col("value")).cast("long"))
+            .as(p + "_e"))
+      graft.joins.Joins.intervalJoin(
+        iv("view", "v"), iv("purchase", "p"),
+        "v_s", "v_e", "p_s", "p_e", bucketWidth = 600L)
+        .select(col("v_id"), col("p_id"))
+    },
+
     "j3_asof_join" -> { (s, dir) =>
       val ev = Graft.events(s, dir)
       val clicks = ev.filter(col("event_type") === "click")
@@ -3526,6 +3543,21 @@ object SparkEntry {
         |FROM ev v JOIN ev c
         |  ON v.user_id = c.user_id AND v.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '30 minutes'""".stripMargin,
+
+    // the bucket-explode result must equal the PLAIN range join — the
+    // oracle states overlap directly; floor(epoch(..)) mirrors Spark's
+    // unix_timestamp second truncation, floor(value) the duration cast
+    "j4_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+        |         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        |           + CAST(floor(value) AS BIGINT) AS e
+        |  FROM events
+        |),
+        |v AS (SELECT event_id AS v_id, s AS v_s, e AS v_e FROM ev WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS p_id, s AS p_s, e AS p_e FROM ev WHERE event_type = 'purchase')
+        |SELECT v_id, p_id FROM v, p WHERE p_s <= v_e AND v_s <= p_e""".stripMargin,
 
     "j3_asof_join" ->
       """WITH c AS (

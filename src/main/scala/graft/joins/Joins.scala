@@ -98,4 +98,58 @@ object Joins {
           col("_b._rts").as("asof_ts") :+
           col("_b._rval").as("asof_value"): _*)
   }
+
+  /** Interval-overlap join WITHOUT an equi key (range join): every
+    * (left, right) pair whose closed intervals `[lStart, lEnd]` and
+    * `[rStart, rEnd]` overlap. Spark's native plans for a pure range
+    * predicate are BroadcastNestedLoopJoin (driver-memory-bounded) or a
+    * cartesian (O(|L|·|R|) — dead at any scale). This operator makes it
+    * an EQUI join: each interval explodes into the fixed-width buckets
+    * it touches, the two sides hash-join on the bucket id, the true
+    * overlap predicate filters inside the join, and each pair is kept
+    * exactly once by crediting it to the FIRST bucket the two intervals
+    * share (`_b = greatest(floor(lStart/w), floor(rStart/w))` — the
+    * standard dedup rule, no distinct shuffle).
+    *
+    * Scale: replication factor per row is `len/w + 1`, and per-bucket
+    * work is the bucket's left-density × right-density — pick
+    * `bucketWidth` near the typical interval length so both stay O(1).
+    * The bucket equi-join shuffles both sides once; a pathologically
+    * dense bucket is an ordinary equi-join skew, which AQE's skew split
+    * re-plans at runtime (no custom salting needed).
+    *
+    * Bounds must be integral (epoch seconds, days, positions…).
+    * Malformed intervals (end < start) are dropped on both sides —
+    * Spark's `sequence(a, b)` would otherwise generate DESCENDING
+    * buckets for them and manufacture overlaps.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      lStart: String,
+      lEnd: String,
+      rStart: String,
+      rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(
+      (Set(lStart, lEnd) intersect Set(rStart, rEnd)).isEmpty,
+      "rename join columns to distinct names first (avoids self-join ambiguity)")
+    def buckets(s: String, e: String) =
+      sequence(
+        floor(col(s) / bucketWidth).cast("long"),
+        floor(col(e) / bucketWidth).cast("long"))
+    val lb = left
+      .filter(col(lEnd) >= col(lStart))
+      .withColumn("_lb0", floor(col(lStart) / bucketWidth).cast("long"))
+      .withColumn("_b", explode(buckets(lStart, lEnd)))
+    val rb = right
+      .filter(col(rEnd) >= col(rStart))
+      .withColumn("_rb0", floor(col(rStart) / bucketWidth).cast("long"))
+      .withColumn("_b", explode(buckets(rStart, rEnd)))
+    lb.join(rb, Seq("_b"))
+      .where(col(rStart) <= col(lEnd) && col(lStart) <= col(rEnd))
+      .where(col("_b") === greatest(col("_lb0"), col("_rb0")))
+      .drop("_b", "_lb0", "_rb0")
+  }
 }

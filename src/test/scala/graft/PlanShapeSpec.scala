@@ -639,6 +639,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cap prune not below the window:\n${plan.toString.take(1200)}"))
   }
 
+  test("intervalJoin: the keyless range join runs as a bucket EQUI join " +
+      "— never a cartesian or a broadcast nested loop") {
+    val plan = executed(
+      SparkEntry.queries("j4_interval_join")(spark, sf)).toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"),
+      s"range join fell back to an all-pairs plan:\n${plan.take(1000)}")
+    assert(plan.contains("Join") && plan.contains("_b"),
+      s"no bucket equi-join in:\n${plan.take(1000)}")
+  }
+
   test("paragraphDedup reassembly: no split() inside any lambda in the " +
       "OPTIMIZED plan (split is the HOF argument, evaluated once per row)") {
     import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, StringSplit}

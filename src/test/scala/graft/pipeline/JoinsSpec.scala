@@ -77,4 +77,46 @@ class JoinsSpec extends AnyFunSuite {
       .select($"click_id").as[Long].collect().toSet
     assert(got === Set(200L, 201L))
   }
+
+  // ---------------------------------------------------------- interval join
+
+  test("intervalJoin matches the brute-force overlap predicate on random " +
+      "intervals, each pair exactly once (incl. multi-bucket spans)") {
+    val rnd = new scala.util.Random(17)
+    // widths from sub-bucket to 5-bucket spans; negative starts too
+    def ivs(n: Int, idBase: Long) = (0 until n).map { i =>
+      val s = rnd.nextInt(4000).toLong - 500L
+      (idBase + i, s, s + rnd.nextInt(500).toLong)
+    }
+    val l = ivs(60, 0L).toDF("l_id", "l_s", "l_e")
+    val r = ivs(60, 1000L).toDF("r_id", "r_s", "r_e")
+    val got = Joins.intervalJoin(l, r, "l_s", "l_e", "r_s", "r_e", 100L)
+      .select($"l_id", $"r_id").as[(Long, Long)].collect().toSeq
+    val lc = l.as[(Long, Long, Long)].collect()
+    val rc = r.as[(Long, Long, Long)].collect()
+    val expect = for {
+      (li, ls, le) <- lc.toSeq
+      (ri, rs, re) <- rc.toSeq
+      if rs <= le && ls <= re
+    } yield (li, ri)
+    assert(got.sorted === expect.sorted) // Seq compare: duplicates surface
+  }
+
+  test("intervalJoin drops malformed (end < start) intervals instead of " +
+      "manufacturing overlaps from descending bucket sequences") {
+    val l = Seq((1L, 100L, 50L), (2L, 0L, 10L)).toDF("l_id", "l_s", "l_e")
+    val r = Seq((9L, 0L, 200L)).toDF("r_id", "r_s", "r_e")
+    val got = Joins.intervalJoin(l, r, "l_s", "l_e", "r_s", "r_e", 60L)
+      .select($"l_id").as[Long].collect().toSet
+    assert(got === Set(2L))
+  }
+
+  test("intervalJoin rejects non-positive bucket width and ambiguous names") {
+    val d = Seq((1L, 0L, 1L)).toDF("a_id", "a_s", "a_e")
+    intercept[IllegalArgumentException](
+      Joins.intervalJoin(d, d, "a_s", "a_e", "a_s", "a_e", 10L))
+    val r = Seq((2L, 0L, 1L)).toDF("b_id", "b_s", "b_e")
+    intercept[IllegalArgumentException](
+      Joins.intervalJoin(d, r, "a_s", "a_e", "b_s", "b_e", 0L))
+  }
 }
