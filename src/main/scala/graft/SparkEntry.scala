@@ -646,6 +646,13 @@ object SparkEntry {
           round(col("jac"), 6).as("jac"))
     },
 
+    // Gopher/PaLM-style contamination fraction: per-eval-doc share of
+    // distinct 3-gram shingles unseen in ANY train doc (row-side
+    // array_distinct — no per-doc distinct shuffle)
+    "tx_novelty" -> { (s, dir) =>
+      TextOps.ngramNovelty(Graft.table(s, dir, "documents"), n = 3)
+    },
+
     // The corpus-scale form of the leakage audit: MinHash+LSH candidates
     // (never a shingle self-join) filtered to cross-split pairs BEFORE
     // the exact-Jaccard verify
@@ -2429,6 +2436,46 @@ object SparkEntry {
         |SELECT d1, d2, s1.split AS split1, s2.split AS split2, jac
         |FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
         |WHERE s1.split <> s2.split""".stripMargin,
+
+    // contamination fraction: distinct per-doc shashes (the sh CTE is
+    // already DISTINCT), train key set, left-join null test; *1.0
+    // forces double division (DuckDB BIGINT/BIGINT is integer division)
+    "tx_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |      * 2147483647
+        |    + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647 AS shash
+        |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - 1)) AS i) r
+        |),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |),
+        |shs AS (SELECT sh.doc_id, sh.shash, sp.split FROM sh JOIN sp USING (doc_id)),
+        |tr AS (SELECT DISTINCT shash FROM shs WHERE split = 'train')
+        |SELECT e.doc_id, e.split, COUNT(*) AS n_shingles,
+        |       CAST(SUM(CASE WHEN tr.shash IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS novel,
+        |       ROUND(SUM(CASE WHEN tr.shash IS NULL THEN 1 ELSE 0 END) * 1.0
+        |             / COUNT(*), 6) AS novelty
+        |FROM shs e LEFT JOIN tr ON e.shash = tr.shash
+        |WHERE e.split <> 'train'
+        |GROUP BY 1, 2""".stripMargin,
 
     // LSH leakage audit: the dd_minhash_pairs candidate pipeline, pairs
     // filtered to cross-split BEFORE the exact-Jaccard verify at 0.5

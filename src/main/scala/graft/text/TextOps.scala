@@ -309,6 +309,49 @@ object TextOps {
       .select(col("d1"), col("d2"), col("split1"), col("split2"), col("jac"))
   }
 
+  /** Per-document n-gram NOVELTY against the train split — the
+    * train–test overlap metric of Gopher/PaLM-style contamination
+    * reports: for each val/test document, the fraction of its DISTINCT
+    * token n-grams that appear in NO train document. [[splitLeakage]]
+    * finds near-dup PAIRS; this scores EVERY eval document, including
+    * diffuse contamination spread across many train docs where no
+    * single pair ever crosses a Jaccard threshold.
+    *
+    * Plan shape: the per-doc distinct folds ROW-side
+    * (`array_distinct` over the [[graft.dedup.Dedup.docShingleKeys]]
+    * 62-bit keys — no (doc_id, shash) distinct shuffle); the train key
+    * set is one distinct over train shingles; membership is a shash
+    * equi-join (left join + null test) feeding a partial+final count
+    * aggregate. Two shuffles total, both linear in token volume. For a
+    * train side too large to shuffle comfortably, the containment
+    * family's sized-Bloom prefilter is the drop-in scale path (novelty
+    * becomes a lower bound within the filter's FP rate).
+    *
+    * Output: (doc_id, split, n_shingles, novel, novelty) for val/test
+    * docs with >= 1 shingle.
+    */
+  def ngramNovelty(docs: DataFrame, n: Int): DataFrame = {
+    import graft.dedup.Dedup
+    // cached: the exploded key stream feeds both the train key set and
+    // the eval probe side
+    val keyed = graft.util.OpCaches.cache(
+      Dedup.docShingleKeys(docs, n)
+        .select(col("doc_id"),
+          explode(array_distinct(transform(col("keys"),
+            k => k.getField("u") * Dedup.MinHashP + k.getField("v"))))
+            .as("shash"))
+        .withColumn("split", assignSplit(col("doc_id"))))
+    val trainKeys = keyed.filter(col("split") === "train")
+      .select(col("shash")).distinct()
+    keyed.filter(col("split") =!= "train")
+      .join(trainKeys.withColumn("_hit", lit(1)), Seq("shash"), "left")
+      .groupBy(col("doc_id"), col("split"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_hit").isNull, 1L).otherwise(0L)).as("novel"))
+      .withColumn("novelty", round(col("novel") / col("n_shingles"), 6))
+  }
+
   /** [[splitLeakage]] at CORPUS scale: the same cross-split near-dup
     * audit, but candidate pairs come from the MinHash+LSH banded bucket
     * join ([[graft.dedup.Dedup.nearDedup]]'s shared shingle pass) instead

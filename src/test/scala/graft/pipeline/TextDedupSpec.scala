@@ -174,6 +174,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 16L, "train", "val", 1.0)))
   }
 
+  test("ngramNovelty: distinct-gram fraction unseen in train, per eval doc") {
+    // md5-bucket splits: ids 0,1,3 -> train, 16 -> val, 19 -> test
+    val d = docs(
+      (0L, "a b c d e"),         // train grams: abc bcd cde
+      (1L, "a b c x y"),         // train grams: abc bcx cxy
+      (16L, "a b c a b c d q"),  // distinct: abc bca cab bcd cdq — 2 seen
+      (19L, "p q r s t"))        // all 3 grams novel
+    val got = TextOps.ngramNovelty(d, n = 3)
+      .select($"doc_id", $"split", $"n_shingles", $"novel", $"novelty")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got === Set(
+      (16L, "val", 5L, 3L, 0.6),
+      (19L, "test", 3L, 3L, 1.0)))
+  }
+
+  test("ngramNovelty: eval docs shorter than n produce no row; train docs " +
+      "never appear") {
+    val d = docs(
+      (0L, "a b c d"),   // train
+      (16L, "a b"))      // val, 0 trigrams
+    val got = TextOps.ngramNovelty(d, n = 3).count()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got === 0L)
+  }
+
   test("incrementalNearDedup: corpus dup dropped, batch-internal keep-min-id, " +
       "corpus never dropped") {
     val corpus = docs(
