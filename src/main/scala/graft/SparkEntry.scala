@@ -1543,6 +1543,14 @@ object SparkEntry {
       TextOps.sourceCap(Graft.table(s, dir, "documents"), cap = 7)
     },
 
+    // exact-5 uniform sample per source (deterministic hash draw, same
+    // offsets+prune ranking engine as the cap)
+    "tx_stratified_sample" -> { (s, dir) =>
+      TextOps.stratifiedSample(Graft.table(s, dir, "documents"), k = 5)
+        .select(col("doc_id"), col("source"),
+          (floor(col("u") * 1e6) / 1e6).as("u"), col("rnk"))
+    },
+
     // positional phrase search: exact token-adjacency occurrences
     // counted IN PLACE on the token array (one codegen'd map-only scan,
     // no positional-postings shuffle), top-k docs by hit count
@@ -2005,6 +2013,24 @@ object SparkEntry {
          |  FROM j
          |)
          |SELECT doc_id, source, q, rnk FROM r WHERE rnk <= 7""".stripMargin,
+    // the hash draw re-derived exactly (first 8 md5 hex of 'strat:<id>'
+    // over 2^32 — both engines compute identical doubles), ranked per
+    // source ascending, u truncated at 1e-6 for display only
+    "tx_stratified_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / 4294967296.0 AS u
+        |  FROM documents
+        |),
+        |r AS (
+        |  SELECT doc_id, source, u,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY source ORDER BY u, doc_id) AS BIGINT) AS rnk
+        |  FROM u
+        |)
+        |SELECT doc_id, source, floor(u * 1000000.0) / 1000000.0 AS u, rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

@@ -2163,17 +2163,55 @@ object TextOps {
     * source.
     */
   def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cap > 0, "cap must be positive")
-    val spark = docs.sparkSession
-    val scored = docs.select(
-      col("doc_id"), col("source"),
-      (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"))
+    perSourceRankCap(
+      docs.select(
+        col("doc_id"), col("source"),
+        (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q")),
+      valueCol = "q", cap = cap, descending = true)
+  }
+
+  /** Deterministic exact-k uniform sample per source (sampling WITHOUT
+    * replacement): rank each source's documents by the id-pure
+    * [[hashUniform]] draw and keep the k smallest — the per-stratum
+    * eval-subset / inspection-sample step. Where [[qualitySample]] is
+    * rate-based (output size binomial) and [[sourceMix]] targets
+    * SHARES, this pins an exact per-source COUNT, reproducible across
+    * runs, partitionings, and engines. Same ranking discipline as
+    * [[sourceCap]] (offsets + pre-window prune), same 100 TB shape.
+    *
+    * Output: (doc_id, source, u, rnk) for the k kept docs per source.
+    */
+  def stratifiedSample(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    perSourceRankCap(
+      docs.select(
+        col("doc_id"), col("source"),
+        hashUniform(col("doc_id"), "strat").as("u")),
+      valueCol = "u", cap = k, descending = false)
+  }
+
+  /** Shared engine of [[sourceCap]] / [[stratifiedSample]]: the global
+    * per-source rank along (`valueCol` asc|desc, doc_id asc), computed
+    * with the [[qualityCalibration]] offsets discipline (range
+    * partition + per-(partition, source) offsets + a (_pidx, source)
+    * window — no per-source single-task sort) plus the
+    * [[tokenBudgetSelect]] prefix prune: a (partition, source) slice
+    * whose offset already ≥ `cap` cannot contribute a kept row, so its
+    * rows are filtered out BELOW the window and never sorted. Returns
+    * rows with rank <= cap as (doc_id, source, <valueCol>, rnk).
+    */
+  private def perSourceRankCap(
+      scored: DataFrame, valueCol: String, cap: Int,
+      descending: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = scored.sparkSession
+    val ord = if (descending) col(valueCol).desc else col(valueCol).asc
     // cached: the range partitioning is sample-based (nondeterministic
     // across jobs) and feeds both the count collect and the ranked plan
     val ranged = graft.util.OpCaches.cache(
       scored
-        .repartitionByRange(col("source"), col("q").desc, col("doc_id"))
+        .repartitionByRange(col("source"), ord, col("doc_id"))
         .withColumn("_pidx", spark_partition_id()))
     val counts = ranged
       .groupBy(col("_pidx"), col("source")).agg(count(lit(1)).as("c"))
@@ -2183,7 +2221,7 @@ object TextOps {
     if (counts.isEmpty)
       return spark.emptyDataFrame.select(
         lit(0L).as("doc_id"), lit("").as("source"),
-        lit(0.0).as("q"), lit(0L).as("rnk"))
+        lit(0.0).as(valueCol), lit(0L).as("rnk"))
     // per-source cumulative offsets keyed by "pidx:source" — kept ONLY
     // where offset < cap (the prefix prune: any later slice of that
     // source starts past the cap, so element_at misses → null → dropped)
@@ -2199,13 +2237,13 @@ object TextOps {
         Seq(lit(k), lit(o)) }.toIndexedSeq: _*),
       concat(col("_pidx").cast("string"), lit(":"), col("source")))
     val w = Window.partitionBy(col("_pidx"), col("source"))
-      .orderBy(col("q").desc, col("doc_id"))
+      .orderBy(ord, col("doc_id"))
     ranged
       .withColumn("_off", offsetCol)
       .where(col("_off").isNotNull)
       .withColumn("rnk", row_number().over(w).cast("long") + col("_off"))
       .where(col("rnk") <= cap)
-      .select(col("doc_id"), col("source"), col("q"), col("rnk"))
+      .select(col("doc_id"), col("source"), col(valueCol), col("rnk"))
   }
 
   /** Full per-document text-analysis projection over a `documents`-shaped

@@ -247,4 +247,46 @@ class PhraseClassifierPplSpec extends AnyFunSuite {
     assert(TextOps.sourceCap(df, 3).count() === 0L)
     intercept[IllegalArgumentException](TextOps.sourceCap(df, 0))
   }
+
+  // ----------------------------------------------------- stratified sample
+
+  test("stratifiedSample keeps exactly k docs per source, the k smallest " +
+      "hash draws, reproducibly") {
+    val docs = (0L until 40L).map(i => (i, s"s${i % 4}", s"text $i"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val got = TextOps.stratifiedSample(df, k = 3)
+      .as[(Long, String, Double, Long)].collect().toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got.groupBy(_._2).forall(_._2.length === 3))
+    // reference: the same hashUniform draw, smallest-3 per source
+    val draws = df.select($"doc_id", $"source",
+      TextOps.hashUniform($"doc_id", "strat").as("u"))
+      .as[(Long, String, Double)].collect().toSeq
+    val expect = draws.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(3).zipWithIndex
+        .map { case ((id, s, u), i) => (id, s, u, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet === expect)
+    // reproducible: a different partitioning keeps the same sample
+    val again = TextOps.stratifiedSample(df.repartition(9), k = 3)
+      .as[(Long, String, Double, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    assert(again === got.toSet)
+  }
+
+  test("stratifiedSample draw is independent of the split assignment " +
+      "(distinct salts) and rejects non-positive k") {
+    val df = (0L until 200L).map(i => (i, "s", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val kept = TextOps.stratifiedSample(df, k = 50)
+      .as[(Long, String, Double, Long)].collect().map(_._1).toSet
+    graft.util.OpCaches.releaseAll(spark)
+    // if the draw correlated with splitBucket, the 25% sample would
+    // systematically over/under-represent the 80% train bucket
+    val trainKept = df.filter(TextOps.assignSplit($"doc_id") === "train")
+      .as[(Long, String, String)].collect().map(_._1).toSet & kept
+    assert(trainKept.size > 25 && trainKept.size < 55,
+      s"sample correlates with split: ${trainKept.size}/50 train")
+    intercept[IllegalArgumentException](TextOps.stratifiedSample(df, 0))
+  }
 }
