@@ -876,6 +876,14 @@ object SparkEntry {
           round(col("containment"), 6).as("containment"))
     },
 
+    // mixture-design overlap matrix: exact pairwise shingle-set Jaccard
+    // between sources (near-copy sources double-count their mix rates)
+    "dd_source_overlap" -> { (s, dir) =>
+      Dedup.sourceOverlap(Graft.table(s, dir, "documents"), n = 3)
+        .select(col("s1"), col("s2"), col("c"),
+          round(col("jac"), 6).as("jac"))
+    },
+
     // Same decontamination semantics through the Bloom-prefilter plan —
     // the benchmark folds into a bit array probed map-side on the
     // corpus scan, so only candidate shingles reach the exact-verify
@@ -2462,6 +2470,41 @@ object SparkEntry {
         |SELECT d1, d2, s1.split AS split1, s2.split AS split2, jac
         |FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
         |WHERE s1.split <> s2.split""".stripMargin,
+
+    // source-level distinct shingle sets via the shared tk/sh CTEs
+    // joined to documents for the source; c stays BIGINT (COUNT), jac
+    // forced to double with *1.0
+    "dd_source_overlap" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |      * 2147483647
+        |    + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |     + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |     + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647 AS shash
+        |  FROM tk, LATERAL (SELECT UNNEST(range(1, len(k) - 1)) AS i) r
+        |),
+        |ssh AS (
+        |  SELECT DISTINCT d.source, sh.shash
+        |  FROM sh JOIN documents d USING (doc_id)
+        |),
+        |sizes AS (SELECT source, COUNT(*) AS sz FROM ssh GROUP BY source),
+        |co AS (
+        |  SELECT a.source AS s1, b.source AS s2, COUNT(*) AS c
+        |  FROM ssh a JOIN ssh b USING (shash)
+        |  WHERE a.source < b.source GROUP BY 1, 2
+        |)
+        |SELECT s1, s2, c, ROUND(c * 1.0 / (x.sz + y.sz - c), 6) AS jac
+        |FROM co JOIN sizes x ON s1 = x.source JOIN sizes y ON s2 = y.source""".stripMargin,
 
     // contamination fraction: distinct per-doc shashes (the sh CTE is
     // already DISTINCT), train key set, left-join null test; *1.0

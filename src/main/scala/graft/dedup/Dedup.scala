@@ -121,6 +121,56 @@ object Dedup {
       .select(col("d1"), col("d2"), col("jac"))
   }
 
+  /** Pairwise n-gram Jaccard between SOURCES — the mixture-design
+    * overlap matrix: which sources are near-copies of each other (two
+    * crawls of the same sites, a filtered subset re-ingested under a
+    * new name), so their mixing rates double-count. Each source is its
+    * distinct shingle SET; the matrix is exact set Jaccard.
+    *
+    * Scale: this operator is for MIXTURE sources (dozens to thousands),
+    * not per-domain — the shash self-join fans out ≤ |sources|² rows
+    * per shingle, so bounded source cardinality is what keeps it
+    * linear in token volume. `maxSourceDf` drops shingles present in
+    * more than that many sources before the join: the near-universal
+    * shingles that dominate join cost carry no discriminative signal
+    * (they shrink every pair's Jaccard denominator equally), and at
+    * |sources| in the thousands the cap turns the worst-case |S|²
+    * fan-out into |cap|². Per-source sizes are |sources| rows —
+    * broadcast back onto the pair counts.
+    *
+    * Output: (s1, s2, c, jac) for s1 < s2, c = |S(s1) ∩ S(s2)|.
+    */
+  def sourceOverlap(
+      docs: DataFrame, n: Int,
+      maxSourceDf: Option[Int] = None): DataFrame = {
+    val sh0 = docs
+      .select(col("source"),
+        explode(graft.expr.ShingleKeys(TextOps.tokens(col("text")), n))
+          .as("k"))
+      .select(col("source"), (col("k.u") * MinHashP + col("k.v")).as("shash"))
+      .distinct()
+    val shF = maxSourceDf match {
+      case Some(limit) =>
+        val rare = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= limit).select("shash")
+        sh0.join(rare, Seq("shash"), "left_semi")
+      case None => sh0
+    }
+    // cache: consumed three times (sizes + both sides of the self-join)
+    val sh = graft.util.OpCaches.cache(shF)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val co = sh.as("a")
+      .join(sh.as("b"), col("a.shash") === col("b.shash"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+      .agg(count(lit(1)).as("c"))
+    co
+      .join(broadcast(sizes.select(col("source").as("s1"), col("sz").as("sz1"))), Seq("s1"))
+      .join(broadcast(sizes.select(col("source").as("s2"), col("sz").as("sz2"))), Seq("s2"))
+      .withColumn("jac", col("c") / (col("sz1") + col("sz2") - col("c")))
+      .select(col("s1"), col("s2"), col("c"), col("jac"))
+  }
+
   /** Benchmark-contamination detection (decontamination pass): corpus docs
     * whose shingle CONTAINMENT of some benchmark item meets `tau` —
     * containment(b → d) = |S(b) ∩ S(d)| / |S(b)|, the asymmetric overlap

@@ -174,6 +174,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((0L, 16L, "train", "val", 1.0)))
   }
 
+  test("sourceOverlap: exact per-source shingle-SET Jaccard (duplicate " +
+      "docs collapse); maxSourceDf drops cross-source-universal shingles") {
+    val d = Seq(
+      (1L, "sa", "a b c d e"), // sa grams: abc bcd cde
+      (2L, "sa", "a b c d e"), // duplicate doc — set semantics dedupe it
+      (3L, "sb", "a b c d x"), // sb grams: abc bcd cdx
+      (4L, "sc", "p q r s t")  // sc: disjoint
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlap(d, n = 3)
+      .as[(String, String, Long, Double)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    // sa ∩ sb = {abc, bcd} = 2, union = 4 -> 0.5; sc pairs are absent
+    assert(got === Set(("sa", "sb", 2L, 0.5)))
+    // shingles in > 1 source dropped -> the sa-sb pair disappears
+    val capped = Dedup.sourceOverlap(d, n = 3, maxSourceDf = Some(1)).count()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(capped === 0L)
+  }
+
   test("ngramNovelty: distinct-gram fraction unseen in train, per eval doc") {
     // md5-bucket splits: ids 0,1,3 -> train, 16 -> val, 19 -> test
     val d = docs(
