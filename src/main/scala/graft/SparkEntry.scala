@@ -1688,6 +1688,14 @@ object SparkEntry {
     // bins — 0x20-2F space/punct, 0x60-6F a-o, 0x70-7F p-DEL — are
     // oracle-checked bit-exactly (the float32 division is mirrored via
     // CAST AS REAL on the DuckDB side; floor-truncated per convention)
+    // Perceptual-hash image dedup over REAL BMP decode: the 37 fixed
+    // pattern images make phash-equality groups provably equal to the
+    // doc_id % 37 grouping (pattern-distinctness lemma in MultimodalSpec)
+    "mm_phash_groups" -> { (s, dir) =>
+      MultimodalOps.phashDupGroups(
+        MultimodalOps.patternedBmpMedia(Graft.table(s, dir, "documents")))
+    },
+
     "mm_features" -> { (s, dir) =>
       MultimodalOps.extractFeatures(
           MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")))
@@ -2039,6 +2047,15 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, floor(u * 1000000.0) / 1000000.0 AS u, rnk
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // decode + aHash aren't SQL-expressible, but the fixture is 37 FIXED
+    // pattern images whose phash distinctness is spec-verified once —
+    // given that lemma, phash groups ≡ doc_id % 37 groups at every SF
+    "mm_phash_groups" ->
+      """SELECT doc_id AS media_id,
+        |       MIN(doc_id) OVER (PARTITION BY doc_id % 37) AS keeper,
+        |       COUNT(*) OVER (PARTITION BY doc_id % 37) AS group_n
+        |FROM documents""".stripMargin,
+
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a
     // silent dispatch-table edit fails the gate

@@ -494,4 +494,160 @@ object MultimodalOps {
             i => col("media").substr((i * frameSize + 1).cast("int"), lit(frameSize))))
           .as(Seq("frame_idx", "frame")))
   }
+
+  // -------------------------------------------------------------------
+  // Perceptual-hash image dedup
+  // -------------------------------------------------------------------
+
+  /** Minimal 24-bit bottom-up BMP (gray: B=G=R per pixel). Row stride
+    * `w*3` must be 4-byte aligned (true for w % 4 == 0) — kept simple
+    * on purpose; this is the deterministic image-fixture builder for
+    * the phash family's tests and the patterned media table.
+    */
+  def bmp24Gray(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && (w * 3) % 4 == 0,
+      s"need positive dims with 4-aligned stride, got ${w}x$h")
+    val rowBytes = w * 3
+    val size = 54 + rowBytes * h
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    b.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+    b.putInt(0).putInt(0)
+    var y = h - 1 // BMP stores rows bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = (pix(x, y) & 0xff).toByte
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      y -= 1
+    }
+    b.array()
+  }
+
+  /** The `n` fixed 16x16 pattern BMPs (md5-derived pixels — the same
+    * image constants every run and every scale factor). Their phashes
+    * being pairwise DISTINCT is the lemma MultimodalSpec verifies once;
+    * because the patterns never change with the corpus, that single
+    * check makes the `mm_phash_groups` oracle (`doc_id % n` grouping)
+    * exact at every SF.
+    */
+  def patternBmps(n: Int): Seq[Array[Byte]] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { p =>
+      bmp24Gray(16, 16, (x, y) =>
+        d.digest(s"$p:$x:$y".getBytes("UTF-8"))(0) & 0xff)
+    }
+  }
+
+  /** An image-media table over the documents fixture: media_id i carries
+    * pattern BMP `i % nPatterns`. The 37 ~830-byte images ride the plan
+    * as an array-of-binary literal (~30 KB) — no second input, no join.
+    */
+  def patternedBmpMedia(docs: DataFrame, nPatterns: Int = 37): DataFrame = {
+    require(nPatterns >= 1 && nPatterns <= 256,
+      s"nPatterns must be in [1,256], got $nPatterns")
+    val arr = array(patternBmps(nPatterns).map(lit(_)).toIndexedSeq: _*)
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(arr, (col("doc_id") % nPatterns).cast("int") + 1).as("media"),
+      lit("image/bmp").as("format"))
+      .withColumn("n_bytes", octet_length(col("media")).cast("long"))
+  }
+
+  /** 64-bit average-hash (aHash) of an image: decode, 8x8 average-pool
+    * the luminance, threshold each block at the global block mean —
+    * bit i set iff block i >= mean. Identical images hash identically;
+    * a UNIFORM brightness shift preserves every bit (blocks and mean
+    * shift together), which is what makes aHash a perceptual rather
+    * than byte-level fingerprint. Undecodable payloads fall back to the
+    * same pooling over the RAW bytes (deterministic degrade, mirroring
+    * [[decodeImageFeatures]]).
+    */
+  def perceptualHash(payload: Array[Byte]): Long = {
+    if (payload == null || payload.isEmpty) return 0L
+    val img = readImage(payload)
+    if (img == null || img.getWidth < 1 || img.getHeight < 1)
+      return poolHash(payload.length,
+        i => payload(i) & 0xff, (i, n) => (i * 64L / n).toInt)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val block = new Array[Double](64)
+    val cnt = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+        val idx = by * 8 + x * 8 / w
+        block(idx) += lum
+        cnt(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    packBits(block, cnt)
+  }
+
+  private def poolHash(n: Int, at: Int => Int, idx: (Int, Int) => Int): Long = {
+    val block = new Array[Double](64)
+    val cnt = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val b = math.min(idx(i, n), 63)
+      block(b) += at(i)
+      cnt(b) += 1
+      i += 1
+    }
+    packBits(block, cnt)
+  }
+
+  private def packBits(block: Array[Double], cnt: Array[Long]): Long = {
+    var mean = 0.0
+    var i = 0
+    while (i < 64) {
+      block(i) = if (cnt(i) == 0) 0.0 else block(i) / cnt(i)
+      mean += block(i)
+      i += 1
+    }
+    mean /= 64.0
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (block(i) >= mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Perceptual-hash dedup groups: every media row mapped to the keeper
+    * (lowest media_id) of its aHash-equality group — the image
+    * counterpart of exact text dedup ([[graft.dedup.Dedup.exactGroups]]),
+    * robust to re-encodes that preserve pixels and to uniform brightness
+    * shifts. Decode runs once per row in a per-partition batch
+    * (cached — it feeds both the group aggregate and the join-back);
+    * groups are one hash aggregation, and the join back to rows reuses
+    * the phash hash partitioning on the aggregated side.
+    *
+    * Output: (media_id, keeper, group_n).
+    */
+  def phashDupGroups(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    val hashes = graft.util.OpCaches.cache(
+      media.select(col("media_id"), col("media"))
+        .mapPartitions { rows =>
+          rows.map(r => Row(r.getLong(0), perceptualHash(r.getAs[Array[Byte]](1))))
+        }(enc))
+    val groups = hashes.groupBy(col("phash"))
+      .agg(min(col("media_id")).as("keeper"), count(lit(1)).as("group_n"))
+    hashes.join(groups, Seq("phash"))
+      .select(col("media_id"), col("keeper"), col("group_n"))
+  }
 }

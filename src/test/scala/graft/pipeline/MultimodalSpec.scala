@@ -236,4 +236,56 @@ class MultimodalSpec extends AnyFunSuite {
     // stride 2 keeps frames 0 and 2 -> lengths 32 and 6
     assert(frames.map(_._2.length).toSeq === Seq(32, 6))
   }
+
+  // ------------------------------------------------------- perceptual hash
+
+  test("THE LEMMA: the 37 fixed pattern BMPs decode and have pairwise " +
+      "distinct phashes (grounds the mm_phash_groups oracle at every SF)") {
+    val hashes = MultimodalOps.patternBmps(37).map(MultimodalOps.perceptualHash)
+    assert(hashes.distinct.length === 37,
+      s"pattern phashes collide: ${hashes.mkString(",")}")
+    // and they all decoded (a fallback byte-pool hash of a VALID bmp
+    // would still be deterministic, but decode failure must be loud here)
+    MultimodalOps.patternBmps(37).foreach { b =>
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(b)) != null, "pattern BMP undecodable")
+    }
+  }
+
+  test("perceptualHash is invariant to a UNIFORM brightness shift and " +
+      "sensitive to structural change") {
+    def img(shift: Int, flip: Boolean) = MultimodalOps.bmp24Gray(16, 16,
+      (x, y) => {
+        val base = ((x * 31 + y * 17) % 180) + 10 // headroom for +40
+        (if (flip && x < 8 && y < 8) 255 - base else base) + shift
+      })
+    val h0 = MultimodalOps.perceptualHash(img(0, flip = false))
+    assert(MultimodalOps.perceptualHash(img(40, flip = false)) === h0,
+      "uniform +40 brightness changed the aHash")
+    assert(MultimodalOps.perceptualHash(img(0, flip = true)) !== h0,
+      "inverting a quadrant left the aHash unchanged")
+  }
+
+  test("perceptualHash degrades deterministically on undecodable payloads") {
+    val junk = Array.tabulate[Byte](500)(i => (i * 7).toByte)
+    val h1 = MultimodalOps.perceptualHash(junk)
+    assert(h1 === MultimodalOps.perceptualHash(junk.clone()))
+    assert(MultimodalOps.perceptualHash(Array.emptyByteArray) === 0L)
+    assert(MultimodalOps.perceptualHash(null) === 0L)
+  }
+
+  test("phashDupGroups groups identical images under the lowest media_id") {
+    val pats = MultimodalOps.patternBmps(3)
+    val rows = Seq(
+      (10L, pats(0)), (11L, pats(1)), (12L, pats(0)),
+      (13L, pats(2)), (14L, pats(1)), (15L, pats(0)))
+    val m = rows.toDF("media_id", "media")
+    val got = MultimodalOps.phashDupGroups(m)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got === Set(
+      (10L, 10L, 3L), (12L, 10L, 3L), (15L, 10L, 3L),
+      (11L, 11L, 2L), (14L, 11L, 2L),
+      (13L, 13L, 1L)))
+  }
 }
