@@ -248,7 +248,20 @@ object Bench {
       // the scoring scan is O(corpus) but the cumsum window runs only
       // over the pre-pruned budget-prefix partitions, so the ratio
       // should track the scan, never a corpus sort
-      "tx_token_budget")
+      "tx_token_budget",
+      // round-14b additions: tx_source_cap (fixed cap per source from a
+      // 10x corpus — the pre-window prune keeps the rank input bounded,
+      // so the ratio tracks the quality scan); tx_novelty (two
+      // token-volume-linear shuffles: train-key distinct + probe join);
+      // dd_source_overlap (fixed 20-source matrix over 10x tokens —
+      // fan-out is |sources|^2 per shingle, so ~linear here);
+      // mm_phash_groups (the per-row decode scan is the cost — linear,
+      // the group agg is O(distinct hashes)); sm_prototype_outliers
+      // (map-only assign + k-row percentile agg — linear);
+      // sm_projected_rerank (fixed 10-query candidate search over a 10x
+      // corpus at projected width, rerank bounded by k*overscan)
+      "tx_source_cap", "tx_novelty", "dd_source_overlap",
+      "mm_phash_groups", "sm_prototype_outliers", "sm_projected_rerank")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
