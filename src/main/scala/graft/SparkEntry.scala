@@ -1075,6 +1075,18 @@ object SparkEntry {
         .select(col("d1"), col("d2"), round(col("sim"), 6).as("sim"))
     },
 
+    // SemDeDup-style semantic CLUSTER discovery: connected components
+    // (large-star/small-star, O(log²n) rounds) over embedding-cosine
+    // near-dup edges — exact pairs here for the oracle; at corpus scale
+    // the LSH pair generator feeds the same component chain
+    "sm_semantic_clusters" -> { (s, dir) =>
+      val vecs = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.45)
+        .select(col("d1"), col("d2"))
+      Dedup.dupGroups(pairs)
+    },
+
     // Embedding-cosine near-dup pairs, LSH-bucketed + exact verify — the
     // scale path (banded sign-LSH: 4 bands × 4 bits, candidates only
     // within equal buckets, never all-pairs); precision 1.0 vs
@@ -3898,6 +3910,27 @@ object SparkEntry {
         |     * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS sim
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
         |) WHERE sim >= 0.45""".stripMargin,
+
+    // the dd_dup_groups recursive-reach component labeling rebased onto
+    // the cosine edge set (gid = component minimum, nodes-in-edges only)
+    "sm_semantic_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ver AS (
+        |  SELECT d1, d2 FROM (
+        |    SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |      list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS sim
+        |    FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  ) WHERE sim >= 0.45
+        |),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM ver UNION SELECT d2, d1 FROM ver),
+        |reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, ed.b FROM reach r JOIN edges ed ON r.b = ed.a WHERE ed.b != r.a
+        |)
+        |SELECT a AS doc_id, least(a, MIN(b)) AS gid FROM reach GROUP BY a""".stripMargin,
 
     // same banded-signature chain as sm_cosine_lsh_neardup; survivors are
     // vectors never appearing as the LARGER id of a verified pair

@@ -533,6 +533,24 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("cosine edges + dupGroups label planted semantic clusters by their " +
+      "minimum id; singletons stay out") {
+    val base1 = Seq.tabulate(8)(i => math.sin(i * 0.4) + 2.0)
+    val base2 = Seq.tabulate(8)(i => math.cos(i * 0.9) - 2.0)
+    val d = vecs(
+      (1L, base1), (2L, base1.map(_ * 1.01)), (5L, base1.map(_ * 0.99)),
+      (7L, base2), (9L, base2.map(_ * 1.02)),
+      (11L, Seq.tabulate(8)(i => if (i % 2 == 0) 1.0 else -1.0)))
+    val pairs = Similarity.cosineNearDupPairs(d, threshold = 0.95)
+      .select($"d1", $"d2")
+    val got = graft.dedup.Dedup.dupGroups(pairs)
+      .as[(Long, Long)].collect().toSet
+    graft.util.OpCaches.releaseAll(spark)
+    assert(got === Set(
+      (1L, 1L), (2L, 1L), (5L, 1L),
+      (7L, 7L), (9L, 7L)))
+  }
+
   // ------------------------------------------------------------ hybrid RRF
 
   test("hybridRrfTopK fuses lexical and dense ranks with 1/(60+r) and " +
