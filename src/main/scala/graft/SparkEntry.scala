@@ -1468,6 +1468,12 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // the one-query per-source data card: volume, exact-dup rate,
+    // lang-label agreement, quality distribution — a single aggregation
+    "tx_corpus_report" -> { (s, dir) =>
+      TextOps.corpusReport(Graft.table(s, dir, "documents"))
+    },
+
     // OLAP rollup: doc counts / avg length by (source, lang) with
     // subtotals and grand total (capability absent from the reference)
     "tx_rollup_stats" -> { (s, dir) =>
@@ -3511,6 +3517,59 @@ object SparkEntry {
     "tx_rollup_stats" ->
       """SELECT source, lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // the tx_analyze projection carried per source + one aggregation;
+    // only order-independent aggregates (counts, long sums, min/max,
+    // interpolated percentile of the truncated score), rates divided
+    // once at the end with *1.0
+    "tx_corpus_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, lang, text,
+        |         string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents
+        |),
+        |scored AS (
+        |  SELECT doc_id, source, lang, text, t,
+        |    len(t) AS n_tokens,
+        |    len(list_filter(t, x -> list_contains(['the','of','and','to','a','in','is','it'], x))) AS s_en,
+        |    len(list_filter(t, x -> list_contains(['el','la','de','que','y','en','un','es'], x))) AS s_es,
+        |    len(list_filter(t, x -> list_contains(['der','die','und','das','ist','ein','zu','den'], x))) AS s_de,
+        |    len(list_filter(t, x -> list_contains(['le','les','des','et','un','est','dans','que'], x))) AS s_fr,
+        |    len(list_filter(t, x -> list_contains(['shi','bu','wo','ni','ta','zhe','ge','men'], x))) AS s_zh,
+        |    length(text) AS n_chars,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS no_space,
+        |    length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS punct
+        |  FROM toks
+        |),
+        |per AS (
+        |  SELECT source, lang,
+        |    CAST(n_tokens AS BIGINT) AS n_toks,
+        |    CASE
+        |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh'
+        |    END AS lang_pred,
+        |    floor((
+        |      least(n_tokens / 100.0, 1.0) * 0.3 +
+        |      (1.0 - least(abs(no_space * 1.0 / n_tokens - 5.0) / 10.0, 1.0)) * 0.3 +
+        |      least(s_en * 1.0 / n_tokens * 5.0, 1.0) * 0.2 +
+        |      (1.0 - least(punct * 1.0 / n_chars * 4.0, 1.0)) * 0.2) * 1000000.0)
+        |      / 1000000.0 AS q,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM scored
+        |)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT fp) AS n_unique,
+        |  ROUND((COUNT(*) - COUNT(DISTINCT fp)) * 1.0 / COUNT(*), 6) AS dup_rate,
+        |  ROUND(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) * 1.0
+        |        / COUNT(*), 6) AS lang_match_rate,
+        |  floor(quantile_cont(q, 0.5) * 1000000.0) / 1000000.0 AS q_p50,
+        |  MIN(q) AS q_min, MAX(q) AS q_max
+        |FROM per GROUP BY source""".stripMargin,
 
     "tx_distinct_vocab" ->
       """WITH t AS (

@@ -2260,4 +2260,50 @@ object TextOps {
         // disagree; floor(x*1e6)/1e6 is bit-deterministic in both
         (floor(qualityScore(col("text")) * 1e6) / 1e6).as("quality"),
         fingerprint(col("text")).as("fp")) ): _*)
+
+  /** Per-source corpus DATA CARD — the one-query release report: volume
+    * (docs, tokens), exact-duplicate rate, language-label agreement
+    * (declared `lang` vs [[langId]] prediction), and the quality
+    * distribution (p50/min/max). One map-only analysis projection into
+    * ONE aggregation.
+    *
+    * Determinism across engines is by construction: every aggregate is
+    * order-independent — counts, long sums, count-distinct, min/max over
+    * the truncated score, and the exact interpolated percentile (a
+    * function of the sorted values). No double SUM/AVG appears anywhere:
+    * a floating mean's value depends on partial-aggregation order, so
+    * rates are integer-counted and divided once at the end.
+    *
+    * Scale: count_distinct(fp) is the one exchange that carries keys
+    * (fingerprints, never text); exact `percentile` buffers each
+    * source's scores — swap `percentile_approx` past the point a single
+    * source's doc count stresses executor memory
+    * (the a5_percentiles_sketch contrast).
+    */
+  def corpusReport(docs: DataFrame): DataFrame = {
+    val perDoc = docs.select(
+      col("source"),
+      col("lang"),
+      tokenCount(col("text")).as("n_toks"),
+      langId(col("text")).as("lang_pred"),
+      (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"),
+      fingerprint(col("text")).as("fp"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
+          .as("n_lang_match"),
+        (floor(expr("percentile(q, 0.5)") * 1e6) / 1e6).as("q_p50"),
+        min(col("q")).as("q_min"),
+        max(col("q")).as("q_max"))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("n_unique"),
+        round((col("n_docs") - col("n_unique")) / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("n_lang_match") / col("n_docs"), 6).as("lang_match_rate"),
+        col("q_p50"), col("q_min"), col("q_max"))
+  }
 }

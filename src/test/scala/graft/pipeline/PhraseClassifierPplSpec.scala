@@ -274,6 +274,30 @@ class PhraseClassifierPplSpec extends AnyFunSuite {
     assert(again === got.toSet)
   }
 
+  test("corpusReport: exact per-source volumes, dup rate, lang agreement, " +
+      "and a quality p50 bracketed by min/max") {
+    val df = Seq(
+      (1L, "s1", "en", "the cat and the dog in a house"),
+      (2L, "s1", "es", "the cat and the dog in a house"), // dup; pred en != es
+      (3L, "s1", "en", "unique wording entirely different okay"),
+      (4L, "s2", "en", "the only doc of source two"))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = TextOps.corpusReport(df)
+      .as[(String, Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val s1 = got("s1")
+    assert((s1._2, s1._3, s1._4) === ((3L, 21L, 2L)))
+    assert(s1._5 === 0.333333) // 1 duplicate of 3 docs
+    assert(s1._6 === 0.666667) // doc 2's declared es never matches pred en
+    // p50 is the median of the three per-doc truncated scores
+    val qs = TextOps.analyze(df.filter($"source" === "s1"))
+      .select($"quality").as[Double].collect().sorted
+    assert(s1._7 === qs(1) && s1._8 === qs(0) && s1._9 === qs(2))
+    val s2 = got("s2")
+    assert((s2._2, s2._4, s2._5, s2._6) === ((1L, 1L, 0.0, 1.0)))
+    assert(s2._7 === s2._8 && s2._8 === s2._9) // single doc: p50=min=max
+  }
+
   test("stratifiedSample draw is independent of the split assignment " +
       "(distinct salts) and rejects non-positive k") {
     val df = (0L until 200L).map(i => (i, "s", s"t$i"))
