@@ -261,7 +261,14 @@ object Bench {
       // sm_projected_rerank (fixed 10-query candidate search over a 10x
       // corpus at projected width, rerank bounded by k*overscan)
       "tx_source_cap", "tx_novelty", "dd_source_overlap",
-      "mm_phash_groups", "sm_prototype_outliers", "sm_projected_rerank")
+      "mm_phash_groups", "sm_prototype_outliers", "sm_projected_rerank",
+      // tx_corpus_report: one analysis projection + one aggregation —
+      // expected ~linear in token volume (count_distinct(fp) is the only
+      // key-carrying exchange). sm_semantic_clusters is deliberately NOT
+      // here: its exact all-pairs edge generator is quadratic by design
+      // (the LSH generator is the scale path), and the quadratic control
+      // slot is already held by sm_cosine_lsh_neardup
+      "tx_corpus_report")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
