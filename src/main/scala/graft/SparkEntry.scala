@@ -559,6 +559,34 @@ object SparkEntry {
         .groupBy(col("op")).agg(count(lit(1)).as("n"))
     },
 
+    // L5: ranking windows + lag — per-customer order sequence analytics
+    // (dense_rank + previous-order price delta over a (date, orderkey)
+    // total order; o_custkey is high-cardinality, so the per-key window
+    // parallelizes across the cluster — the single-task discipline only
+    // applies to low-cardinality partition keys)
+    "l5_window_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Graft.table(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .withColumn("rnk", dense_rank().over(w).cast("long"))
+        .withColumn("price_delta",
+          round(col("o_totalprice") -
+            coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 6))
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"),
+          col("price_delta"))
+    },
+
+    // A6: CUBE aggregation — all 2^2 grouping combinations in one pass
+    // (the rollup key's lattice completion)
+    "a6_cube_stats" -> { (s, dir) =>
+      Graft.table(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    },
+
     // P4: JSON parsing — extract props.k per event, histogram
     "p4_json_parse" -> { (s, dir) =>
       Graft.events(s, dir)
@@ -3517,6 +3545,22 @@ object SparkEntry {
     "tx_rollup_stats" ->
       """SELECT source, lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS avg_chars
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // lag over the same (date, orderkey) total order; integer long sums
+    // only, the delta a per-row double subtraction
+    "l5_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS rnk,
+        |  ROUND(o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 6)
+        |    AS price_delta
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    // SUM over BIGINT returns HUGEINT in DuckDB -> cast back
+    "a6_cube_stats" ->
+      """SELECT source, lang, COUNT(*) AS n,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
 
     // the tx_analyze projection carried per source + one aggregation;
     // only order-independent aggregates (counts, long sums, min/max,
