@@ -375,6 +375,12 @@ object SparkEntry {
         .select(col("pid"), col("cid"), round(col("dist2"), 6).as("d2"))
     },
 
+    // k-means|| init (Bahmani VLDB'12): 2 rounds × 3 exponential-clock
+    // ∝d² draws, keep the 4 heaviest candidates by nearest-point count
+    "l6_kminit_parallel" -> { (s, dir) =>
+      OpsN.initKMeansParallel(npoints(s, dir), k = 4, rounds = 2, l = 3)
+    },
+
     // prototype-distance outlier pruning: per-cluster p90 distance cut
     // over the first-4 prototypes — the D4/SSL-prototypes curation step
     "sm_prototype_outliers" -> { (s, dir) =>
@@ -2223,6 +2229,98 @@ object SparkEntry {
          |SELECT cid, i - 1 AS dim, ROUND(AVG(v[i]), 6) AS mean
          |FROM nassigned, LATERAL (SELECT UNNEST(range(1, len(v) + 1)) AS i) t
          |GROUP BY cid, i""".stripMargin,
+
+    // the two sampling rounds unrolled: per-round exponential-clock key
+    // −ln(u)/d² floor-truncated at 1e-6 (u = first-8-md5-hex/2³², the
+    // hashUniform formula), l=3 smallest per round over the LATERAL-min
+    // distance to the evolving candidate set; final weights via the
+    // lowest-cand-pid argmin, top-4 by (weight DESC, pid)
+    "l6_kminit_parallel" ->
+      """WITH emb AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT pid, v FROM emb ORDER BY pid LIMIT 1),
+        |r1 AS (
+        |  SELECT e.pid, e.v, a.d2
+        |  FROM emb e, LATERAL (
+        |    SELECT MIN(list_sum(list_transform(range(1, len(e.v)+1),
+        |      i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i])))) AS d2
+        |    FROM c0 c) a
+        |),
+        |k1 AS (
+        |  SELECT pid, v FROM (
+        |    SELECT pid, v,
+        |      floor((-ln(CAST(('0x' || substr(md5('kmpar1:' || CAST(pid AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                 / 4294967296.0) / d2) * 1000000.0) / 1000000.0 AS key
+        |    FROM r1 WHERE d2 > 0
+        |    ORDER BY key, pid LIMIT 3)
+        |),
+        |cand1 AS (SELECT * FROM c0 UNION ALL SELECT * FROM k1),
+        |r2 AS (
+        |  SELECT e.pid, e.v, a.d2
+        |  FROM emb e, LATERAL (
+        |    SELECT MIN(list_sum(list_transform(range(1, len(e.v)+1),
+        |      i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i])))) AS d2
+        |    FROM cand1 c) a
+        |),
+        |k2 AS (
+        |  SELECT pid, v FROM (
+        |    SELECT pid, v,
+        |      floor((-ln(CAST(('0x' || substr(md5('kmpar2:' || CAST(pid AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                 / 4294967296.0) / d2) * 1000000.0) / 1000000.0 AS key
+        |    FROM r2 WHERE d2 > 0
+        |    ORDER BY key, pid LIMIT 3)
+        |),
+        |candc AS (
+        |  SELECT pid, v, CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid
+        |  FROM (SELECT * FROM cand1 UNION ALL SELECT * FROM k2)
+        |),
+        |assigned AS (
+        |  SELECT e.pid, a.cid
+        |  FROM emb e, LATERAL (
+        |    SELECT c.cid, list_sum(list_transform(range(1, len(e.v)+1),
+        |      i -> (e.v[i]-c.v[i])*(e.v[i]-c.v[i]))) AS d2
+        |    FROM candc c ORDER BY d2, c.cid LIMIT 1) a
+        |),
+        |w AS (SELECT cid, COUNT(*) AS wt FROM assigned GROUP BY cid),
+        |fin AS (
+        |  SELECT c.pid, c.v, CAST(COALESCE(w.wt, 0) AS DOUBLE) AS wt
+        |  FROM candc c LEFT JOIN w USING (cid)
+        |),
+        |sel1 AS (SELECT pid, v FROM fin ORDER BY wt DESC, pid LIMIT 1),
+        |sel2 AS (
+        |  SELECT pid, v FROM (
+        |    SELECT f.pid, f.v,
+        |      f.wt * (SELECT MIN(list_sum(list_transform(range(1, len(f.v)+1),
+        |                i -> (f.v[i]-s.v[i])*(f.v[i]-s.v[i]))))
+        |              FROM sel1 s) AS score
+        |    FROM fin f WHERE f.pid NOT IN (SELECT pid FROM sel1))
+        |  ORDER BY score DESC, pid LIMIT 1
+        |),
+        |sel3 AS (
+        |  SELECT pid, v FROM (
+        |    SELECT f.pid, f.v,
+        |      f.wt * (SELECT MIN(list_sum(list_transform(range(1, len(f.v)+1),
+        |                i -> (f.v[i]-s.v[i])*(f.v[i]-s.v[i]))))
+        |              FROM (SELECT v FROM sel1 UNION ALL SELECT v FROM sel2) s) AS score
+        |    FROM fin f
+        |    WHERE f.pid NOT IN (SELECT pid FROM sel1 UNION ALL SELECT pid FROM sel2))
+        |  ORDER BY score DESC, pid LIMIT 1
+        |),
+        |sel4 AS (
+        |  SELECT pid, v FROM (
+        |    SELECT f.pid, f.v,
+        |      f.wt * (SELECT MIN(list_sum(list_transform(range(1, len(f.v)+1),
+        |                i -> (f.v[i]-s.v[i])*(f.v[i]-s.v[i]))))
+        |              FROM (SELECT v FROM sel1 UNION ALL SELECT v FROM sel2
+        |                    UNION ALL SELECT v FROM sel3) s) AS score
+        |    FROM fin f
+        |    WHERE f.pid NOT IN (SELECT pid FROM sel1 UNION ALL SELECT pid FROM sel2
+        |                        UNION ALL SELECT pid FROM sel3))
+        |  ORDER BY score DESC, pid LIMIT 1
+        |)
+        |SELECT CAST(0 AS BIGINT) AS cid, pid FROM sel1
+        |UNION ALL SELECT CAST(1 AS BIGINT), pid FROM sel2
+        |UNION ALL SELECT CAST(2 AS BIGINT), pid FROM sel3
+        |UNION ALL SELECT CAST(3 AS BIGINT), pid FROM sel4""".stripMargin,
 
     // per-cluster p90 cut over the shared NEMB assignment, truncated at
     // 1e-6 exactly as the Spark side truncates before comparing —

@@ -190,6 +190,101 @@ object OpsN {
     oldC.map(_.cid).toSet == newC.map(_.cid).toSet &&
       maxMovementN(oldC, newC) <= tol
 
+  /** Scalable k-means|| initialization (Bahmani et al., VLDB'12) — the
+    * init the reference lacks: first-K init seeds adjacent points
+    * (terrible spread); k-means++ is inherently sequential (one point
+    * per pass). k-means|| oversamples ~l candidates per round for
+    * `rounds` rounds, each round sampling ∝ d²(x, C) against the
+    * CURRENT candidate set, then keeps the k heaviest candidates by
+    * nearest-point count.
+    *
+    * DETERMINISTIC by construction (no rand(), no Σd² scalar): per-round
+    * weighted sampling-without-replacement uses the Efraimidis–Spirakis
+    * exponential clock — key = −ln(u)/d², u the id-pure
+    * [[graft.text.TextOps.hashUniform]] draw (salt per round) — so the
+    * l smallest keys ARE a ∝d² sample, with NO global d² sum whose
+    * floating partial-aggregation order could flip membership (the
+    * tx_dsir_sample Gumbel-top-k discipline; keys floor-truncated at
+    * 1e-6 before ranking, pid tiebreak). Points at d² = 0 (the current
+    * candidates and their exact duplicates) are excluded from the draw.
+    *
+    * The finisher is the paper's recluster-the-candidates step in its
+    * DERANDOMIZED greedy form (weighted greedy k-means++ / maxmin):
+    * seed with the heaviest candidate, then repeatedly add the
+    * candidate maximizing wt·min-d² to the chosen set (pid tiebreak) —
+    * NOT a plain weight-top-k, which provably collapses into the
+    * densest cluster (a 40-vs-10 two-cluster fixture picks two seeds
+    * from the dense side; spec-locked against exactly that).
+    *
+    * Scale shape: each round is one map-only [[assignN]] distance pass
+    * (candidates ride as plan literals) + a TakeOrdered(l) — never a
+    * global sort; the final weighting is one more assign pass + an
+    * O(candidates) count, and the greedy finish runs driver-side over
+    * the ≤ 1+rounds·l candidates, exactly like Lloyd's model state.
+    *
+    * Output: (cid, pid) — cid 0-based in selection order, the chosen k
+    * seed points.
+    */
+  def initKMeansParallel(
+      points: DataFrame, k: Int, rounds: Int, l: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1 && l >= 1,
+      s"need k, rounds, l >= 1, got k=$k rounds=$rounds l=$l")
+    require(k <= 1 + rounds * l,
+      s"k=$k exceeds the candidate pool 1 + rounds*l = ${1 + rounds * l}")
+    val spark = points.sparkSession
+    import spark.implicits._
+    val first = points.orderBy(col("pid")).limit(1)
+      .select(col("pid"), col("features"))
+      .as[(Long, Seq[Double])].collect()
+    require(first.nonEmpty, "initKMeansParallel: empty input")
+    var cands: Vector[(Long, Array[Double])] =
+      Vector(first.head._1 -> first.head._2.toArray)
+    for (r <- 1 to rounds) {
+      // cid = index in pid-ascending order, so assignN's lowest-cid
+      // distance tiebreak is the oracle's lowest-candidate-pid tiebreak
+      val cs = cands.sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => CentroidN(i, v) }
+      val key = floor(
+        (-log(graft.text.TextOps.hashUniform(col("pid"), s"kmpar$r")) /
+          col("dist2")) * 1e6) / 1e6
+      val kept = assignN(points, cs)
+        .filter(col("dist2") > 0.0)
+        .select(col("pid"), col("features"), key.as("key"))
+        .orderBy(col("key"), col("pid")).limit(l)
+        .select(col("pid"), col("features"))
+        .as[(Long, Seq[Double])].collect()
+      cands ++= kept.map { case (p, v) => p -> v.toArray }
+    }
+    val ordered = cands.sortBy(_._1)
+    val cs = ordered.zipWithIndex.map { case ((_, v), i) => CentroidN(i, v) }
+    val weights = assignN(points, cs)
+      .groupBy(col("cid")).agg(count(lit(1)).as("wt"))
+      .as[(Int, Long)].collect().toMap
+    val pool = ordered.zipWithIndex.map { case ((pid, v), i) =>
+      (pid, v, weights.getOrElse(i, 0L).toDouble)
+    }
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // greedy weighted k-means++: heaviest first (pid tiebreak), then
+    // argmax wt * min-d² to the chosen set (pid tiebreak — exact-zero
+    // ties are real when candidates duplicate vectors)
+    val first0 = pool.minBy { case (pid, _, wt) => (-wt, pid) }
+    var chosen = Vector(first0)
+    var rest = pool.filterNot(_._1 == first0._1)
+    while (chosen.size < k && rest.nonEmpty) {
+      val next = rest.minBy { case (pid, v, wt) =>
+        (-(wt * chosen.map(c => d2(v, c._2)).min), pid)
+      }
+      chosen :+= next
+      rest = rest.filterNot(_._1 == next._1)
+    }
+    chosen.zipWithIndex.map { case ((pid, _, _), cid) => (cid.toLong, pid) }
+      .toDF("cid", "pid")
+  }
+
   /** Prototype-distance outlier pruning (Sorscher et al. NeurIPS'22
     * prototypicality; D4, Tirumala et al. NeurIPS'23): assign each
     * embedding to its nearest prototype and emit the points whose

@@ -164,6 +164,72 @@ class NDimSpec extends AnyFunSuite {
     assert(got.map(_._2).toSet === Set(0, 1))
   }
 
+  test("initKMeansParallel matches a driver-side re-derivation of the " +
+      "exponential-clock rounds and the weight-top-k finish") {
+    val rnd = new scala.util.Random(23)
+    val pts = (0L until 60L).map(i =>
+      (i, Seq.tabulate(4)(j => rnd.nextGaussian() + (i % 3) * 10.0 * (j + 1))))
+    val df = ndDf(pts: _*)
+    val got = OpsN.initKMeansParallel(df, k = 4, rounds = 2, l = 3)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // reference: identical arithmetic in plain Scala
+    def u(pid: Long, salt: String): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$pid".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+    }
+    def d2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cands = Vector(pts.minBy(_._1))
+    for (r <- 1 to 2) {
+      val kept = pts
+        .map { case (pid, v) => (pid, v, cands.map(c => d2(v, c._2)).min) }
+        .filter(_._3 > 0)
+        .map { case (pid, v, dd) =>
+          (pid, v, math.floor(-math.log(u(pid, s"kmpar$r")) / dd * 1e6) / 1e6) }
+        .sortBy(t => (t._3, t._1)).take(3)
+      cands ++= kept.map(t => (t._1, t._2))
+    }
+    val byPid = cands.sortBy(_._1)
+    val weights = pts.groupBy { case (_, v) =>
+      byPid.indices.minBy(i => (d2(v, byPid(i)._2), i))
+    }.map { case (i, rows) => i -> rows.size.toLong }
+    // greedy weighted k-means++ finish: heaviest first, then argmax
+    // wt * min-d2 to the chosen set, pid tiebreak
+    val pool = byPid.indices
+      .map(i => (byPid(i)._1, byPid(i)._2, weights.getOrElse(i, 0L).toDouble))
+    var chosen = Vector(pool.minBy { case (pid, _, wt) => (-wt, pid) })
+    var rest = pool.filterNot(_._1 == chosen.head._1)
+    while (chosen.size < 4 && rest.nonEmpty) {
+      val next = rest.minBy { case (pid, v, wt) =>
+        (-(wt * chosen.map(c => d2(v, c._2)).min), pid)
+      }
+      chosen :+= next
+      rest = rest.filterNot(_._1 == next._1)
+    }
+    val expect = chosen.zipWithIndex
+      .map { case ((pid, _, _), cid) => (cid.toLong, pid) }
+    assert(got === expect)
+  }
+
+  test("initKMeansParallel spreads seeds across separated clusters where " +
+      "first-K stays in one; rejects k past the candidate pool") {
+    // cluster A: pids 0..39 near origin; cluster B: pids 40..49 far away
+    val rnd = new scala.util.Random(9)
+    val pts = (0L until 50L).map { i =>
+      val c = if (i < 40) 0.0 else 500.0
+      (i, Seq.tabulate(4)(_ => c + rnd.nextGaussian()))
+    }
+    val df = ndDf(pts: _*)
+    val seeds = OpsN.initKMeansParallel(df, k = 2, rounds = 2, l = 4)
+      .as[(Long, Long)].collect().map(_._2).toSet
+    assert(seeds.exists(_ < 40L) && seeds.exists(_ >= 40L),
+      s"seeds $seeds do not span both clusters")
+    intercept[IllegalArgumentException](
+      OpsN.initKMeansParallel(df, k = 10, rounds = 2, l = 3))
+  }
+
   test("prototypeOutliers rejects pct outside (0,1)") {
     val df = ndDf((1L, Seq(0.0)))
     val cs = Seq(CentroidN(0, Array(0.0)))
