@@ -376,7 +376,9 @@ object SparkEntry {
     },
 
     // k-means|| init (Bahmani VLDB'12): 2 rounds × 3 exponential-clock
-    // ∝d² draws, keep the 4 heaviest candidates by nearest-point count
+    // ∝d² draws, then a derandomized greedy weighted-k-means++ finisher
+    // (max wt·min-d² over the candidate pool; plain weight-top-k would
+    // collapse into the densest cluster — see OpsN.initKMeansParallel)
     "l6_kminit_parallel" -> { (s, dir) =>
       OpsN.initKMeansParallel(npoints(s, dir), k = 4, rounds = 2, l = 3)
     },
@@ -3901,8 +3903,10 @@ object SparkEntry {
         |           + CAST(floor(value) AS BIGINT) AS e
         |  FROM events
         |),
-        |v AS (SELECT event_id AS v_id, s AS v_s, e AS v_e FROM ev WHERE event_type = 'view'),
-        |p AS (SELECT event_id AS p_id, s AS p_s, e AS p_e FROM ev WHERE event_type = 'purchase')
+        |v AS (SELECT event_id AS v_id, s AS v_s, e AS v_e FROM ev
+        |      WHERE event_type = 'view' AND e >= s),
+        |p AS (SELECT event_id AS p_id, s AS p_s, e AS p_e FROM ev
+        |      WHERE event_type = 'purchase' AND e >= s)
         |SELECT v_id, p_id FROM v, p WHERE p_s <= v_e AND v_s <= p_e""".stripMargin,
 
     "j3_asof_join" ->
