@@ -1510,6 +1510,23 @@ object SparkEntry {
       TextOps.corpusReport(Graft.table(s, dir, "documents"))
     },
 
+    // BPE vocabulary TRAINING (Sennrich ACL'16): 12 iterative
+    // most-frequent-pair merges over the distinct-word dictionary,
+    // count-DESC-then-pair-lexicographic winner per step; the oracle
+    // re-derives every merge as a CTE chain (pair count → argmax →
+    // positional greedy-leftmost merge application)
+    "tx_bpe_fit" -> { (s, dir) =>
+      TextOps.bpeFit(Graft.table(s, dir, "documents"), BPE_MERGES)
+    },
+
+    // the fitted tokenizer APPLIED: per-doc token counts under the
+    // learned merge table — fit once, then featurize via a dictionary
+    // join (a corpus word's token count is size(syms) in the fitted
+    // dict), never a per-row re-derivation
+    "tx_bpe_apply" -> { (s, dir) =>
+      TextOps.bpeApplyCounts(Graft.table(s, dir, "documents"), BPE_MERGES)
+    },
+
     // OLAP rollup: doc counts / avg length by (source, lang) with
     // subtotals and grand total (capability absent from the reference)
     "tx_rollup_stats" -> { (s, dir) =>
@@ -1626,6 +1643,27 @@ object SparkEntry {
     // scan, zero shuffle — the learned-quality-gate shape (CCNet §4.3)
     "tx_classifier_score" -> { (s, dir) =>
       TextOps.classifierScore(Graft.table(s, dir, "documents"))
+    },
+
+    // classifier TRAINING (the CCNet §4.3 loop completed): closed-form
+    // Rocchio fit over hashed bag-of-words features against the src0
+    // reference class — w(b) = cp/tp − cn/tn from exact integer counts,
+    // so both engines derive bit-identical weights with no libm call
+    "tx_classifier_fit" -> { (s, dir) =>
+      TextOps.classifierFit(Graft.table(s, dir, "documents"),
+        positive = col("source") === "src0")
+    },
+
+    // the trained classifier applied from its PERSISTED model: integer
+    // sufficient statistics stored, weights re-derived at read, corpus
+    // scored map-only under the fitted array literal — must answer
+    // bit-identically to an inline fit+score (shared oracle)
+    "tx_classifier_fit_score" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val store = "target/graft_stores/classifier_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.writeClassifierModel(docs, col("source") === "src0", store)
+      TextOps.classifierScoreFromStore(docs, store)
     },
 
     // hashed TF-IDF featurization over md5 buckets (engine-portable, no
@@ -1901,6 +1939,74 @@ object SparkEntry {
       |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
       |  FROM documents
       |)""".stripMargin
+
+  /** The BPE-fit oracle's CTE chain: d1 is the distinct-word dictionary
+    * (word, char symbols, count); each step n then RE-DERIVES merge n in
+    * SQL — `p_n`/`m_n` count adjacent pairs weighted by word count and
+    * pick the (count DESC, l, r) head, and `f_n`..`d_{n+1}` apply it
+    * positionally: flag match positions, group consecutive matches into
+    * runs (gaps-and-islands), keep odd ranks within a run (= greedy
+    * leftmost non-overlapping, exactly [[graft.text.TextOps.bpeMergeStep]]'s
+    * fold — overlapping runs only arise when l = r), drop positions
+    * consumed by the previous kept match, and rebuild the symbol list.
+    * Exhaustion-safe: an empty pair table makes m_n empty, the scalar
+    * subqueries NULL, and step n a no-op — mirroring the Spark loop's
+    * early stop.
+    */
+  private def bpeCtes(k: Int): String = {
+    val d1 =
+      """d1 AS MATERIALIZED (
+        |  SELECT w, regexp_extract_all(w, '.') AS syms,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (
+        |    SELECT UNNEST(string_split(
+        |      regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0
+        |  GROUP BY w
+        |)""".stripMargin
+    val steps = (1 to k).map { n =>
+      s"""p$n AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, syms, UNNEST(range(1, len(syms))) AS i FROM d$n)
+         |  GROUP BY 1, 2
+         |),
+         |m$n AS MATERIALIZED (SELECT l, r, c FROM p$n ORDER BY c DESC, l, r LIMIT 1),
+         |f$n AS (
+         |  SELECT w, cnt, i, syms[i] AS s,
+         |    CASE WHEN i < len(syms) AND syms[i] = (SELECT l FROM m$n)
+         |              AND syms[i + 1] = (SELECT r FROM m$n)
+         |         THEN 1 ELSE 0 END AS f
+         |  FROM (SELECT w, cnt, syms,
+         |          UNNEST(range(1, len(syms) + 1)) AS i FROM d$n)
+         |),
+         |g$n AS (
+         |  SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, f ORDER BY i) AS run
+         |  FROM f$n
+         |),
+         |k$n AS (
+         |  SELECT *, CASE WHEN f = 1 AND ROW_NUMBER()
+         |        OVER (PARTITION BY w, run, f ORDER BY i) % 2 = 1
+         |      THEN 1 ELSE 0 END AS keepm
+         |  FROM g$n
+         |),
+         |c$n AS (
+         |  SELECT *,
+         |    COALESCE(LAG(keepm) OVER (PARTITION BY w ORDER BY i), 0) AS consumed,
+         |    LEAD(s) OVER (PARTITION BY w ORDER BY i) AS nxt
+         |  FROM k$n
+         |),
+         |d${n + 1} AS MATERIALIZED (
+         |  SELECT w, any_value(cnt) AS cnt,
+         |    list(CASE WHEN keepm = 1 THEN s || nxt ELSE s END ORDER BY i)
+         |      FILTER (WHERE consumed = 0) AS syms
+         |  FROM c$n GROUP BY w
+         |)""".stripMargin
+    }
+    (d1 +: steps).mkString(",\n")
+  }
+
+  private val BPE_MERGES = 12
 
   /** One side (u or v) of the n-term positional window-key combination
     * — generated, since the substring-span oracle needs n = 16 terms.
@@ -3715,6 +3821,31 @@ object SparkEntry {
         |  MIN(q) AS q_min, MAX(q) AS q_max
         |FROM per GROUP BY source""".stripMargin,
 
+    // the merge table re-derived step by step in SQL (see bpeCtes);
+    // a step past pair exhaustion yields an empty m_n → zero rows,
+    // mirroring the Spark loop's early stop
+    "tx_bpe_fit" ->
+      s"""WITH ${bpeCtes(BPE_MERGES)}
+         |SELECT * FROM (
+         |${(1 to BPE_MERGES).map(n =>
+             s"  SELECT CAST($n AS BIGINT) AS step, l AS lhs, r AS rhs, c AS cnt FROM m$n")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY step""".stripMargin,
+
+    // fitted-vocabulary token counts: the final dict d_{K+1} is the
+    // word → post-merge-token-count lookup; per-doc counts are one
+    // exploded-word join + sum (the fit-once/featurize-many shape)
+    "tx_bpe_apply" ->
+      s"""WITH ${bpeCtes(BPE_MERGES)},
+         |dw AS (
+         |  SELECT doc_id, UNNEST(string_split(
+         |    regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents
+         |)
+         |SELECT dw.doc_id, CAST(SUM(len(d.syms)) AS BIGINT) AS bpe_fit_tokens
+         |FROM dw JOIN d${BPE_MERGES + 1} d USING (w)
+         |GROUP BY dw.doc_id""".stripMargin,
+
     "tx_distinct_vocab" ->
       """WITH t AS (
         |  SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
@@ -3850,6 +3981,68 @@ object SparkEntry {
         |            CAST(CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS VARCHAR)
         |          ), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS w
         |  FROM big
+        |)
+        |SELECT doc_id, n_tokens,
+        |       floor(1.0 / (1.0 + exp(-(list_sum(list(w ORDER BY pos)) / n_tokens)))
+        |             * 1000000.0) / 1000000.0 AS cls_score
+        |FROM wgt GROUP BY doc_id, n_tokens""".stripMargin,
+
+    // Rocchio fit re-derived: exact integer class counts per bucket,
+    // weights two correctly-rounded IEEE divisions — no truncation
+    // needed for the hash compare
+    "tx_classifier_fit" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS lbl,
+        |         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |agg AS (
+        |  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
+        |         CAST(SUM(lbl) AS BIGINT) AS cp,
+        |         CAST(SUM(1 - lbl) AS BIGINT) AS cn
+        |  FROM t GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn
+        |  FROM agg
+        |)
+        |SELECT bucket, cp * 1.0 / tp - cn * 1.0 / tn AS w
+        |FROM agg, tot""".stripMargin,
+
+    // store ≡ refit by contract (integer statistics persisted, weights
+    // derived at read), so the inline fit+score SQL is the exact oracle
+    // for the store-backed key
+    "tx_classifier_fit_score" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS lbl,
+        |         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |agg AS (
+        |  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
+        |         CAST(SUM(lbl) AS BIGINT) AS cp,
+        |         CAST(SUM(1 - lbl) AS BIGINT) AS cn
+        |  FROM t GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn
+        |  FROM agg
+        |),
+        |tok2 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks FROM documents
+        |),
+        |big AS (
+        |  SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens, i AS pos,
+        |         tks[CAST(i + 1 AS INT)] AS tok
+        |  FROM (SELECT doc_id, tks, UNNEST(range(len(tks))) AS i FROM tok2)
+        |),
+        |wgt AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         COALESCE(a.cp * 1.0 / tot.tp - a.cn * 1.0 / tot.tn, 0.0) AS w
+        |  FROM big
+        |  LEFT JOIN agg a
+        |    ON a.bucket = CAST(('0x' || substr(md5(big.tok), 1, 8)) AS BIGINT) % 1024,
+        |  tot
         |)
         |SELECT doc_id, n_tokens,
         |       floor(1.0 / (1.0 + exp(-(list_sum(list(w ORDER BY pos)) / n_tokens)))

@@ -1967,6 +1967,20 @@ object TextOps {
         d.take(4).map(x => f"$x%02x").mkString, 16)
       (h % 2001 - 1000).toDouble / 1000.0
     }
+    classifierScoreWith(docs, weights)
+  }
+
+  /** Score documents under an EXPLICIT per-bucket weight vector — the
+    * shared scoring body of the classifier family ([[classifierScore]]'s
+    * placeholder weights, [[classifierFit]]'s trained weights, and
+    * [[classifierScoreFromStore]]'s persisted ones all land here). The
+    * model is an O(nBuckets) array literal riding the closure into every
+    * task; scoring is ONE tokenize scan with the per-document fold in
+    * array order — map-only, no shuffle.
+    */
+  def classifierScoreWith(docs: DataFrame, weights: Array[Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val nBuckets = weights.length
     val wlit = lit(weights)
     val weightOf = (tok: Column) =>
       element_at(wlit,
@@ -1982,6 +1996,115 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         (floor(lit(1.0) / (lit(1.0) + exp(-(col("raw") / col("n_tokens"))))
           * 1e6) / 1e6).as("cls_score"))
+  }
+
+  /** Per-bucket labeled token counts — the sufficient statistics the
+    * classifier fit trains on: (bucket, cp, cn) where cp/cn are EXACT
+    * token-occurrence counts in the positive/negative class. One
+    * tokenize scan + one ≤nBuckets-row aggregation; the counts (not the
+    * derived float weights) are what the model store persists, the
+    * integers-in-store discipline shared with the TF-IDF model.
+    */
+  def classifierCounts(
+      docs: DataFrame, positive: Column, nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    docs
+      .select(positive.cast("int").as("pos"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("pos"),
+        (conv(md5(col("tok")).substr(1, 8), 16, 10).cast("long") % nBuckets)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("pos")).cast("long").as("cp"),
+        sum(lit(1) - col("pos")).cast("long").as("cn"))
+  }
+
+  /** Closed-form classifier TRAINING — the step [[classifierScore]]'s
+    * placeholder weights stand in for (CCNet §4.3 fits its quality gate
+    * on labeled wiki-vs-crawl data). The fit is the Rocchio/centroid
+    * solution over the hashed bag-of-words features:
+    *
+    *   w(b) = cp(b)/tp − cn(b)/tn
+    *
+    * the difference between the bucket's occurrence RATE in the positive
+    * class and in the negative class — the exact minimizer of the
+    * class-centroid distance objective, and deterministic BY ARITHMETIC:
+    * every input is an exact integer count and each weight is two
+    * correctly-rounded IEEE divisions and one subtraction (no libm), so
+    * any engine derives bit-identical weights with no truncation step.
+    *
+    * Scale shape: one tokenize scan → one ≤nBuckets-row aggregation →
+    * an O(nBuckets) totals head; the model never grows with the corpus.
+    * Output: (bucket, w) for OBSERVED buckets (unseen buckets are 0 by
+    * construction — both rates are 0).
+    */
+  def classifierFit(
+      docs: DataFrame, positive: Column, nBuckets: Int = 1024): DataFrame = {
+    val counts = graft.util.OpCaches.cache(
+      classifierCounts(docs, positive, nBuckets))
+    val t = counts.agg(sum(col("cp")), sum(col("cn"))).head()
+    require(!t.isNullAt(0) && t.getLong(0) > 0 && t.getLong(1) > 0,
+      "classifierFit needs at least one token in each class")
+    val (tp, tn) = (t.getLong(0), t.getLong(1))
+    counts.select(col("bucket"),
+      (col("cp") * 1.0 / tp - col("cn") * 1.0 / tn).as("w"))
+  }
+
+  /** The fitted weights as a dense O(nBuckets) driver-side array
+    * (missing buckets 0.0) — the model literal [[classifierScoreWith]]
+    * ships to every task.
+    */
+  def classifierFitWeights(
+      docs: DataFrame, positive: Column, nBuckets: Int = 1024): Array[Double] = {
+    val w = new Array[Double](nBuckets)
+    classifierFit(docs, positive, nBuckets).collect().foreach { r =>
+      w(r.getLong(0).toInt) = r.getDouble(1)
+    }
+    w
+  }
+
+  /** Persist the classifier model: the EXACT integer sufficient
+    * statistics (bucket, cp, cn) plus totals — never the derived float
+    * weights, so a reader re-derives bit-identical weights with the
+    * shared [[classifierFit]] formula (the TF-IDF model-store
+    * discipline).
+    */
+  def writeClassifierModel(
+      docs: DataFrame, positive: Column, path: String,
+      nBuckets: Int = 1024): Unit = {
+    val counts = graft.util.OpCaches.cache(
+      classifierCounts(docs, positive, nBuckets))
+    counts.write.mode("overwrite").parquet(s"$path/counts")
+    counts.agg(
+        sum(col("cp")).cast("long").as("tp"),
+        sum(col("cn")).cast("long").as("tn"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score documents under a PERSISTED classifier model
+    * ([[writeClassifierModel]]): weights are re-derived from the stored
+    * integer counts (an O(nBuckets) collect), so the result is
+    * bit-identical to scoring under an inline [[classifierFit]] on the
+    * fit corpus — fit once, score any batch, the
+    * fit-once/featurize-many shape.
+    */
+  def classifierScoreFromStore(docs: DataFrame, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("tp"), col("tn"), col("n_buckets")).head()
+    val (tp, tn, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    require(tp > 0 && tn > 0,
+      s"stored classifier model at $path has an empty class (tp=$tp tn=$tn)")
+    val w = new Array[Double](nBuckets)
+    spark.read.parquet(s"$path/counts").collect().foreach { r =>
+      val b = r.getLong(r.fieldIndex("bucket")).toInt
+      w(b) = r.getLong(r.fieldIndex("cp")) * 1.0 / tp -
+        r.getLong(r.fieldIndex("cn")) * 1.0 / tn
+    }
+    classifierScoreWith(docs, w)
   }
 
   /** CCNet-style perplexity terciles (Wenzek et al. LREC'20 §4.3): rank
@@ -2305,5 +2428,128 @@ object TextOps {
           .as("dup_rate"),
         round(col("n_lang_match") / col("n_docs"), 6).as("lang_match_rate"),
         col("q_p50"), col("q_min"), col("q_max"))
+  }
+
+  // ---- BPE vocabulary training (Sennrich et al. ACL'16) ----------------
+
+  /** The distinct-word dictionary BPE trains on: one corpus pass groups
+    * normalized whitespace words, keeping (w, syms, cnt) where `syms` is
+    * the word split into characters (`regexp_extract_all(w, '.')` — the
+    * one char-split spelling with identical semantics in Java and RE2;
+    * words are whitespace-split so '.' never misses a byte). This is the
+    * paper's dictionary trick: every later merge iteration touches only
+    * DISTINCT words weighted by count, never the corpus again — at 100 TB
+    * the dictionary is orders of magnitude smaller than the token stream,
+    * and it is the ONLY thing the iteration loop caches.
+    */
+  def bpeWordDict(docs: DataFrame): DataFrame =
+    docs.select(explode(split(normalize(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
+        col("cnt"))
+
+  /** Apply ONE merge (l, r) to a symbol array, greedy leftmost
+    * non-overlapping (the BPE application rule): fold left, replacing the
+    * accumulator's last element with l||r whenever it is `l` and the
+    * incoming symbol is `r`. A just-merged l||r can never equal `l` again
+    * (r is non-empty), so overlapping matches resolve leftmost-first —
+    * "aaa" under (a,a) becomes [aa, a], never [a, aa]. `try_element_at`
+    * keeps the empty-accumulator probe NULL-safe under ANSI mode.
+    */
+  def bpeMergeStep(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(try_element_at(acc, lit(-1)) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Fit a BPE merge table on the corpus and return BOTH the merge list
+    * (step, lhs, rhs, cnt — cnt the weighted pair count that won the
+    * step) and the final merged dictionary (w, syms, cnt). Stops early
+    * when no adjacent pair remains (every word fused to one token).
+    *
+    * DETERMINISTIC: pair counts are exact integer sums over the word
+    * dictionary; each step's winner is the (count DESC, lhs ASC, rhs ASC)
+    * head — a TakeOrdered(1), never a global sort — so ties break
+    * lexicographically in both engines.
+    *
+    * Scale shape (the [[graft.kmeans.OpsN.initKMeansParallel]] driver-loop
+    * discipline): the corpus-sized work is the ONE [[bpeWordDict]]
+    * tokenize+count pass; each of the K iterations then runs two
+    * dictionary-sized stages — an adjacent-pair count (positions exploded
+    * from the cached dict, one partial+final aggregation, 1-row collect)
+    * and a map-side [[bpeMergeStep]] projection. Each step's dictionary is
+    * cached and MATERIALIZED (count) before the previous step's cache is
+    * dropped, so lineage never re-derives k merge layers; caches are
+    * OpCaches-tracked for the harness release.
+    */
+  def bpeFitWithDict(
+      docs: DataFrame, merges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1, got $merges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = graft.util.OpCaches.cache(bpeWordDict(docs))
+    dict.count()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var step = 1L
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val top = dict
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), col("syms"),
+          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+        .select(
+          element_at(col("syms"), col("i")).as("l"),
+          element_at(col("syms"), col("i") + 1).as("r"),
+          col("cnt"))
+        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+        .as[(String, String, Long)].collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = top.head
+        out += ((step, l, r, c))
+        val next = graft.util.OpCaches.cache(dict.select(
+          col("w"), bpeMergeStep(col("syms"), l, r).as("syms"), col("cnt")))
+        next.count() // pin before dropping the parent cache (lineage depth 1)
+        dict.unpersist(blocking = false)
+        dict = next
+        step += 1
+      }
+    }
+    (out.toSeq, dict)
+  }
+
+  /** The merge table alone: (step, lhs, rhs, cnt). */
+  def bpeFit(docs: DataFrame, merges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeFitWithDict(docs, merges)._1.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** Per-document token counts under the FITTED vocabulary: fit the merge
+    * table, then count each document's post-merge tokens. The apply step
+    * is a DICTIONARY JOIN, never a per-row re-derivation: a corpus word's
+    * post-merge token count is `size(syms)` in the fitted dictionary, so
+    * per-doc counts are one exploded-word join against the (small) dict
+    * plus one sum — the same fit-once/featurize-many shape as the TF-IDF
+    * store. The join key is the word; AQE broadcasts the dict side when
+    * it fits (it is |vocab|-sized, not corpus-sized), and the shuffle
+    * fallback is bit-identical when it does not — the counted-cap
+    * discipline without a hand-rolled route.
+    *
+    * Output: (doc_id, bpe_fit_tokens); documents with no words are absent
+    * (no tokens to count), matching the oracle's inner join.
+    */
+  def bpeApplyCounts(docs: DataFrame, merges: Int): DataFrame = {
+    val (_, dict) = bpeFitWithDict(docs, merges)
+    val wordToks = dict.select(col("w"), size(col("syms")).cast("long").as("wt"))
+    docs.select(col("doc_id"),
+        explode(split(normalize(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordToks, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wt")).as("bpe_fit_tokens"))
   }
 }
