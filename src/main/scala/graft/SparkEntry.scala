@@ -731,6 +731,17 @@ object SparkEntry {
         3000L)
     },
 
+    // Epoch-capped UPSAMPLING mix (Muennighoff NeurIPS'23): each
+    // source's slice fills in (epoch, quality desc, id) order, small
+    // sources repeating up to their cap — src0 (cap 4) fills its 4000
+    // tokens in ~3 epochs, src4 (cap 2) exhausts AT the cap underfilled
+    "tx_budget_mix_epochs" -> { (s, dir) =>
+      TextOps.tokenBudgetMixEpochs(Graft.table(s, dir, "documents"),
+        Map("src0" -> 0.5, "src4" -> 0.5),
+        Map("src0" -> 4, "src4" -> 2),
+        8000L)
+    },
+
     // Deterministic source mixing to target shares (no upsampling);
     // per-source kept counts
     "tx_source_mix" -> { (s, dir) =>
@@ -2946,6 +2957,34 @@ object SparkEntry {
          |  JOIN documents d USING (doc_id) JOIN tgt t USING (source))
          |SELECT doc_id, source, q, n_tokens, cum_tokens FROM sel
          |WHERE cum_tokens - n_tokens < tgt""".stripMargin,
+
+    // the epoch-capped upsampling mix, stated UNPRUNED: every source
+    // explodes to its full epoch cap and the greedy filter keeps the
+    // same rows the Spark side's sized fan-out produces (the sizing
+    // prune only drops epochs whose prefix already meets the slice)
+    "tx_budget_mix_epochs" ->
+      s"""WITH $QUALITY_CTES,
+         |tgt AS (
+         |  SELECT * FROM (VALUES
+         |    ('src0', CAST(4000 AS BIGINT), CAST(4 AS BIGINT)),
+         |    ('src4', CAST(4000 AS BIGINT), CAST(2 AS BIGINT)))
+         |    AS t(source, tgt, eps)
+         |),
+         |ex AS (
+         |  SELECT s.doc_id, d.source, q.q,
+         |    CAST(s.n_tokens AS BIGINT) AS n_tokens, t.tgt,
+         |    UNNEST(range(t.eps)) AS epoch
+         |  FROM scored s JOIN q USING (doc_id)
+         |  JOIN documents d USING (doc_id) JOIN tgt t USING (source)
+         |),
+         |sel AS (
+         |  SELECT doc_id, source, epoch, q, n_tokens, tgt,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY epoch, q DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM ex)
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch, q,
+         |       n_tokens, cum_tokens
+         |FROM sel WHERE cum_tokens - n_tokens < tgt""".stripMargin,
 
     // rates: share_s * M / n_s with M = min_s(n_s / share_s) — the
     // largest no-upsampling corpus at the target shares; keep iff

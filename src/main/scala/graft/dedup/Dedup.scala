@@ -1013,8 +1013,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
       ids: DataFrame): Unit =
-    graft.util.Tombstones.write(
-      ids, graft.util.GenStore.resolve(spark, storePath))
+    graft.util.SegmentStore.delete(spark, storePath, ids)
 
   /** Read a signature store regardless of file layout: flat part-files
     * ([[writeSignatureStore]] / [[appendToSignatureStore]]) and the
@@ -1027,14 +1026,8 @@ object Dedup {
     */
   def readSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
-      storePath: String): DataFrame = {
-    val base = graft.util.GenStore.resolve(spark, storePath)
-    // tombstone anti-join ([[deleteFromSignatureStore]]): zero plan
-    // change when no delete has touched this generation
-    graft.util.Tombstones.filter(
-      spark.read.option("recursiveFileLookup", "true").parquet(base),
-      spark, base, "doc_id")
-  }
+      storePath: String): DataFrame =
+    graft.util.SegmentStore.read(spark, storePath, "doc_id")
 
   /** Compact a signature store: daily [[appendToSignatureStore]]
     * runs and streaming batch segments each add a handful of small
@@ -1058,16 +1051,9 @@ object Dedup {
   def compactSignatureStore(
       spark: org.apache.spark.sql.SparkSession,
       storePath: String,
-      targetFileRows: Long = 4L * 1024 * 1024): Unit = {
-    require(targetFileRows > 0, "targetFileRows must be positive")
-    val rows = readSignatureStore(spark, storePath)
-    val total = rows.count()
-    val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
-      .min(Int.MaxValue.toLong).toInt
-    graft.util.GenStore.compactInto(spark, storePath) { genDir =>
-      rows.coalesce(nFiles).write.mode("overwrite").parquet(genDir)
-    }
-  }
+      targetFileRows: Long = 4L * 1024 * 1024): Unit =
+    graft.util.SegmentStore.compactFlat(
+      spark, storePath, readSignatureStore(spark, storePath), targetFileRows)
 
   /** The signature-level core of [[incrementalNearDedupFromStore]]: the
     * batch doc_ids DROPPED against the store (corpus partner dominates;

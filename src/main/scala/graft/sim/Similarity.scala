@@ -309,38 +309,17 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): String =
     graft.util.GenStore.resolve(spark, s"$path/cells")
 
-  /** Whether a tier's generation directory carries streaming segment
-    * subdirectories ([[appendIvfSegment]]) — one listing call; `cell=`
-    * partition directories and `_`-hidden entries don't count.
-    */
-  private def hasSegmentDirs(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(st =>
-      st.isDirectory && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".") && !n.contains("=")
-      })
-  }
-
   /** Read a scan tier's active generation uniformly across layouts:
     * flat part-files, `cell=`-partitioned directories, and flat +
-    * streaming segment subdirectories (recursive listing only when
-    * segments actually exist, so the plain layouts pay nothing) —
-    * always with the tier's delete tombstones anti-joined
+    * streaming segment subdirectories ([[appendIvfSegment]]) — the
+    * partition-aware shared read ([[graft.util.SegmentStore]]), always
+    * with the tier's delete tombstones anti-joined
     * ([[deleteFromIvfIndex]]; zero plan change when none exist).
     */
   private def readTier(
       spark: org.apache.spark.sql.SparkSession,
-      tierStore: String): DataFrame = {
-    val base = graft.util.GenStore.resolve(spark, tierStore)
-    val df =
-      if (hasSegmentDirs(spark, base))
-        spark.read.option("recursiveFileLookup", "true").parquet(base)
-      else spark.read.parquet(base)
-    graft.util.Tombstones.filter(df, spark, base, "cid_id")
-  }
+      tierStore: String): DataFrame =
+    graft.util.SegmentStore.readPartitionAware(spark, tierStore, "cid_id")
 
   /** Append a new batch to an existing IVF index: the batch is assigned
     * with the STORED quantizer (centroids are immutable post-build — the
@@ -519,8 +498,7 @@ object Similarity {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     for (tier <- Seq("cells", "cells_sq", "cells_pq"))
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/$tier")))
-        graft.util.Tombstones.write(
-          ids, graft.util.GenStore.resolve(spark, s"$path/$tier"))
+        graft.util.SegmentStore.delete(spark, s"$path/$tier", ids)
   }
 
   /** Compact an IVF index's `cells` after a season of
@@ -552,17 +530,16 @@ object Similarity {
       // flatten, and the new generation carries neither (the old
       // generation keeps its own for in-flight readers)
       val rows = readTier(spark, cellsStore)
-      graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
-        if (partitionCells)
+      if (partitionCells)
+        // cell=-partitioned layout keeps its pruning: repartition BY
+        // CELL so each cell directory collapses to one file
+        graft.util.GenStore.compactInto(spark, cellsStore) { genDir =>
           rows.repartition(col("cell")).write.mode("overwrite")
             .partitionBy("cell").parquet(genDir)
-        else {
-          val total = rows.count()
-          val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
-            .min(Int.MaxValue.toLong).toInt
-          rows.coalesce(nFiles).write.mode("overwrite").parquet(genDir)
         }
-      }
+      else
+        graft.util.SegmentStore.compactFlat(
+          spark, cellsStore, rows, targetFileRows)
     }
     compactTier(s"$path/cells")
     // a writeIvfIndexSq / writeIvfIndexPq store compacts its quantized

@@ -625,6 +625,74 @@ object TextOps {
       .drop("tgt")
   }
 
+  /** [[tokenBudgetMix]] WITH UPSAMPLING, epoch-capped — the
+    * data-constrained mixture step (training recipes repeat small
+    * high-quality sources rather than starve their share; Muennighoff
+    * et al. NeurIPS'23 find value in up to ~4 such epochs). Each
+    * source's ⌊share·B⌋-token slice fills in (epoch ASC, quality DESC,
+    * doc_id ASC) order: one full quality-ordered pass over the source,
+    * then an identical second pass, … up to the source's `maxEpochs`
+    * cap — so no document enters epoch e+1 before every document of
+    * epoch e, a source that fills its slice in one pass never repeats,
+    * and a source too small for its slice even at the cap exhausts
+    * there (the cap is the anti-overfitting guard; it is never exceeded
+    * no matter how underfilled the slice).
+    *
+    * Scale shape: the epoch fan-out explodes only the SCORED projection
+    * (doc_id, q, n_tokens — never text), and its width is SIZED per
+    * source from one O(#sources) totals aggregate — epoch e can
+    * contribute only while e·T_s < tgt_s (every epoch-e row's running
+    * prefix starts at e·T_s), so each source explodes to
+    * min(maxEpochs, ⌈tgt/T⌉) copies, never a blanket corpus×maxEpochs
+    * exchange. The prune is semantics-free (dropped epochs could never
+    * be kept), so the oracle states the unpruned form. One per-source
+    * cumsum window, same caveat as [[tokenBudgetMix]] at extreme scale.
+    *
+    * Output: (doc_id, source, epoch, q, n_tokens, cum_tokens),
+    * cum_tokens the inclusive source-local running total across epochs.
+    */
+  def tokenBudgetMixEpochs(
+      docs: DataFrame,
+      shares: Map[String, Double],
+      maxEpochs: Map[String, Int],
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shares.nonEmpty && shares.values.forall(_ > 0),
+      "shares must be positive")
+    require(shares.keySet.forall(s => maxEpochs.getOrElse(s, 1) >= 1),
+      "maxEpochs must be >= 1 for every share source")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = graft.util.OpCaches.cache(docs
+      .filter(col("source").isInCollection(shares.keys.toSeq))
+      .select(
+        col("doc_id"), col("source"),
+        (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q"),
+        tokenCount(col("text")).cast("long").as("n_tokens")))
+    // O(#sources) sizing aggregate: epochs that can still contribute
+    val totals = scored.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = shares.toSeq.sortBy(_._1).map { case (s, sh) =>
+      val tgt = math.floor(sh * budgetTokens).toLong
+      val cap = maxEpochs.getOrElse(s, 1)
+      val t = totals.getOrElse(s, 0L)
+      val needed =
+        if (t <= 0L) 1L else math.min(cap.toLong, (tgt + t - 1) / t)
+      (s, tgt, math.max(1L, needed))
+    }
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("epoch"), col("q").desc, col("doc_id"))
+    scored
+      .join(broadcast(plan.toDF("source", "tgt", "eps")), Seq("source"))
+      .withColumn("epoch", explode(sequence(lit(0L), col("eps") - 1L)))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < col("tgt"))
+      .select(col("doc_id"), col("source"), col("epoch"), col("q"),
+        col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Overlapping fixed-token document chunking — the retrieval-indexing
     * / context-window prep step ([[packSequences]] packs WHOLE docs into
     * training bins; this SPLITS each doc into `chunkTokens`-token
@@ -1045,9 +1113,8 @@ object TextOps {
     // GenStore's one-cycle grace rule)
     val postings = graft.util.Tombstones.filter(
       spark.read.parquet(s"$src/postings"), spark, src, "doc_id")
-    val total = postings.count()
-    val nFiles = math.max(1L, (total + targetFileRows - 1) / targetFileRows)
-      .min(Int.MaxValue.toLong).toInt
+    val nFiles =
+      graft.util.SegmentStore.fileCount(postings.count(), targetFileRows)
     graft.util.GenStore.compactInto(spark, path) { genDir =>
       postings.repartition(nFiles, col("tbucket"))
         .write.mode("overwrite").partitionBy("tbucket")

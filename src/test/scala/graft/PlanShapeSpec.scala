@@ -683,4 +683,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"plane matrix not inlined — join/broadcast present:\n${s.take(1000)}")
     assert(s.contains("*("), s"no codegen span in:\n${s.take(800)}")
   }
+
+  test("classifierScoreWith (trained weights): still zero exchanges — " +
+      "the fitted model rides as a literal exactly like the placeholder") {
+    import graft.text.TextOps
+    val docs = Graft.table(spark, sf, "documents")
+    val w = TextOps.classifierFitWeights(
+      docs, col("source") === "src0", nBuckets = 64)
+    graft.util.OpCaches.releaseAll(spark)
+    val s = executed(TextOps.classifierScoreWith(docs, w)).toString
+    assert(!s.contains("Exchange"),
+      s"trained scoring shuffled:\n${s.take(1000)}")
+    assert(!s.contains("Join"),
+      s"trained scoring joined — weights not inlined:\n${s.take(1000)}")
+  }
+
+  test("bpeApplyCounts: the corpus side is a dictionary JOIN — no " +
+      "single-task exchange, no nested-loop/cartesian fallback") {
+    import graft.text.TextOps
+    val df = TextOps.bpeApplyCounts(
+      Graft.table(spark, sf, "documents"), merges = 2)
+    val s = executed(df).toString
+    graft.util.OpCaches.releaseAll(spark)
+    assert(s.contains("Join"),
+      s"no dictionary join — per-row re-derivation?:\n${s.take(1000)}")
+    assert(!s.contains("Exchange SinglePartition") &&
+      !s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoop"),
+      s"degenerate join/exchange in apply plan:\n${s.take(1200)}")
+  }
+
+  test("tokenBudgetMixEpochs: the cumsum window is hash-partitioned by " +
+      "source (never a global single-task sort) and the epoch fan-out " +
+      "explodes the scored projection, not the text") {
+    import graft.text.TextOps
+    val df = TextOps.tokenBudgetMixEpochs(
+      Graft.table(spark, sf, "documents"),
+      Map("src0" -> 0.5, "src1" -> 0.5), Map("src0" -> 3, "src1" -> 3),
+      4000L)
+    val s = executed(df).toString
+    graft.util.OpCaches.releaseAll(spark)
+    assert(s.contains("hashpartitioning(source"),
+      s"window not per-source hash-partitioned:\n${s.take(1000)}")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"single-task exchange present:\n${s.take(1000)}")
+    // the explode's Generate must not carry the text column — only the
+    // scored projection fans out by epoch
+    val gen = s.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(gen.nonEmpty && !gen.contains("text"),
+      s"epoch explode carries text:\n$gen")
+  }
 }

@@ -111,4 +111,70 @@ class TokenBudgetSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(got === expect)
   }
+
+  // ---- epoch-capped upsampling mix ([[TextOps.tokenBudgetMixEpochs]]) --
+
+  private def epochDocs: DataFrame = Seq(
+    // srcA: 8 tokens/epoch total; srcB big enough to fill in one pass
+    (1L, "srcA", "the the the zz"),
+    (2L, "srcA", "zz zz zz zz"),
+    (3L, "srcB", "the the zz zz"),
+    (4L, "srcB", "the zz zz zz"),
+    (5L, "srcB", "zz zz zz zz"))
+    .toDF("doc_id", "source", "text")
+
+  test("epochs mix: a source that fills in one pass never repeats") {
+    // srcB slice floor(0.5*16)=8 tokens: docs 3,4 keep in epoch 0 (doc 5
+    // at cum-before 8 >= 8 drops); no epoch-1 row despite cap 3
+    val got = TextOps.tokenBudgetMixEpochs(epochDocs,
+      Map("srcB" -> 0.5), Map("srcB" -> 3), 16L)
+      .select(col("doc_id"), col("epoch"), col("cum_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq((3L, 0L, 4L), (4L, 0L, 8L)))
+  }
+
+  test("epochs mix: a small source repeats in identical greedy order, " +
+    "epoch e+1 only after all of epoch e") {
+    // srcA slice floor(0.5*40)=20 tokens over an 8-token source: epoch 0
+    // (docs 1,2 -> cum 4,8), epoch 1 (cum 12,16), epoch 2 doc 1 at
+    // cum-before 16 < 20 keeps (cum 20), doc 2 at 20 >= 20 drops
+    val got = TextOps.tokenBudgetMixEpochs(epochDocs,
+      Map("srcA" -> 0.5), Map("srcA" -> 4), 40L)
+      .select(col("doc_id"), col("epoch"), col("cum_tokens"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(got === Seq(
+      (1L, 0L, 4L), (2L, 0L, 8L),
+      (1L, 1L, 12L), (2L, 1L, 16L),
+      (1L, 2L, 20L)))
+  }
+
+  test("epochs mix: the cap binds — an underfilled slice exhausts AT " +
+    "the cap, never past it") {
+    // srcA slice 20 tokens, cap 2: epochs 0 and 1 keep everything
+    // (cum 16 < 20) and NO epoch-2 row exists
+    val got = TextOps.tokenBudgetMixEpochs(epochDocs,
+      Map("srcA" -> 0.5), Map("srcA" -> 2), 40L)
+      .select(col("epoch"), col("cum_tokens"))
+      .as[(Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq((0L, 4L), (0L, 8L), (1L, 12L), (1L, 16L)))
+    assert(got.map(_._1).max === 1L)
+  }
+
+  test("epochs mix: the sized fan-out is semantics-free (cap far above " +
+    "need yields the same rows)") {
+    val tight = TextOps.tokenBudgetMixEpochs(epochDocs,
+      Map("srcA" -> 0.5), Map("srcA" -> 3), 40L)
+      .as[(Long, String, Long, Double, Long, Long)].collect().sorted.toSeq
+    val loose = TextOps.tokenBudgetMixEpochs(epochDocs,
+      Map("srcA" -> 0.5), Map("srcA" -> 100), 40L)
+      .as[(Long, String, Long, Double, Long, Long)].collect().sorted.toSeq
+    assert(tight === loose)
+  }
+
+  test("epochs mix: validation") {
+    intercept[IllegalArgumentException](TextOps.tokenBudgetMixEpochs(
+      epochDocs, Map("srcA" -> 0.5), Map("srcA" -> 0), 10L))
+    intercept[IllegalArgumentException](TextOps.tokenBudgetMixEpochs(
+      epochDocs, Map.empty, Map.empty, 10L))
+  }
 }
