@@ -287,7 +287,11 @@ object Bench {
       // tx_budget_mix_epochs (quality scan + per-source cumsum over the
       // SIZED epoch fan-out — ~linear in the scan). tx_bpe_apply is
       // deliberately not here: its fit leg rides as tx_bpe_fit and its
-      // dictionary-join leg is tx_novelty's already-certified class
+      // dictionary-join leg is tx_novelty's already-certified class;
+      // tx_bpe_stats (same fit + dict-join legs) and st_classifier_serve
+      // (the same map-only scoring as tx_classifier_fit_score behind a
+      // bounded stream runner) are excluded for the same
+      // covered-class reason — the prune discipline cuts redundant rows
       "tx_bpe_fit", "tx_classifier_fit_score", "tx_budget_mix_epochs")
     val scaleReplicas =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPLICAS", "10").toInt

@@ -65,30 +65,54 @@ object Graft {
     }
   }
 
-  /** Cached per-sfDir state for [[eventsStream]]: the schema peek (file
-    * streams need an explicit schema, one batch parquet-footer read) and
-    * the stream directory — cached so a stream–stream self-join (two
-    * source instances) pays each once, not per side.
+  /** Cached per-(sfDir, table) state for [[tableStream]]: the schema
+    * peek (file streams need an explicit schema, one batch
+    * parquet-footer read) and the stream directory — cached so a
+    * stream–stream self-join (two source instances) pays each once, not
+    * per side.
     */
-  private val eventsStreamCache =
+  private val tableStreamCache =
     scala.collection.concurrent.TrieMap
-      .empty[String, (org.apache.spark.sql.types.StructType, String)]
+      .empty[(String, String), (org.apache.spark.sql.types.StructType, String)]
 
-  /** Temp symlink dirs created by [[eventsStream]], deleted on JVM exit
-    * (cache hits skip creation, so the set also covers dirs orphaned by a
-    * racing first call — see below).
+  /** Temp symlink dirs created by [[tableStream]] (with the linked table
+    * name), deleted on JVM exit (cache hits skip creation, so the set
+    * also covers dirs orphaned by a racing first call — see below).
     */
-  private val eventsStreamTempDirs =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private val tableStreamTempDirs =
+    java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(java.nio.file.Path, String)]()
 
-  private lazy val eventsStreamCleanupHook: Unit = {
+  private lazy val tableStreamCleanupHook: Unit = {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      eventsStreamTempDirs.forEach { dir =>
+      tableStreamTempDirs.forEach { case (dir, name) =>
         try {
-          java.nio.file.Files.deleteIfExists(dir.resolve("events.parquet"))
+          java.nio.file.Files.deleteIfExists(dir.resolve(s"$name.parquet"))
           java.nio.file.Files.deleteIfExists(dir)
         } catch { case _: Exception => () } // best-effort hygiene
       }))
+  }
+
+  /** Any fixture table as a file-source STREAM (schema from a cached
+    * batch peek at the same path) — the generic core of
+    * [[eventsStream]]; see there for the symlink-directory rationale.
+    * Each call returns an independent source instance.
+    */
+  def tableStream(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val (schema, streamDir) =
+      tableStreamCache.getOrElseUpdate((sfDir, name), {
+        tableStreamCleanupHook // register the shutdown hook once
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_${name}_stream")
+        tableStreamTempDirs.add((dir, name))
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve(s"$name.parquet"),
+          // absolute: a symlink target is resolved relative to the LINK's
+          // directory, so a relative sfDir would dangle under /tmp
+          java.nio.file.Paths.get(sfDir, s"$name.parquet")
+            .toAbsolutePath.normalize())
+        (table(spark, sfDir, name).schema, dir.toString)
+      })
+    spark.readStream.schema(schema).parquet(streamDir)
   }
 
   /** The events table as a file-source STREAM with the same `ts`
@@ -111,21 +135,6 @@ object Graft {
     // session that never read events as a batch would fail at stream-read
     // time on the TIMESTAMP(NANOS) fixture
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val (schema, streamDir) = eventsStreamCache.getOrElseUpdate(sfDir, {
-      eventsStreamCleanupHook // register the shutdown hook once
-      val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-      // track BEFORE the cache insert: TrieMap.getOrElseUpdate may run two
-      // racing thunks and keep one result — the loser's dir is orphaned but
-      // still in the set, so the shutdown hook reaps it too
-      eventsStreamTempDirs.add(dir)
-      java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"),
-        // absolute: a symlink target is resolved relative to the LINK's
-        // directory, so a relative sfDir would dangle under /tmp
-        java.nio.file.Paths.get(sfDir, "events.parquet")
-          .toAbsolutePath.normalize())
-      (table(spark, sfDir, "events").schema, dir.toString)
-    })
-    normalizeTs(spark.readStream.schema(schema).parquet(streamDir))
+    normalizeTs(tableStream(spark, sfDir, "events"))
   }
 }

@@ -1478,6 +1478,21 @@ object SparkEntry {
         .select(col("v_user").as("user_id"), col("view_id"), col("click_id"))
     },
 
+    // SERVE the persisted classifier over a real document file-stream:
+    // fit offline (integer statistics to parquet), score every arriving
+    // micro-batch map-only under the stored model — stateless, no
+    // watermark; over the bounded feed the result equals the batch
+    // score bit-for-bit, so the fit_score oracle applies verbatim
+    "st_classifier_serve" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val store = "target/graft_stores/classifier_serve_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      TextOps.writeClassifierModel(docs, col("source") === "src0", store)
+      StreamOps.runStreamingClassifierScore(
+        Graft.tableStream(s, dir, "documents"), store,
+        "st_classifier_serve_sink")
+    },
+
     // Stream-static enrichment: events joined (broadcast) to the customer
     // dim by user id -> spend per nation/event_type
     "st_enrich_join" -> { (s, dir) =>
@@ -1536,6 +1551,13 @@ object SparkEntry {
     // dict), never a per-row re-derivation
     "tx_bpe_apply" -> { (s, dir) =>
       TextOps.bpeApplyCounts(Graft.table(s, dir, "documents"), BPE_MERGES)
+    },
+
+    // tokenizer-evaluation card: per-source fertility (post-merge
+    // tokens per word) and compression (chars per token) under the
+    // fitted vocab — integer sums, one exact division per rate
+    "tx_bpe_stats" -> { (s, dir) =>
+      TextOps.bpeStats(Graft.table(s, dir, "documents"), BPE_MERGES)
     },
 
     // OLAP rollup: doc counts / avg length by (source, lang) with
@@ -1950,6 +1972,49 @@ object SparkEntry {
       |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
       |  FROM documents
       |)""".stripMargin
+
+  /** The inline fit+score SQL — the oracle for BOTH the store-backed
+    * batch key (`tx_classifier_fit_score`) and the streaming serve key
+    * (`st_classifier_serve`): store ≡ refit by contract, and the
+    * stateless stream over a bounded feed equals the batch score
+    * bit-for-bit.
+    */
+  private val CLASSIFIER_FIT_SCORE_SQL =
+    """WITH t AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS lbl,
+        |         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |),
+        |agg AS (
+        |  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
+        |         CAST(SUM(lbl) AS BIGINT) AS cp,
+        |         CAST(SUM(1 - lbl) AS BIGINT) AS cn
+        |  FROM t GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn
+        |  FROM agg
+        |),
+        |tok2 AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks FROM documents
+        |),
+        |big AS (
+        |  SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens, i AS pos,
+        |         tks[CAST(i + 1 AS INT)] AS tok
+        |  FROM (SELECT doc_id, tks, UNNEST(range(len(tks))) AS i FROM tok2)
+        |),
+        |wgt AS (
+        |  SELECT doc_id, n_tokens, pos,
+        |         COALESCE(a.cp * 1.0 / tot.tp - a.cn * 1.0 / tot.tn, 0.0) AS w
+        |  FROM big
+        |  LEFT JOIN agg a
+        |    ON a.bucket = CAST(('0x' || substr(md5(big.tok), 1, 8)) AS BIGINT) % 1024,
+        |  tot
+        |)
+        |SELECT doc_id, n_tokens,
+        |       floor(1.0 / (1.0 + exp(-(list_sum(list(w ORDER BY pos)) / n_tokens)))
+        |             * 1000000.0) / 1000000.0 AS cls_score
+        |FROM wgt GROUP BY doc_id, n_tokens""".stripMargin
 
   /** The BPE-fit oracle's CTE chain: d1 is the distinct-word dictionary
     * (word, char symbols, count); each step n then RE-DERIVES merge n in
@@ -3885,6 +3950,28 @@ object SparkEntry {
          |FROM dw JOIN d${BPE_MERGES + 1} d USING (w)
          |GROUP BY dw.doc_id""".stripMargin,
 
+    // per-source integer sums over the fitted dict join; each rate one
+    // exact IEEE division — no truncation needed
+    "tx_bpe_stats" ->
+      s"""WITH ${bpeCtes(BPE_MERGES)},
+         |dw AS (
+         |  SELECT source, UNNEST(string_split(
+         |    regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents
+         |),
+         |agg AS (
+         |  SELECT source,
+         |    COUNT(*) AS n_words,
+         |    CAST(SUM(len(d.syms)) AS BIGINT) AS n_bpe_tokens,
+         |    CAST(SUM(length(d.w)) AS BIGINT) AS n_chars
+         |  FROM dw JOIN d${BPE_MERGES + 1} d USING (w)
+         |  GROUP BY source
+         |)
+         |SELECT source, n_words, n_bpe_tokens, n_chars,
+         |       n_bpe_tokens * 1.0 / n_words AS fertility,
+         |       n_chars * 1.0 / n_bpe_tokens AS chars_per_token
+         |FROM agg""".stripMargin,
+
     "tx_distinct_vocab" ->
       """WITH t AS (
         |  SELECT source, UNNEST(string_split_regex(trim(text), '\s+')) AS tok
@@ -4051,42 +4138,11 @@ object SparkEntry {
     // store ≡ refit by contract (integer statistics persisted, weights
     // derived at read), so the inline fit+score SQL is the exact oracle
     // for the store-backed key
-    "tx_classifier_fit_score" ->
-      """WITH t AS (
-        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS lbl,
-        |         UNNEST(string_split_regex(trim(text), '\s+')) AS tok
-        |  FROM documents
-        |),
-        |agg AS (
-        |  SELECT CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1024 AS bucket,
-        |         CAST(SUM(lbl) AS BIGINT) AS cp,
-        |         CAST(SUM(1 - lbl) AS BIGINT) AS cn
-        |  FROM t GROUP BY 1
-        |),
-        |tot AS (
-        |  SELECT CAST(SUM(cp) AS BIGINT) AS tp, CAST(SUM(cn) AS BIGINT) AS tn
-        |  FROM agg
-        |),
-        |tok2 AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tks FROM documents
-        |),
-        |big AS (
-        |  SELECT doc_id, CAST(len(tks) AS BIGINT) AS n_tokens, i AS pos,
-        |         tks[CAST(i + 1 AS INT)] AS tok
-        |  FROM (SELECT doc_id, tks, UNNEST(range(len(tks))) AS i FROM tok2)
-        |),
-        |wgt AS (
-        |  SELECT doc_id, n_tokens, pos,
-        |         COALESCE(a.cp * 1.0 / tot.tp - a.cn * 1.0 / tot.tn, 0.0) AS w
-        |  FROM big
-        |  LEFT JOIN agg a
-        |    ON a.bucket = CAST(('0x' || substr(md5(big.tok), 1, 8)) AS BIGINT) % 1024,
-        |  tot
-        |)
-        |SELECT doc_id, n_tokens,
-        |       floor(1.0 / (1.0 + exp(-(list_sum(list(w ORDER BY pos)) / n_tokens)))
-        |             * 1000000.0) / 1000000.0 AS cls_score
-        |FROM wgt GROUP BY doc_id, n_tokens""".stripMargin,
+    "tx_classifier_fit_score" -> CLASSIFIER_FIT_SCORE_SQL,
+
+    // the streaming serve run is stateless map-only over a bounded
+    // feed, so it answers exactly the batch fit+score
+    "st_classifier_serve" -> CLASSIFIER_FIT_SCORE_SQL,
 
     // exact integer tf/df/N + bucket-ordered w^2 folds: ln, sqrt, and
     // division land on identical doubles in both engines

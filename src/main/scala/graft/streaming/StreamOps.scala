@@ -524,4 +524,37 @@ object StreamOps {
       left.withWatermark(leftTs, lateness),
       right.withWatermark(rightTs, lateness),
       leftKey, rightKey, leftTs, rightTs, window)
+
+  /** SERVE the persisted classifier over a document STREAM — the online
+    * leg of the fit-offline/score-online loop
+    * ([[graft.text.TextOps.writeClassifierModel]] fits and persists; this
+    * scores every arriving micro-batch under the stored model). Scoring
+    * is STATELESS map-only ([[graft.text.TextOps.classifierScoreWith]]
+    * works unchanged on a streaming frame): the weights are re-derived
+    * from the stored integer statistics once at plan time and ride every
+    * micro-batch as the same array literal — no state store, no
+    * watermark, nothing to compact, so an unbounded deployment costs
+    * exactly the map work of the rows that arrive. Over a bounded feed
+    * (`Trigger.AvailableNow`, memory sink) the result equals the batch
+    * score bit-for-bit — the `tx_classifier_fit_score` oracle applies
+    * verbatim.
+    */
+  def runStreamingClassifierScore(
+      docsStream: DataFrame,
+      modelPath: String,
+      sinkName: String): DataFrame = {
+    val spark = docsStream.sparkSession
+    val scored =
+      graft.text.TextOps.classifierScoreFromStore(docsStream, modelPath)
+    spark.catalog.dropTempView(sinkName) // stale sink from a prior run
+    val q = scored.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(sinkName)
+  }
 }

@@ -2619,4 +2619,38 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(sum(col("wt")).as("bpe_fit_tokens"))
   }
+
+  /** Tokenizer-evaluation card per source under the FITTED vocabulary —
+    * the acceptance step after a BPE fit: FERTILITY (post-merge tokens
+    * per whitespace word; 1.0 = every word fused, higher = more
+    * splitting) and COMPRESSION (word characters per post-merge token),
+    * the two numbers a pipeline inspects before adopting a vocab (high
+    * fertility on a language = that language pays more sequence length
+    * per word). Same dictionary-join shape as [[bpeApplyCounts]] —
+    * integer sums per source, each rate ONE exact IEEE division at the
+    * end (no floating accumulation), so any engine derives identical
+    * doubles.
+    *
+    * Output: (source, n_words, n_bpe_tokens, n_chars, fertility,
+    * chars_per_token).
+    */
+  def bpeStats(docs: DataFrame, merges: Int): DataFrame = {
+    val (_, dict) = bpeFitWithDict(docs, merges)
+    val wordToks = dict.select(col("w"),
+      size(col("syms")).cast("long").as("wt"),
+      length(col("w")).cast("long").as("wc"))
+    docs.select(col("source"),
+        explode(split(normalize(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(wordToks, Seq("w"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wt")).as("n_bpe_tokens"),
+        sum(col("wc")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        col("n_chars"),
+        (col("n_bpe_tokens") * 1.0 / col("n_words")).as("fertility"),
+        (col("n_chars") * 1.0 / col("n_bpe_tokens")).as("chars_per_token"))
+  }
 }

@@ -85,4 +85,18 @@ class BpeFitSpec extends AnyFunSuite {
   test("parameter validation") {
     intercept[IllegalArgumentException](TextOps.bpeFit(sennrich, merges = 0))
   }
+
+  test("bpeStats: hand-derived fertility and compression per source") {
+    // sennrich fixture + a source column: all four docs in one source
+    val docs = sennrich.withColumn("source",
+      org.apache.spark.sql.functions.lit("srcX"))
+    val got = drain(TextOps.bpeStats(docs, merges = 4)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq)
+    // dict after 4 merges: low->1 token/3 chars, lower->3/5,
+    // newest->4/6, widest->4/6; occurrences 5/2/6/3:
+    // n_words = 16, n_bpe = 5*1+2*3+6*4+3*4 = 47,
+    // n_chars = 5*3+2*5+6*6+3*6 = 79
+    assert(got === Seq(
+      ("srcX", 16L, 47L, 79L, 47.0 / 16, 79.0 / 47)))
+  }
 }

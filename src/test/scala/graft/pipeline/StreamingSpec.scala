@@ -624,4 +624,29 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().toSet
     assert(replayed === whole)
   }
+
+  test("streaming classifier serve == batch score bit-for-bit, across " +
+    "micro-batch boundaries (stateless map-only scoring)") {
+    val docs = Seq(
+      Doc(1L, "alpha beta alpha", "wiki"),
+      Doc(2L, "alpha gamma", "wiki"),
+      Doc(3L, "spam spam beta", "crawl"),
+      Doc(4L, "spam junk", "crawl"),
+      Doc(5L, "alpha junk beta", "held"))
+    val store = "target/graft_stores/classifier_stream_spec"
+    graft.text.TextOps.writeClassifierModel(
+      docs.toDF(), col("source") === "wiki", store, nBuckets = 256)
+    graft.util.OpCaches.releaseAll(spark)
+    val batch = graft.text.TextOps.classifierScoreFromStore(docs.toDF(), store)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // two micro-batches: scoring is stateless, so the split is invisible
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    mem.addData(docs.take(2))
+    mem.addData(docs.drop(2))
+    val got = StreamOps.runStreamingClassifierScore(
+        mem.toDF(), store, "cls_serve_spec_sink")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got === batch)
+  }
 }
