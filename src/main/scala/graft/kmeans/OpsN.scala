@@ -306,7 +306,16 @@ object OpsN {
     * The cut is TRUNCATED at 1e-6 before the comparison (the
     * [[graft.text.TextOps.qualitySample]] discipline): membership then
     * hangs on the truncated value both engines agree on, not the last
-    * ulp of two engines' interpolation arithmetic.
+    * ulp of two engines' interpolation arithmetic. ACCEPTED RESIDUAL
+    * (r14 advice): a last-ulp interpolation difference landing EXACTLY
+    * on a truncation boundary could still flip membership cross-engine.
+    * The rank-arithmetic alternative (the tx_ppl_buckets discipline)
+    * would eliminate it but needs a per-cluster ordered rank — either a
+    * single-task-per-cluster window (the web-scale anti-pattern) or the
+    * full range-partition offsets machinery — where today's cut is one
+    * k-row partial+final aggregate. The cheap plan is kept on purpose;
+    * if an SF ever trips the gate here, switch the CUT (not the d2
+    * values) to a nearest-rank percentile via the offsets discipline.
     *
     * Output: (pid, cid, d2, cut) for points with d2 > cut.
     */
