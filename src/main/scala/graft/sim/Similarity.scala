@@ -947,11 +947,20 @@ object Similarity {
     * path.
     *
     * CONTRACT: output equals [[ivfTopKFromStore]] whenever each true
-    * within-probe top-k candidate ranks inside `rerank` by ADC score.
-    * PQ codes are coarser than SQ8 (whole subspaces quantize to one of
-    * ksub prototypes), so the default depth is 8·k — twice the SQ
-    * default; IvfPqSpec asserts fixture equality at the default.
-    * Recall vs exact search is governed by nprobe as in the plain path.
+    * within-probe top-k candidate ranks inside `rerank` by ADC score —
+    * a RECALL property, not a theorem: PQ codes are coarser than SQ8
+    * (whole subspaces quantize to one of ksub prototypes), and at the
+    * 8·k default depth larger corpora measurably push true neighbors
+    * below the buffer (first observed at sf0.1, 2000 vectors / ~500
+    * probed: 5 of 10 query lists missed true top-5 rows — FAISS
+    * IndexIVFPQ+refine behaves the same way; k_factor is the knob).
+    * Equality is GUARANTEED only when `rerank` covers the whole probed
+    * set (depth ≥ Σ probed-cell sizes): the ADC order then cannot drop
+    * anything before the exact re-rank — the form the correctness gate
+    * pins (explicit rerank = 512 ≥ every driver-SF probed set) and
+    * IvfPqSpec asserts. Recall at serving depths is governed by
+    * nprobe/rerank as in FAISS, and is the trade the PQ tier exists
+    * to make.
     * One PQ-specific caveat: rows appended from OUTSIDE the build
     * distribution reconstruct poorly (codebooks only span their
     * training region — there is no SQ-style clamp granularity) and can

@@ -63,6 +63,13 @@ class IvfPqSpec extends AnyFunSuite {
     val want = rows(Similarity.ivfTopKFromStore(q, exact, k = 5, nprobe = 2))
     val got = rows(Similarity.ivfTopKFromStorePq(q, pq, k = 5, nprobe = 2))
     assert(got === want)
+    // the GUARANTEED form: a re-rank depth covering the whole probed
+    // set makes equality hold by construction (the gate-key contract;
+    // at serving depths equality is a recall property that larger
+    // corpora measurably break — observed at sf0.1)
+    val covered = rows(Similarity.ivfTopKFromStorePq(
+      q, pq, k = 5, nprobe = 2, rerank = 100000))
+    assert(covered === want)
     // the compression ladder: pq < sq < exact on disk (8 bytes/vec vs
     // 64 vs 512 raw at d=64; parquet encoding narrows but preserves it)
     val exactBytes = bytes(s"$pq/cells")
