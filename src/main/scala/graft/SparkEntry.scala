@@ -1332,17 +1332,21 @@ object SparkEntry {
         dir.replaceAll("[^A-Za-z0-9]", "_")
       Similarity.writeIvfIndexPq(all, nlist = 8, path = store, m = 8)
       val queries = all.filter(col("id") < 10)
-      // rerank = 512 ≥ every probed set at the driver SFs (n·nprobe/nlist
-      // ≤ 500 at sf0.1), so the ADC preselection passes EVERY probed
-      // candidate to the exact re-rank and equality with the exact-IVF
-      // oracle holds BY CONSTRUCTION — the gate certifies the PQ
-      // plumbing (encode → LUT → ADC → re-rank), not ADC recall. The
-      // 8·k default depth is the production approximate-serving knob
-      // (FAISS IndexIVFPQ+refine semantics: recall, not equality); at
-      // sf0.1 it measurably misses true neighbors, which is the
+      // CoverProbed derives the re-rank depth from the store's live
+      // cell populations (Σ of the nprobe largest), so the ADC
+      // preselection passes EVERY probed candidate to the exact
+      // re-rank and equality with the exact-IVF oracle holds BY
+      // CONSTRUCTION at ANY gate SF — the gate certifies the PQ
+      // plumbing (encode → LUT → ADC → re-rank), not ADC recall.
+      // (A hand-pinned 512 held this slot through r15; it covered the
+      // driver SFs it was measured on and nothing else — the r13
+      // sleeper class the structural bound closes.) The 8·k default
+      // depth is the production approximate-serving knob (FAISS
+      // IndexIVFPQ+refine semantics: recall, not equality); at sf0.1
+      // it measurably misses true neighbors, which is the
       // approximation working as designed, not a gate property.
       Similarity.ivfTopKFromStorePq(queries, store, k = 5, nprobe = 2,
-          rerank = 512)
+          rerank = Similarity.CoverProbed)
         .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
           col("rank").cast("long").as("rank"))
     },

@@ -956,11 +956,15 @@ object Similarity {
     * IndexIVFPQ+refine behaves the same way; k_factor is the knob).
     * Equality is GUARANTEED only when `rerank` covers the whole probed
     * set (depth ≥ Σ probed-cell sizes): the ADC order then cannot drop
-    * anything before the exact re-rank — the form the correctness gate
-    * pins (explicit rerank = 512 ≥ every driver-SF probed set) and
-    * IvfPqSpec asserts. Recall at serving depths is governed by
-    * nprobe/rerank as in FAISS, and is the trade the PQ tier exists
-    * to make.
+    * anything before the exact re-rank. `rerank = CoverProbed` derives
+    * that depth STRUCTURALLY from the store itself — the sum of the
+    * `nprobe` largest LIVE cell populations (tombstones folded), an
+    * upper bound on any query's probed set at ANY corpus size — which
+    * is the form the correctness gate pins and IvfPqSpec asserts (a
+    * hand-pinned constant was the r13→r15 sleeper: right at the SFs it
+    * was measured on, silently a recall property one SF later). Recall
+    * at serving depths is governed by nprobe/rerank as in FAISS, and
+    * is the trade the PQ tier exists to make.
     * One PQ-specific caveat: rows appended from OUTSIDE the build
     * distribution reconstruct poorly (codebooks only span their
     * training region — there is no SQ-style clamp granularity) and can
@@ -968,6 +972,34 @@ object Similarity {
     * growth/refit discipline is the guard, and drift-heavy ingest
     * should refit sooner than the count-based default suggests.
     */
+  /** Sentinel for [[ivfTopKFromStorePq]]'s `rerank`: derive a re-rank
+    * depth that covers the whole probed set from the store's live cell
+    * populations (equality-with-exact by construction, at any SF).
+    */
+  val CoverProbed: Int = -1
+
+  /** The structural coverage bound behind [[CoverProbed]]: Σ of the
+    * `nprobe` largest live cell populations in the PQ tier (read
+    * through [[readTier]], so appends and delete tombstones are
+    * folded). No query's probed set can exceed it, so an ADC
+    * preselection of this depth passes EVERY probed candidate to the
+    * exact re-rank. Costs one O(tier) count + an O(nlist) TakeOrdered —
+    * a harness/audit price; production approximate serving keeps the
+    * fixed FAISS-style depth and buys recall, not equality.
+    */
+  private[graft] def coveredRerankDepth(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      nprobe: Int,
+      k: Int): Int = {
+    val top = readTier(spark, s"$path/cells_pq")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("cell")).limit(nprobe)
+      .agg(coalesce(sum(col("n")), lit(0L)))
+      .collect()(0).getLong(0)
+    math.max(k.toLong, top).min(Int.MaxValue.toLong).toInt
+  }
+
   def ivfTopKFromStorePq(
       queries: DataFrame,
       path: String,
@@ -978,7 +1010,10 @@ object Similarity {
     val model = readIvfCentroids(spark, path)
     require(nprobe >= 1 && nprobe <= model.size,
       s"need 1 <= nprobe <= ${model.size} (stored nlist)")
-    val depth = if (rerank > 0) rerank else 8 * k
+    val depth =
+      if (rerank == CoverProbed) coveredRerankDepth(spark, path, nprobe, k)
+      else if (rerank > 0) rerank
+      else 8 * k
     require(depth >= k, s"rerank depth $depth < k=$k")
     val (m, ksub, dsub) = readPqMeta(spark, path)
     val codebooks = readPqCodebooks(spark, path, m)

@@ -2168,6 +2168,10 @@ object TextOps {
     val w = new Array[Double](nBuckets)
     spark.read.parquet(s"$path/counts").collect().foreach { r =>
       val b = r.getLong(r.fieldIndex("bucket")).toInt
+      require(b >= 0 && b < nBuckets,
+        s"corrupt classifier store at $path: counts row has bucket $b " +
+          s"outside the meta-declared n_buckets=$nBuckets " +
+          "(mixed or partially-overwritten store?)")
       w(b) = r.getLong(r.fieldIndex("cp")) * 1.0 / tp -
         r.getLong(r.fieldIndex("cn")) * 1.0 / tn
     }

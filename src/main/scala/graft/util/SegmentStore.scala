@@ -57,19 +57,44 @@ object SegmentStore {
       spark, base, idCol)
   }
 
+  /** Whether the directory carries `k=v` partition subdirectories —
+    * one listing call, the dual of [[hasSegmentDirs]].
+    */
+  def hasPartitionDirs(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.contains("="))
+  }
+
   /** [[read]] for stores that may use a `k=v`-PARTITIONED layout:
     * `recursiveFileLookup` disables partition inference (it would drop
     * the partition column), so it is applied only when segment
     * subdirectories actually exist — the plain layouts pay one listing
     * call and keep their pruning (the IVF tier read).
+    *
+    * MIXED layouts (partition dirs AND segment subdirs in one
+    * generation) are REJECTED: neither read mode is correct there —
+    * recursive lookup silently drops the partition column, plain read
+    * silently drops the segments. No writer in this repo produces the
+    * mix (partitioned stores append partitioned data; segment appends
+    * go to flat stores), so hitting this is a store-corruption signal,
+    * and the fix is compacting the segments into the partitioned
+    * layout before reading.
     */
   def readPartitionAware(
       spark: SparkSession, store: String, idCol: String): DataFrame = {
     val base = GenStore.resolve(spark, store)
     val df =
-      if (hasSegmentDirs(spark, base))
+      if (hasSegmentDirs(spark, base)) {
+        require(!hasPartitionDirs(spark, base),
+          s"mixed store layout at $base: both k=v partition directories " +
+            "and streaming segment subdirectories are present — " +
+            "recursiveFileLookup would silently drop the partition " +
+            "column; compact the segments into the partitioned layout " +
+            "before reading")
         spark.read.option("recursiveFileLookup", "true").parquet(base)
-      else spark.read.parquet(base)
+      } else spark.read.parquet(base)
     Tombstones.filter(df, spark, base, idCol)
   }
 

@@ -169,4 +169,37 @@ class IvfPqSpec extends AnyFunSuite {
     assert(GenStore.currentGen(spark, s"$pq/cells_pq").nonEmpty)
     assert(rows(Similarity.ivfTopKFromStorePq(q, pq, k = 5, nprobe = 2)) === want)
   }
+
+  test("CoverProbed derives a probed-set-covering re-rank depth from live " +
+      "cell populations — structural equality at a size where the old " +
+      "hand-pinned 512 would under-cover, and it tracks deletes") {
+    // 1300 vectors in nlist=2 cells, nprobe=2 probes BOTH cells: every
+    // query's probed set is the whole live corpus (1300 > 512, the SF
+    // the r13-r15 literal was measured against could not promise this)
+    val pq = "target/graft_stores/ivfpq_spec_cover"
+    val exact = "target/graft_stores/ivfpq_spec_cover_exact"
+    Seq(pq, exact).foreach(p => rm(new java.io.File(p)))
+    val synth = spark.range(1300).select(
+      $"id",
+      array((0 until 8).map(j =>
+        sin($"id" * lit(0.37) + lit(j * 1.13)) * lit(j + 1.0)): _*).as("vec"))
+    Similarity.writeIvfIndexPq(synth, nlist = 2, path = pq, m = 4, ksub = 16)
+    Similarity.writeIvfIndex(synth, nlist = 2, path = exact)
+    val depth = Similarity.coveredRerankDepth(spark, pq, nprobe = 2, k = 5)
+    assert(depth === 1300, s"covered depth $depth should equal the live corpus")
+    val q = synth.filter($"id" < 6)
+    val want = rows(Similarity.ivfTopKFromStore(q, exact, k = 5, nprobe = 2))
+    val got = rows(Similarity.ivfTopKFromStorePq(
+      q, pq, k = 5, nprobe = 2, rerank = Similarity.CoverProbed))
+    assert(got === want)
+    // deletes shrink the LIVE populations the bound is derived from
+    Similarity.deleteFromIvfIndex(
+      spark, pq, synth.filter($"id" % 13 === 0).select($"id"))
+    val after = Similarity.coveredRerankDepth(spark, pq, nprobe = 2, k = 5)
+    assert(after === 1200, s"post-delete covered depth $after should be 1200")
+    // nprobe=1 covers only the largest single cell — strictly less than
+    // the whole corpus when both cells are populated
+    val one = Similarity.coveredRerankDepth(spark, pq, nprobe = 1, k = 5)
+    assert(one < after && one >= after / 2)
+  }
 }
