@@ -384,11 +384,12 @@ object SparkEntry {
     },
 
     // prototype-distance outlier pruning: per-cluster p90 distance cut
+    // (nearest-rank — the cut is an exact datum, not an interpolation)
     // over the first-4 prototypes — the D4/SSL-prototypes curation step
     "sm_prototype_outliers" -> { (s, dir) =>
       OpsN.prototypeOutliers(npoints(s, dir), firstKN(s, dir, 4), pct = 0.9)
         .select(col("pid"), col("cid"), round(col("d2"), 6).as("d2"),
-          col("cut"))
+          round(col("cut"), 6).as("cut"))
     },
 
     // A2 n-D: per-dimension mean update (exploded — the SQL-expressible
@@ -2524,14 +2525,20 @@ object SparkEntry {
     // 1e-6 exactly as the Spark side truncates before comparing —
     // quantile_cont and Spark's percentile share the (n-1)·p linear
     // interpolation, and membership hangs only on the truncated value
+    // nearest-rank cut: the ⌈0.9·n⌉-th smallest d2 per cluster is an
+    // exact datum both engines share bit-identically — no interpolation
+    // arithmetic to disagree on (the tx_ppl_buckets discipline)
     "sm_prototype_outliers" ->
       s"""WITH $NEMB,
          |cuts AS (
-         |  SELECT cid,
-         |         floor(quantile_cont(d2, 0.9) * 1000000.0) / 1000000.0 AS cut
-         |  FROM nassigned GROUP BY cid
+         |  SELECT cid, d2 AS cut FROM (
+         |    SELECT cid, d2,
+         |           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, pid) AS rn,
+         |           COUNT(*) OVER (PARTITION BY cid) AS n
+         |    FROM nassigned)
+         |  WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
          |)
-         |SELECT n.pid, n.cid, ROUND(n.d2, 6) AS d2, c.cut
+         |SELECT n.pid, n.cid, ROUND(n.d2, 6) AS d2, ROUND(c.cut, 6) AS cut
          |FROM nassigned n JOIN cuts c USING (cid)
          |WHERE n.d2 > c.cut""".stripMargin,
 
@@ -3888,8 +3895,8 @@ object SparkEntry {
 
     // the tx_analyze projection carried per source + one aggregation;
     // only order-independent aggregates (counts, long sums, min/max,
-    // interpolated percentile of the truncated score), rates divided
-    // once at the end with *1.0
+    // nearest-rank median of the truncated score — an exact datum,
+    // no interpolation), rates divided once at the end with *1.0
     "tx_corpus_report" ->
       """WITH toks AS (
         |  SELECT doc_id, source, lang, text,
@@ -3927,6 +3934,14 @@ object SparkEntry {
         |      / 1000000.0 AS q,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM scored
+        |),
+        |med AS (
+        |  SELECT source, q AS q_p50 FROM (
+        |    SELECT source, q,
+        |           ROW_NUMBER() OVER (PARTITION BY source ORDER BY q) AS rn,
+        |           COUNT(*) OVER (PARTITION BY source) AS n
+        |    FROM per)
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)
         |)
         |SELECT source,
         |  COUNT(*) AS n_docs,
@@ -3935,9 +3950,9 @@ object SparkEntry {
         |  ROUND((COUNT(*) - COUNT(DISTINCT fp)) * 1.0 / COUNT(*), 6) AS dup_rate,
         |  ROUND(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) * 1.0
         |        / COUNT(*), 6) AS lang_match_rate,
-        |  floor(quantile_cont(q, 0.5) * 1000000.0) / 1000000.0 AS q_p50,
+        |  any_value(med.q_p50) AS q_p50,
         |  MIN(q) AS q_min, MAX(q) AS q_max
-        |FROM per GROUP BY source""".stripMargin,
+        |FROM per JOIN med USING (source) GROUP BY source""".stripMargin,
 
     // the merge table re-derived step by step in SQL (see bpeCtes);
     // a step past pair exhaustion yields an empty m_n → zero rows,

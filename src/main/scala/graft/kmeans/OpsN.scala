@@ -296,26 +296,23 @@ object OpsN {
     *
     * Scale shape: the assignment is the map-only [[assignN]] literal
     * chain (no shuffle); the per-cluster cut is ONE partial+final
-    * `percentile` aggregation producing k rows that broadcast back onto
-    * the assigned stream; the outlier filter is map-side. One k-row
-    * shuffle total, never a corpus sort. Exact `percentile` buffers
-    * per-group values — at real corpus sizes swap `percentile_approx`
-    * (the a5_percentiles_sketch contrast); exact is kept here so the
-    * cut is oracle-derivable.
+    * aggregation producing k rows that broadcast back onto the
+    * assigned stream; the outlier filter is map-side. One k-row
+    * shuffle total, never a corpus sort. The exact per-group buffer
+    * (`sort_array(collect_list(...))` — the same memory class the
+    * previous `percentile` aggregate already carried) is kept so the
+    * cut is oracle-derivable; at real corpus sizes swap
+    * `percentile_approx` (the a5_percentiles_sketch contrast).
     *
-    * The cut is TRUNCATED at 1e-6 before the comparison (the
-    * [[graft.text.TextOps.qualitySample]] discipline): membership then
-    * hangs on the truncated value both engines agree on, not the last
-    * ulp of two engines' interpolation arithmetic. ACCEPTED RESIDUAL
-    * (r14 advice): a last-ulp interpolation difference landing EXACTLY
-    * on a truncation boundary could still flip membership cross-engine.
-    * The rank-arithmetic alternative (the tx_ppl_buckets discipline)
-    * would eliminate it but needs a per-cluster ordered rank — either a
-    * single-task-per-cluster window (the web-scale anti-pattern) or the
-    * full range-partition offsets machinery — where today's cut is one
-    * k-row partial+final aggregate. The cheap plan is kept on purpose;
-    * if an SF ever trips the gate here, switch the CUT (not the d2
-    * values) to a nearest-rank percentile via the offsets discipline.
+    * The cut is the NEAREST-RANK percentile — the ⌈pct·n⌉-th smallest
+    * d2 within the cluster, an exact DATUM of the data rather than an
+    * interpolation (the tx_ppl_buckets rank-arithmetic discipline,
+    * closing the r14-advice residual: two engines' `percentile` /
+    * `quantile_cont` interpolation arithmetic could disagree in the
+    * last ulp exactly on a truncation boundary and flip membership;
+    * a rank-picked datum has no arithmetic to disagree on). Membership
+    * is strict (d2 > cut), so points tied WITH the cut value are
+    * inliers in both engines.
     *
     * Output: (pid, cid, d2, cut) for points with d2 > cut.
     */
@@ -327,7 +324,8 @@ object OpsN {
       assignN(points, centroids).select(col("pid"), col("cid"), col("dist2")))
     val cuts = assigned
       .groupBy(col("cid"))
-      .agg((floor(expr(s"percentile(dist2, $pct)") * 1e6) / 1e6).as("cut"))
+      .agg(element_at(sort_array(collect_list(col("dist2"))),
+        ceil(lit(pct) * count(lit(1))).cast("int")).as("cut"))
     assigned
       .join(broadcast(cuts), Seq("cid"))
       .where(col("dist2") > col("cut"))

@@ -2490,7 +2490,12 @@ object TextOps {
         countDistinct(col("fp")).as("n_unique"),
         sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L))
           .as("n_lang_match"),
-        (floor(expr("percentile(q, 0.5)") * 1e6) / 1e6).as("q_p50"),
+        // nearest-rank median: the ⌈n/2⌉-th smallest truncated score is
+        // an exact datum (the prototypeOutliers cut discipline) — no
+        // cross-engine interpolation arithmetic; the per-group buffer is
+        // the same memory class `percentile` carried before
+        element_at(sort_array(collect_list(col("q"))),
+          ceil(lit(0.5) * count(lit(1))).cast("int")).as("q_p50"),
         min(col("q")).as("q_min"),
         max(col("q")).as("q_max"))
       .select(

@@ -122,18 +122,15 @@ class NDimSpec extends AnyFunSuite {
     assert(MLlibKMeans.centroids(spark, model).count() === 4)
   }
 
-  // interpolated percentile exactly as Spark/DuckDB compute it:
-  // pos = (n-1)·p, linear between the two bracketing order statistics
+  // nearest-rank percentile exactly as prototypeOutliers derives its
+  // cut: the ⌈p·n⌉-th smallest value — an exact datum, no interpolation
   private def refPercentile(xs: Seq[Double], p: Double): Double = {
     val s = xs.sorted
-    val pos = (s.length - 1) * p
-    val lo = pos.toInt
-    if (lo == s.length - 1) s(lo)
-    else s(lo) + (s(lo + 1) - s(lo)) * (pos - lo)
+    s(math.ceil(p * s.length).toInt - 1)
   }
 
   test("prototypeOutliers flags exactly the points above their own " +
-      "cluster's truncated p-quantile distance") {
+      "cluster's nearest-rank p-quantile distance") {
     val rnd = new scala.util.Random(5)
     // two clusters of different spread: a global cut would misclassify
     val pts = (0L until 40L).map { i =>
@@ -154,7 +151,7 @@ class NDimSpec extends AnyFunSuite {
       (pid, if (d0 <= d1) 0 else 1, math.min(d0, d1))
     }
     val cuts = assigned.groupBy(_._2).map { case (cid, rows) =>
-      cid -> math.floor(refPercentile(rows.map(_._3), 0.8) * 1e6) / 1e6
+      cid -> refPercentile(rows.map(_._3), 0.8)
     }
     val expect = assigned
       .filter { case (_, cid, d2) => d2 > cuts(cid) }
