@@ -287,12 +287,16 @@ object Bench {
       // scoring — one token-volume exchange, ~linear);
       // tx_budget_mix_epochs (quality scan + per-source cumsum over the
       // SIZED epoch fan-out — ~linear in the scan). tx_bpe_apply is
-      // deliberately not here: its fit leg rides as tx_bpe_fit and its
-      // dictionary-join leg is tx_novelty's already-certified class;
-      // tx_bpe_stats (same fit + dict-join legs) and st_classifier_serve
-      // (the same map-only scoring as tx_classifier_fit_score behind a
-      // bounded stream runner) are excluded for the same
-      // covered-class reason — the prune discipline cuts redundant rows
+      // deliberately not here: since round 16 it READS tx_bpe_fit's
+      // persisted dict (fit-once), so its whole cost is the
+      // dictionary-join leg — tx_novelty's already-certified class;
+      // tx_bpe_stats (same store read + dict-join), tx_bpe_fit_eow (the
+      // identical K-step training loop as tx_bpe_fit over a one-symbol-
+      // longer split), tx_seq_pack_bpe (dict join + the packSequences
+      // shard-window class), and st_classifier_serve (the same map-only
+      // scoring as tx_classifier_fit_score behind a bounded stream
+      // runner) are excluded for the same covered-class reason — the
+      // prune discipline cuts redundant rows
       "tx_bpe_fit", "tx_classifier_fit_score", "tx_budget_mix_epochs")
     // the rows RETIRED by the round-15 prune (ratio class certified
     // stable across two independent certifications). Their coverage is

@@ -777,6 +777,18 @@ object SparkEntry {
         budget = 512L, targetTokensPerShard = 4096L)
     },
 
+    // Sequence packing under the FITTED BPE vocab — the tokenizer
+    // training loop's downstream consumer: per-doc counts come from the
+    // persisted fit's dictionary join (tx_bpe_apply's shape), so bins
+    // reflect the production tokenizer's fertility, not the regex
+    // placeholder counter; wordless docs pack as 0-token rows
+    "tx_seq_pack_bpe" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      TextOps.packSequencesBpe(docs,
+        TextOps.bpeModelOrFit(docs, BPE_MERGES, bpeStorePath(dir))._2,
+        budget = 512L, shards = 8)
+    },
+
     // Deterministic global training-order shuffle into 8 shards: id-pure
     // hash draw fixes each doc's (shard, position) — the same order every
     // run, every engine, every partitioning; one hash exchange + per-shard
@@ -1555,24 +1567,44 @@ object SparkEntry {
     // most-frequent-pair merges over the distinct-word dictionary,
     // count-DESC-then-pair-lexicographic winner per step; the oracle
     // re-derives every merge as a CTE chain (pair count → argmax →
-    // positional greedy-leftmost merge application)
+    // positional greedy-leftmost merge application). The key PERSISTS
+    // the fit (merge table + merged dict + fingerprinted meta) — the
+    // training run the apply/stats/pack consumers read instead of each
+    // re-paying the K-step loop
     "tx_bpe_fit" -> { (s, dir) =>
-      TextOps.bpeFit(Graft.table(s, dir, "documents"), BPE_MERGES)
+      TextOps.bpeFitStore(Graft.table(s, dir, "documents"), BPE_MERGES,
+        bpeStorePath(dir))
+    },
+
+    // TRAINING with the paper's `</w>` end-of-word marker (Sennrich
+    // ACL'16 §3.2): word-FINAL pairs rank separately from word-internal
+    // ones, so the learned merges differ wherever boundary context
+    // matters (BpeFitSpec hand-derives such a case); the oracle is the
+    // same CTE chain over the marker-appended char split
+    "tx_bpe_fit_eow" -> { (s, dir) =>
+      TextOps.bpeFit(Graft.table(s, dir, "documents"), BPE_MERGES,
+        eow = true)
     },
 
     // the fitted tokenizer APPLIED: per-doc token counts under the
-    // learned merge table — fit once, then featurize via a dictionary
-    // join (a corpus word's token count is size(syms) in the fitted
-    // dict), never a per-row re-derivation
+    // learned merge table — fit ONCE (bpeModelOrFit reads tx_bpe_fit's
+    // persisted dict when fresh), then featurize via a dictionary join
+    // (a corpus word's token count is size(syms) in the fitted dict),
+    // never a per-row re-derivation
     "tx_bpe_apply" -> { (s, dir) =>
-      TextOps.bpeApplyCounts(Graft.table(s, dir, "documents"), BPE_MERGES)
+      val docs = Graft.table(s, dir, "documents")
+      TextOps.bpeApplyCountsWith(docs,
+        TextOps.bpeModelOrFit(docs, BPE_MERGES, bpeStorePath(dir))._2)
     },
 
     // tokenizer-evaluation card: per-source fertility (post-merge
     // tokens per word) and compression (chars per token) under the
-    // fitted vocab — integer sums, one exact division per rate
+    // fitted vocab (read from the persisted fit) — integer sums, one
+    // exact division per rate
     "tx_bpe_stats" -> { (s, dir) =>
-      TextOps.bpeStats(Graft.table(s, dir, "documents"), BPE_MERGES)
+      val docs = Graft.table(s, dir, "documents")
+      TextOps.bpeStatsWith(docs,
+        TextOps.bpeModelOrFit(docs, BPE_MERGES, bpeStorePath(dir))._2)
     },
 
     // OLAP rollup: doc counts / avg length by (source, lang) with
@@ -2044,10 +2076,15 @@ object SparkEntry {
     * subqueries NULL, and step n a no-op — mirroring the Spark loop's
     * early stop.
     */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, eow: Boolean = false): String = {
+    // `eow` mirrors bpeWordDict's end-of-word marker: one list_append
+    // on the char split; every downstream CTE is symbol-generic
+    val split0 =
+      if (eow) "list_append(regexp_extract_all(w, '.'), '</w>')"
+      else "regexp_extract_all(w, '.')"
     val d1 =
-      """d1 AS MATERIALIZED (
-        |  SELECT w, regexp_extract_all(w, '.') AS syms,
+      raw"""d1 AS MATERIALIZED (
+        |  SELECT w, $split0 AS syms,
         |         CAST(COUNT(*) AS BIGINT) AS cnt
         |  FROM (
         |    SELECT UNNEST(string_split(
@@ -2098,6 +2135,12 @@ object SparkEntry {
   }
 
   private val BPE_MERGES = 12
+
+  /** Per-SF-dir store for the persisted BPE fit the tx_bpe_* keys
+    * share; bpeModelOrFit's fingerprinted meta guards staleness.
+    */
+  private def bpeStorePath(dir: String): String =
+    "target/graft_stores/bpe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** One side (u or v) of the n-term positional window-key combination
     * — generated, since the substring-span oracle needs n = 16 terms.
@@ -3172,6 +3215,37 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
         |FROM c""".stripMargin,
 
+    // packing under the fitted vocab: per-doc counts from the fit-chain
+    // dictionary join (the tx_bpe_apply CTEs), wordless docs kept at 0
+    // via the LEFT JOIN, then the same shard/cumsum/bin arithmetic
+    "tx_seq_pack_bpe" ->
+      s"""WITH ${bpeCtes(BPE_MERGES)},
+         |dw AS (
+         |  SELECT doc_id, UNNEST(string_split(
+         |    regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')) AS w
+         |  FROM documents
+         |),
+         |wc AS (
+         |  SELECT dw.doc_id, CAST(SUM(len(d.syms)) AS BIGINT) AS bpe_toks
+         |  FROM dw JOIN d${BPE_MERGES + 1} d USING (w)
+         |  GROUP BY dw.doc_id
+         |),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+         |    CAST(COALESCE(wc.bpe_toks, 0) AS BIGINT) AS n_tokens
+         |  FROM documents LEFT JOIN wc USING (doc_id)
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, shard,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
+         |FROM c""".stripMargin,
+
     // u = first 8 md5 hex digits of 'shuf:<id>' over 2^32 (the
     // hashUniform mirror); shard = floor(u*8), pos = rank within shard
     // under (u, doc_id) order
@@ -3959,6 +4033,16 @@ object SparkEntry {
     // mirroring the Spark loop's early stop
     "tx_bpe_fit" ->
       s"""WITH ${bpeCtes(BPE_MERGES)}
+         |SELECT * FROM (
+         |${(1 to BPE_MERGES).map(n =>
+             s"  SELECT CAST($n AS BIGINT) AS step, l AS lhs, r AS rhs, c AS cnt FROM m$n")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY step""".stripMargin,
+
+    // the identical chain over the `</w>`-appended char split — only d1
+    // differs; the merge CTEs are symbol-generic
+    "tx_bpe_fit_eow" ->
+      s"""WITH ${bpeCtes(BPE_MERGES, eow = true)}
          |SELECT * FROM (
          |${(1 to BPE_MERGES).map(n =>
              s"  SELECT CAST($n AS BIGINT) AS step, l AS lhs, r AS rhs, c AS cnt FROM m$n")

@@ -193,7 +193,9 @@ object StreamOps {
       window: String,
       lateness: String,
       sinkName: String,
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     val spark = left.sparkSession
     val joined = watermarkedTimeBoundJoin(
       left, right, leftKey, rightKey, leftTs, rightTs, window, lateness)
@@ -207,7 +209,7 @@ object StreamOps {
         // instead of paying default-trigger micro-batch scheduling overhead
         .trigger(Trigger.AvailableNow())
         .start()
-      try q.awaitTermination()
+      try { q.awaitTermination(); inspect(q) }
       finally q.stop()
     }
     spark.table(sinkName)
@@ -542,7 +544,9 @@ object StreamOps {
   def runStreamingClassifierScore(
       docsStream: DataFrame,
       modelPath: String,
-      sinkName: String): DataFrame = {
+      sinkName: String,
+      inspect: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     val spark = docsStream.sparkSession
     val scored =
       graft.text.TextOps.classifierScoreFromStore(docsStream, modelPath)
@@ -553,7 +557,7 @@ object StreamOps {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination()
+    try { q.awaitTermination(); inspect(q) }
     finally q.stop()
     spark.table(sinkName)
   }

@@ -748,7 +748,19 @@ object TextOps {
     *
     * Output: (doc_id, shard, bin, n_tokens) — one row per document.
     */
-  def packSequences(docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long, shards: Int): DataFrame =
+    packSequencesCounts(
+      docs.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens")),
+      budget, shards)
+
+  /** The packing core behind [[packSequences]] over PRE-COMPUTED per-doc
+    * token counts `(doc_id, n_tokens)` — the count source (regex
+    * counter, fitted BPE vocab, a served tokenizer) is the caller's
+    * choice; the shard draw, running sum, and binning are identical.
+    */
+  def packSequencesCounts(
+      counts: DataFrame, budget: Long, shards: Int): DataFrame = {
     require(budget > 0 && shards > 0, "budget and shards must be positive")
     import org.apache.spark.sql.expressions.Window
     val shard =
@@ -756,14 +768,31 @@ object TextOps {
         16, 10).cast("long") % shards
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(
-        col("doc_id"),
-        shard.as("shard"),
-        tokenCount(col("text")).cast("long").as("n_tokens"))
+    counts
+      .select(col("doc_id"), shard.as("shard"), col("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
+  }
+
+  /** [[packSequences]] under the FITTED BPE vocabulary: per-doc token
+    * counts come from the fitted dictionary join ([[bpeApplyCountsWith]]
+    * — a corpus word's post-merge token count is `size(syms)` in the
+    * dict), never from a per-row re-derivation, and never from the
+    * regex placeholder counter — real pipelines pack training sequences
+    * with the PRODUCTION tokenizer, and a vocab with different
+    * fertility changes every bin boundary. Wordless documents pack as
+    * 0-token rows (left join + coalesce), matching [[packSequences]]'s
+    * every-doc-gets-a-row contract.
+    */
+  def packSequencesBpe(
+      docs: DataFrame, dict: DataFrame, budget: Long, shards: Int): DataFrame = {
+    val counts = docs.select(col("doc_id"))
+      .join(bpeApplyCountsWith(docs, dict)
+          .withColumnRenamed("bpe_fit_tokens", "n_tokens"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    packSequencesCounts(counts, budget, shards)
   }
 
   /** Shard count for [[packSequences]] sized from the corpus itself:
@@ -2518,13 +2547,22 @@ object TextOps {
     * the dictionary is orders of magnitude smaller than the token stream,
     * and it is the ONLY thing the iteration loop caches.
     */
-  def bpeWordDict(docs: DataFrame): DataFrame =
+  def bpeWordDict(docs: DataFrame, eow: Boolean = false): DataFrame = {
+    val chars = regexp_extract_all(col("w"), lit("."), lit(0))
+    // `eow` appends the Sennrich ACL'16 §3.2 end-of-word marker `</w>`
+    // as a final symbol, so merges can tell word-FINAL pairs from
+    // word-internal ones (e.g. "b</w>" vs "b·c") — the paper's
+    // restorable-segmentation detail the bare char split lacks. It is
+    // just another symbol to the merge loop and the oracle CTEs.
+    val syms = if (eow) concat(chars, array(lit(BpeEow))) else chars
     docs.select(explode(split(normalize(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(col("w"),
-        regexp_extract_all(col("w"), lit("."), lit(0)).as("syms"),
-        col("cnt"))
+      .select(col("w"), syms.as("syms"), col("cnt"))
+  }
+
+  /** The end-of-word marker [[bpeWordDict]] appends under `eow`. */
+  val BpeEow = "</w>"
 
   /** Apply ONE merge (l, r) to a symbol array, greedy leftmost
     * non-overlapping (the BPE application rule): fold left, replacing the
@@ -2561,11 +2599,12 @@ object TextOps {
     * OpCaches-tracked for the harness release.
     */
   def bpeFitWithDict(
-      docs: DataFrame, merges: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
+      docs: DataFrame, merges: Int,
+      eow: Boolean = false): (Seq[(Long, String, String, Long)], DataFrame) = {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var dict = graft.util.OpCaches.cache(bpeWordDict(docs))
+    var dict = graft.util.OpCaches.cache(bpeWordDict(docs, eow))
     dict.count()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1L
@@ -2598,10 +2637,81 @@ object TextOps {
   }
 
   /** The merge table alone: (step, lhs, rhs, cnt). */
-  def bpeFit(docs: DataFrame, merges: Int): DataFrame = {
+  def bpeFit(docs: DataFrame, merges: Int, eow: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    bpeFitWithDict(docs, merges)._1.toDF("step", "lhs", "rhs", "cnt")
+    bpeFitWithDict(docs, merges, eow)._1.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  // ---- persisted BPE fit (fit once, featurize many) ---------------------
+
+  /** Bump when the FIT SEMANTICS change (normalization, char split,
+    * winner tiebreak, merge rule…): a persisted fit from an older
+    * semantics must never silently serve a newer reader.
+    */
+  private val BpeStoreVersion = 1
+
+  /** Cheap corpus identity for store validation: (row count, doc_id
+    * sum) off a column-pruned scan. Not cryptographic — it guards
+    * against the real staleness modes (different SF dir contents,
+    * regenerated fixtures, truncated corpus), not adversarial input.
+    */
+  private def bpeFingerprint(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)), coalesce(sum(col("doc_id")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Fit on `docs` and persist the model — merge table, final merged
+    * dictionary, and a meta row (merges, eow, fit version, corpus
+    * fingerprint) — as a snapshot-style store (overwrite-only, the
+    * TF-IDF/classifier model-store discipline; no segments, no
+    * tombstones). Returns the merge table read back FROM the store, so
+    * the training key and any later [[bpeModelOrFit]] reader serve
+    * byte-identical parquet rows.
+    */
+  def bpeFitStore(
+      docs: DataFrame, merges: Int, path: String,
+      eow: Boolean = false): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (n, idSum) = bpeFingerprint(docs)
+    val (ms, dict) = bpeFitWithDict(docs, merges, eow)
+    ms.toDF("step", "lhs", "rhs", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/merges")
+    dict.write.mode("overwrite").parquet(s"$path/dict")
+    Seq((merges, eow, BpeStoreVersion, n, idSum))
+      .toDF("merges", "eow", "version", "n_docs", "id_sum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    dict.unpersist(blocking = false)
+    spark.read.parquet(s"$path/merges")
+  }
+
+  /** The fitted model for `docs`, fit at most once: if `path` holds a
+    * fit whose meta matches (same merges, eow, fit version, corpus
+    * fingerprint) it is READ — lineage is a parquet scan, the K-step
+    * training loop never re-runs — otherwise [[bpeFitStore]] fits and
+    * persists it first. This is what keeps the apply/stats/pack
+    * consumers from each re-paying the training loop the `tx_bpe_fit`
+    * key already paid (fit-once/featurize-many).
+    * Returns (merge table, final merged dictionary).
+    */
+  def bpeModelOrFit(
+      docs: DataFrame, merges: Int, path: String,
+      eow: Boolean = false): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (n, idSum) = bpeFingerprint(docs)
+    val fresh = fs.exists(metaPath) && {
+      val m = spark.read.parquet(s"$path/meta").head()
+      m.getInt(m.fieldIndex("merges")) == merges &&
+        m.getBoolean(m.fieldIndex("eow")) == eow &&
+        m.getInt(m.fieldIndex("version")) == BpeStoreVersion &&
+        m.getLong(m.fieldIndex("n_docs")) == n &&
+        m.getLong(m.fieldIndex("id_sum")) == idSum
+    }
+    if (!fresh) bpeFitStore(docs, merges, path, eow)
+    (spark.read.parquet(s"$path/merges"), spark.read.parquet(s"$path/dict"))
   }
 
   /** Per-document token counts under the FITTED vocabulary: fit the merge
@@ -2618,8 +2728,13 @@ object TextOps {
     * Output: (doc_id, bpe_fit_tokens); documents with no words are absent
     * (no tokens to count), matching the oracle's inner join.
     */
-  def bpeApplyCounts(docs: DataFrame, merges: Int): DataFrame = {
-    val (_, dict) = bpeFitWithDict(docs, merges)
+  def bpeApplyCounts(docs: DataFrame, merges: Int): DataFrame =
+    bpeApplyCountsWith(docs, bpeFitWithDict(docs, merges)._2)
+
+  /** [[bpeApplyCounts]] under an ALREADY-FITTED dictionary (inline or
+    * read from a [[bpeFitStore]] store) — the apply leg alone.
+    */
+  def bpeApplyCountsWith(docs: DataFrame, dict: DataFrame): DataFrame = {
     val wordToks = dict.select(col("w"), size(col("syms")).cast("long").as("wt"))
     docs.select(col("doc_id"),
         explode(split(normalize(col("text")), " ")).as("w"))
@@ -2643,8 +2758,11 @@ object TextOps {
     * Output: (source, n_words, n_bpe_tokens, n_chars, fertility,
     * chars_per_token).
     */
-  def bpeStats(docs: DataFrame, merges: Int): DataFrame = {
-    val (_, dict) = bpeFitWithDict(docs, merges)
+  def bpeStats(docs: DataFrame, merges: Int): DataFrame =
+    bpeStatsWith(docs, bpeFitWithDict(docs, merges)._2)
+
+  /** [[bpeStats]] under an ALREADY-FITTED dictionary. */
+  def bpeStatsWith(docs: DataFrame, dict: DataFrame): DataFrame = {
     val wordToks = dict.select(col("w"),
       size(col("syms")).cast("long").as("wt"),
       length(col("w")).cast("long").as("wc"))

@@ -733,4 +733,70 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gen.nonEmpty && !gen.contains("text"),
       s"epoch explode carries text:\n$gen")
   }
+
+  test("packSequencesBpe: counts come from the fitted-dict JOIN (no " +
+      "per-row merge re-derivation), one shard hash exchange, no global sort") {
+    import graft.text.TextOps
+    val docs = Graft.table(spark, sf, "documents")
+    // the store-read dict — the tx_seq_pack_bpe key's shape: its plan is
+    // a parquet scan, so any merge lambda left in THIS plan would be a
+    // per-row re-derivation over the corpus
+    val (_, dict) = TextOps.bpeModelOrFit(
+      docs, merges = 2, "target/graft_stores/bpe_lock_spec")
+    val s = executed(
+      TextOps.packSequencesBpe(docs, dict, budget = 512L, shards = 8)).toString
+    graft.util.OpCaches.releaseAll(spark)
+    assert(s.contains("Join"),
+      s"no dictionary join — per-row re-derivation?:\n${s.take(1000)}")
+    // the merge fold (aggregate-HOF over syms) must never appear in the
+    // apply plan: words join the PRE-MERGED dict, they are not re-merged
+    assert(!s.contains("aggregate(") && !s.contains("lambda"),
+      s"per-row merge lambda in the pack plan:\n${s.take(1200)}")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoop") && !s.contains("rangepartitioning"),
+      s"degenerate join or global sort:\n${s.take(1200)}")
+  }
+
+  test("st_classifier_serve is STATELESS map-only serving: zero state " +
+      "operators in the streaming progress, every input row scored") {
+    import graft.text.TextOps
+    val docs = Graft.table(spark, sf, "documents")
+    val store = "target/graft_stores/classifier_lock_spec"
+    TextOps.writeClassifierModel(docs, col("source") === "src0", store)
+    var prog: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+    val out = graft.streaming.StreamOps.runStreamingClassifierScore(
+      Graft.tableStream(spark, sf, "documents"), store,
+      "classifier_lock_sink", q => prog = q.lastProgress)
+    val n = out.count()
+    graft.util.OpCaches.releaseAll(spark)
+    assert(prog != null && prog.stateOperators.isEmpty,
+      s"stateful operator in a stateless serve:\n$prog")
+    assert(n === docs.count(), "not every input row was scored")
+  }
+
+  test("st_stream_join sizes its state stores from statePartitions, not " +
+      "the batch shuffle default: the join's state operator reports 8 " +
+      "shuffle partitions") {
+    val views = Graft.eventsStream(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val clicks = Graft.eventsStream(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    var prog: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+    graft.streaming.StreamOps.runStreamStreamTimeBoundJoin(
+      views, clicks, "v_user", "c_user", "vts", "cts",
+      window = "30 minutes", lateness = "1 hour",
+      sinkName = "stream_join_lock_sink",
+      statePartitions = Some(8), inspect = q => prog = q.lastProgress)
+    graft.util.OpCaches.releaseAll(spark)
+    assert(prog != null && prog.stateOperators.nonEmpty,
+      "stream-stream join reported no state operator")
+    val parts = prog.stateOperators.map(_.numShufflePartitions).toSet
+    assert(parts === Set(8L),
+      s"state operator partitions $parts != the sized 8 — the batch " +
+        "one-per-core default leaked into streaming state")
+  }
 }

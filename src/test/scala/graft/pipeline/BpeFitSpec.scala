@@ -99,4 +99,77 @@ class BpeFitSpec extends AnyFunSuite {
     assert(got === Seq(
       ("srcX", 16L, 47L, 79L, 47.0 / 16, 79.0 / 47)))
   }
+
+  test("eow marker separates word-final from word-internal pairs: the " +
+      "first merge flips on a boundary-sensitive fixture") {
+    // "ab ab cb": bare split counts (a,b)=2 > (c,b)=1 -> merge (a,b).
+    // With </w> appended, the word-FINAL pair (b,</w>) counts 3 —
+    // every b is word-final — and wins step 1; step 2 then merges
+    // (a, b</w>), a token the bare split cannot express
+    val docs = Seq((0L, "ab ab cb")).toDF("doc_id", "text")
+    val bare = drain(TextOps.bpeFit(docs, merges = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq)
+    assert(bare.head === ((1L, "a", "b", 2L)))
+    val eow = drain(TextOps.bpeFit(docs, merges = 2, eow = true)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq)
+    assert(eow === Seq(
+      (1L, "b", "</w>", 3L),
+      (2L, "a", "b</w>", 2L)))
+  }
+
+  test("bpeFitStore persists the fit; bpeModelOrFit reads a fresh store " +
+      "without refitting and refits on any meta mismatch") {
+    val path = "target/graft_stores/bpe_spec"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+    val stored = drain(TextOps.bpeFitStore(sennrich, merges = 4, path)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq)
+    val inline = drain(TextOps.bpeFit(sennrich, merges = 4)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq)
+    assert(stored === inline)
+    // fresh store: the read-back model matches the inline fit, and the
+    // merges parquet's mtime proves no rewrite happened on the re-read
+    def mtime() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/merges")).map(_.lastModified).max
+    }
+    val t0 = mtime()
+    val (ms, dict) = TextOps.bpeModelOrFit(sennrich, merges = 4, path)
+    val viaStore = drain(ms.as[(Long, String, String, Long)]
+      .collect().sortBy(_._1).toSeq)
+    assert(viaStore === inline && mtime() === t0)
+    assert(drain(dict.count()) === 4) // low, lower, newest, widest
+    // different merge count -> meta mismatch -> refit + rewrite
+    val (ms3, _) = TextOps.bpeModelOrFit(sennrich, merges = 3, path)
+    assert(drain(ms3.count()) === 3 && mtime() > t0)
+    // corpus change (fingerprint mismatch) -> refit
+    val grown = sennrich.union(Seq((9L, "zz zz")).toDF("doc_id", "text"))
+    val (_, dictG) = TextOps.bpeModelOrFit(grown, merges = 3, path)
+    assert(drain(dictG.count()) === 5)
+  }
+
+  test("packSequencesBpe bins by fitted-vocab counts and keeps wordless " +
+      "docs as 0-token rows") {
+    // the vocab is fitted on the sennrich fixture (merges hand-derived
+    // above: low->1 token, lower->3, newest->4, widest->4) and applied
+    // to a DIFFERENT batch — fit-once/featurize-many
+    val docs = Seq(
+      (0L, "low low low low low"),   // 5 words x 1 token = 5
+      (1L, "lower lower"),           // 2 words x 3 tokens = 6
+      (2L, "   "),                   // wordless -> 0 tokens
+      (3L, "newest widest")          // 4 + 4 = 8
+    ).toDF("doc_id", "text")
+    val (_, dict) = TextOps.bpeFitWithDict(sennrich, merges = 4)
+    val got = TextOps.packSequencesBpe(docs, dict, budget = 6L, shards = 1)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    graft.util.OpCaches.releaseAll(spark)
+    // one shard, doc_id order; cum before each doc: 0, 5, 11, 11 ->
+    // bins 0//6=0, 5//6=0, 11//6=1, 11//6=1
+    assert(got === Seq(
+      (0L, 0L, 0L, 5L), (1L, 0L, 0L, 6L),
+      (2L, 0L, 1L, 0L), (3L, 0L, 1L, 8L)))
+  }
 }
