@@ -297,7 +297,15 @@ object Bench {
       // scoring as tx_classifier_fit_score behind a bounded stream
       // runner) are excluded for the same covered-class reason — the
       // prune discipline cuts redundant rows
-      "tx_bpe_fit", "tx_classifier_fit_score", "tx_budget_mix_epochs")
+      // round-16 retirement (the twice-certified policy):
+      // tx_classifier_fit_score (2.04x r15b, 1.49-2.19x across the three
+      // r16 artifacts — the one-token-volume-exchange class, stable) and
+      // tx_budget_mix_epochs (0.78x r15b, 0.61-0.79x r16 — flat sized
+      // fan-out) move to the retired list. tx_bpe_fit STAYS: its path
+      // was touched in round 16 (the fit now also writes the model
+      // store) and its class moved 1.01 -> 0.89-1.28x with the new
+      // write leg — re-certify the new shape before retiring.
+      "tx_bpe_fit")
     // the rows RETIRED by the round-15 prune (ratio class certified
     // stable across two independent certifications). Their coverage is
     // not gone: SPARK_GRAFT_SCALE_QUERIES=full re-probes active+retired
@@ -310,7 +318,9 @@ object Bench {
       "dd_containment", "dd_containment_bloom",
       "tx_bm25_store", "tx_bm25_append_serve", "tx_bm25_delete_serve",
       "tx_tfidf_store", "sm_ann_ivf_store", "tx_dsir_sample",
-      "tx_token_budget", "dd_substring_cut")
+      "tx_token_budget", "dd_substring_cut",
+      // round-16 retirements (see the active-set note below)
+      "tx_classifier_fit_score", "tx_budget_mix_epochs")
     // SPARK_GRAFT_SCALE_QUERIES: unset → the active set; "full" → active
     // + retired; otherwise a comma-separated explicit key list (each key
     // must exist in SparkEntry.queries)
