@@ -293,7 +293,9 @@ object Bench {
       // tx_bpe_stats (same store read + dict-join), tx_bpe_fit_eow (the
       // identical K-step training loop as tx_bpe_fit over a one-symbol-
       // longer split), tx_seq_pack_bpe (dict join + the packSequences
-      // shard-window class), and st_classifier_serve (the same map-only
+      // shard-window class), tx_seq_pack_split (the same scan + shard
+      // window + a linear Generate — the tx_seq_pack class), and
+      // st_classifier_serve (the same map-only
       // scoring as tx_classifier_fit_score behind a bounded stream
       // runner) are excluded for the same covered-class reason — the
       // prune discipline cuts redundant rows

@@ -777,6 +777,15 @@ object SparkEntry {
         budget = 512L, targetTokensPerShard = 4096L)
     },
 
+    // BOUNDARY-SPLITTING packing — GPT-style concat-then-chunk: each
+    // shard's token stream cut into EXACT 512-token sequences, docs
+    // crossing a boundary emit one chunk per bin they span (off/len
+    // within the doc); pure integer arithmetic, linear chunk fan-out
+    "tx_seq_pack_split" -> { (s, dir) =>
+      TextOps.packSequencesSplit(Graft.table(s, dir, "documents"),
+        budget = 512L, shards = 8)
+    },
+
     // Sequence packing under the FITTED BPE vocab — the tokenizer
     // training loop's downstream consumer: per-doc counts come from the
     // persisted fit's dictionary join (tx_bpe_apply's shape), so bins
@@ -3214,6 +3223,32 @@ object SparkEntry {
         |SELECT doc_id, shard,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
         |FROM c""".stripMargin,
+
+    // concat-then-chunk: per-(doc, bin) overlap rows from the same
+    // shard/cumsum arithmetic — bins spanned = [s//512, (cum-1)//512],
+    // off/len from greatest/least against the bin edges; all integer
+    "tx_seq_pack_split" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t
+        |),
+        |x AS (
+        |  SELECT doc_id, shard, n_tokens, cum, cum - n_tokens AS s
+        |  FROM c WHERE n_tokens > 0
+        |)
+        |SELECT doc_id, shard, CAST(b AS BIGINT) AS bin,
+        |  CAST(GREATEST(s, b * 512) - s AS BIGINT) AS off,
+        |  CAST(LEAST(cum, (b + 1) * 512) - GREATEST(s, b * 512) AS BIGINT) AS len
+        |FROM x, LATERAL (
+        |  SELECT UNNEST(range(s // 512, (cum - 1) // 512 + 1)) AS b) u""".stripMargin,
 
     // packing under the fitted vocab: per-doc counts from the fit-chain
     // dictionary join (the tx_bpe_apply CTEs), wordless docs kept at 0

@@ -775,6 +775,52 @@ object TextOps {
       .select(col("doc_id"), col("shard"), col("bin"), col("n_tokens"))
   }
 
+  /** BOUNDARY-SPLITTING sequence packing — the form pretraining ingestion
+    * actually runs (GPT-style concat-then-chunk): each shard's documents
+    * concatenate into one token stream in doc_id order and the stream is
+    * cut into sequences of EXACTLY `budget` tokens, so a document
+    * crossing a boundary contributes a chunk to each bin it spans —
+    * unlike [[packSequences]], which assigns whole documents and leaves
+    * bins ragged. Output: one row per (document, bin) overlap —
+    * (doc_id, shard, bin, off, len) where `off` is the chunk's 0-based
+    * token offset WITHIN the document and `len` its token count;
+    * Σ len per doc = the doc's tokens, Σ len per bin = budget for every
+    * bin except each shard's last. Token-less documents contribute no
+    * chunk (nothing to emit into the stream).
+    *
+    * Scale shape: identical to [[packSequences]] up to the running sum
+    * (one hash exchange on the id-pure shard draw + a per-shard window,
+    * no global sort); the chunk fan-out is a Generate of
+    * ⌈n_tokens/budget⌉+1 ≤ bins-per-doc rows — linear in token volume,
+    * and pure INTEGER arithmetic end to end (floor divisions of longs),
+    * so any engine derives identical chunks.
+    */
+  def packSequencesSplit(
+      docs: DataFrame, budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0, "budget and shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val shard =
+      conv(md5(concat(lit("shard:"), col("doc_id").cast("string"))).substr(1, 8),
+        16, 10).cast("long") % shards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col("doc_id"),
+        shard.as("shard"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("n_tokens") > 0)
+      .withColumn("s", col("cum") - col("n_tokens"))
+      .withColumn("bin", explode(sequence(
+        expr(s"s div $budget"), expr(s"(cum - 1) div $budget"))))
+      .select(
+        col("doc_id"), col("shard"), col("bin"),
+        (greatest(col("s"), col("bin") * budget) - col("s")).as("off"),
+        (least(col("cum"), (col("bin") + 1) * budget) -
+          greatest(col("s"), col("bin") * budget)).as("len"))
+  }
+
   /** [[packSequences]] under the FITTED BPE vocabulary: per-doc token
     * counts come from the fitted dictionary join ([[bpeApplyCountsWith]]
     * — a corpus word's post-merge token count is `size(syms)` in the

@@ -734,6 +734,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"epoch explode carries text:\n$gen")
   }
 
+  test("packSequencesSplit: one shard hash exchange, no global sort, and " +
+      "the chunk fan-out is a Generate over the windowed projection " +
+      "(never the text column)") {
+    val docs = Graft.table(spark, sf, "documents")
+    val s = executed(graft.text.TextOps.packSequencesSplit(
+      docs, budget = 512L, shards = 8)).toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).size === 1,
+      s"expected one hash exchange:\n${s.take(1200)}")
+    assert(!s.contains("rangepartitioning"),
+      s"global sort present:\n${s.take(1200)}")
+    val gen = s.linesIterator.filter(_.contains("Generate")).mkString("\n")
+    assert(gen.nonEmpty && !gen.contains("text"),
+      s"chunk explode missing or carries text:\n$gen")
+  }
+
   test("packSequencesBpe: counts come from the fitted-dict JOIN (no " +
       "per-row merge re-derivation), one shard hash exchange, no global sort") {
     import graft.text.TextOps

@@ -56,6 +56,40 @@ object CorpusPrepProperties extends Properties("corpusprep") {
           Prop(perShard) :| "bin = floor(start offset / budget) per shard"
     }
 
+  property("packSequencesSplit: chunks reassemble every doc exactly, " +
+      "every bin except a shard's last holds exactly budget tokens, and " +
+      "chunk offsets tile each doc gaplessly") =
+    forAll(corpusGen, Gen.chooseNum(5L, 50L), Gen.chooseNum(1, 4)) {
+      (rows, budget, shards) =>
+        val chunks = TextOps.packSequencesSplit(df(rows), budget, shards)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4)))
+        val tokens = rows.map { case (id, t, _) =>
+          id -> t.trim.split("\\s+").count(_.nonEmpty).toLong
+        }.toMap
+        // per doc: offsets tile [0, n_tokens) without gap or overlap
+        val docsTile = chunks.groupBy(_._1).forall { case (id, cs) =>
+          val ordered = cs.sortBy(_._4).toSeq
+          ordered.map(_._5).sum == tokens(id) &&
+            ordered.scanLeft(0L)(_ + _._5).init == ordered.map(_._4)
+        }
+        // every doc with tokens appears; token-less docs never do
+        val coverage = chunks.map(_._1).toSet ==
+          tokens.filter(_._2 > 0).keySet
+        // per (shard, bin): full bins carry exactly `budget` tokens
+        val byShard = chunks.groupBy(_._2)
+        val binsFull = byShard.values.forall { sc =>
+          val lastBin = sc.map(_._3).max
+          sc.groupBy(_._3).forall { case (bin, bc) =>
+            bin == lastBin || bc.map(_._5).sum == budget
+          }
+        }
+        Prop(docsTile) :| "chunks tile each doc gaplessly" &&
+          Prop(coverage) :| "exactly the token-bearing docs emit chunks" &&
+          Prop(binsFull) :| "non-final bins hold exactly budget tokens"
+    }
+
   property("sourceMix never upsamples and never emits unlisted sources") =
     forAll(corpusGen) { rows =>
       val d = df(rows)
