@@ -297,8 +297,11 @@ object Bench {
       // window + a linear Generate — the tx_seq_pack class), and
       // st_classifier_serve (the same map-only
       // scoring as tx_classifier_fit_score behind a bounded stream
-      // runner) are excluded for the same covered-class reason — the
-      // prune discipline cuts redundant rows
+      // runner), st_dedup_serve (the dd_incremental_store
+      // store-sign + LSH-join class behind the same bounded runner),
+      // and st_cm_sketch (tx_count_min's sketch build + an O(d·w)
+      // fold/probe) are excluded for the same covered-class reason —
+      // the prune discipline cuts redundant rows
       // round-16 retirement (the twice-certified policy):
       // tx_classifier_fit_score (2.04x r15b, 1.49-2.19x across the three
       // r16 artifacts — the one-token-volume-exchange class, stable) and

@@ -301,6 +301,18 @@ object SparkEntry {
       .toDF("cid", "x", "y")
   }
 
+  /** Recursively delete local store/checkpoint dirs so a streaming key
+    * re-runs from a clean slate — keys must be invocation-idempotent
+    * (the bench re-runs them across passes), and a surviving checkpoint
+    * would make a re-run replay ZERO batches against last run's output.
+    */
+  private def wipeLocalDirs(spark: SparkSession, paths: String*): Unit =
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P1: scan + parse projection to the canonical points view
@@ -1529,6 +1541,57 @@ object SparkEntry {
         "st_classifier_serve_sink")
     },
 
+    // SERVE near-dedup over a document file-stream against a PERSISTED
+    // signature store: the corpus side (non-src1_) is signed offline
+    // once, then every arriving micro-batch LSH-joins the store and only
+    // novel docs land in the output segments — the streaming production
+    // shape of dd_incremental_store (same store format, same drop
+    // policy; StreamingSpec pins the multi-batch earlier-batch-wins
+    // policy, replay idempotence, and tombstone honoring). The fixture
+    // feed is one parquet file = ONE bounded micro-batch, so the kept
+    // set equals the batch operator's and the incremental oracle applies
+    // verbatim; the checkpoint/store/output are wiped per invocation so
+    // the key is re-runnable (a stale checkpoint would replay zero
+    // batches against a stale output).
+    "st_dedup_serve" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = s"target/graft_stores/st_dedup_store_$tag"
+      val out = s"target/graft_stores/st_dedup_out_$tag"
+      val ckpt = s"target/graft_stores/st_dedup_ckpt_$tag"
+      wipeLocalDirs(s, store, out, ckpt)
+      Dedup.writeSignatureStore(
+        docs.filter(!col("source").like("src1_")),
+        n = 3, numHashes = 12, bands = 4, path = store)
+      StreamOps.runStreamingDedupAgainstStore(
+        Graft.tableStream(s, dir, "documents")
+          .filter(col("source").like("src1_")),
+        store, out, ckpt,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      s.read.parquet(s"$out/batch-*").select(col("doc_id"))
+    },
+
+    // Running Count-Min sketch over a document stream: each micro-batch
+    // sketch lands as a replay-idempotent overwrite segment, the store
+    // folds by the CM merge property (cell-wise sum) to ONE sketch of
+    // the whole stream, and the key answers the probe set from the
+    // folded sketch alone — scan-free serving at O(d·w), the streaming
+    // sibling of tx_count_min (whose sketch the fold equals
+    // cell-for-cell; the oracle checks the probe estimates,
+    // StreamingSpec pins the segment fold itself).
+    "st_cm_sketch" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = s"target/graft_stores/st_cm_store_$tag"
+      val ckpt = s"target/graft_stores/st_cm_ckpt_$tag"
+      wipeLocalDirs(s, store, ckpt)
+      StreamOps.runStreamingCmSketch(
+        Graft.tableStream(s, dir, "documents"), store, ckpt,
+        depth = 4, width = 1024)
+      TextOps.cmEstimate(
+        StreamOps.readCmSketchStore(s, store), CmProbes,
+        depth = 4, width = 1024)
+    },
+
     // Stream-static enrichment: events joined (broadcast) to the customer
     // dim by user id -> spend per nation/event_type
     "st_enrich_join" -> { (s, dir) =>
@@ -2028,6 +2091,72 @@ object SparkEntry {
       |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
       |  FROM documents
       |)""".stripMargin
+
+  /** The incremental LSH dedup SQL: the oracle for the inline key
+    * (`dd_incremental_dedup`), the store-backed key
+    * (`dd_incremental_store`, store ≡ re-sign by contract) and the
+    * streaming serve key (`st_dedup_serve`, whose bounded single-file
+    * feed is ONE micro-batch, so the kept set equals the batch
+    * operator's): same pair set, same drop policy in all three.
+    */
+  private val INCREMENTAL_DEDUP_SQL =
+    """WITH tk AS (
+        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
+        |    tok -> struct_pack(
+        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
+        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
+        |  FROM documents
+        |),
+        |skeys AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
+        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
+        |          * 2147483647
+        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
+        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
+        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
+        |  FROM tk
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 12),
+        |           h -> list_min(list_transform(keys,
+        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
+        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
+        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
+        |  FROM skeys WHERE len(keys) > 0
+        |),
+        |bands AS (
+        |  SELECT doc_id, b,
+        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
+        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b USING (b, bucket)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |ver AS (
+        |  SELECT c.d1, c.d2
+        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
+        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
+        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
+        |),
+        |flags AS (SELECT doc_id, source LIKE 'src1_' AS isn FROM documents),
+        |ver2 AS (
+        |  SELECT v.d1, v.d2, f1.isn AS n1, f2.isn AS n2
+        |  FROM ver v JOIN flags f1 ON v.d1 = f1.doc_id
+        |             JOIN flags f2 ON v.d2 = f2.doc_id
+        |),
+        |dropped AS (
+        |  SELECT d2 AS doc_id FROM ver2 WHERE n2
+        |  UNION
+        |  SELECT d1 AS doc_id FROM ver2 WHERE n1 AND NOT n2
+        |)
+        |SELECT doc_id FROM documents
+        |WHERE source LIKE 'src1_'
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
 
   /** The inline fit+score SQL — the oracle for BOTH the store-backed
     * batch key (`tx_classifier_fit_score`) and the streaming serve key
@@ -3597,126 +3726,12 @@ object SparkEntry {
     // same LSH pipeline as dd_near_dedup over the full corpus, then the
     // incremental drop rule: a src1x batch doc is dropped iff a verified
     // partner is an src0..src9 corpus doc, or a smaller-id batch doc
-    "dd_incremental_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
-        |    tok -> struct_pack(
-        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
-        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
-        |  FROM documents
-        |),
-        |skeys AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
-        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
-        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
-        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
-        |          * 2147483647
-        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
-        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
-        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
-        |  FROM tk
-        |),
-        |sig AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, 12),
-        |           h -> list_min(list_transform(keys,
-        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
-        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
-        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
-        |  FROM skeys WHERE len(keys) > 0
-        |),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
-        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b USING (b, bucket)
-        |  WHERE a.doc_id < b.doc_id
-        |),
-        |ver AS (
-        |  SELECT c.d1, c.d2
-        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
-        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
-        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
-        |),
-        |flags AS (SELECT doc_id, source LIKE 'src1_' AS isn FROM documents),
-        |ver2 AS (
-        |  SELECT v.d1, v.d2, f1.isn AS n1, f2.isn AS n2
-        |  FROM ver v JOIN flags f1 ON v.d1 = f1.doc_id
-        |             JOIN flags f2 ON v.d2 = f2.doc_id
-        |),
-        |dropped AS (
-        |  SELECT d2 AS doc_id FROM ver2 WHERE n2
-        |  UNION
-        |  SELECT d1 AS doc_id FROM ver2 WHERE n1 AND NOT n2
-        |)
-        |SELECT doc_id FROM documents
-        |WHERE source LIKE 'src1_'
-        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    "dd_incremental_dedup" -> INCREMENTAL_DEDUP_SQL,
 
     // the store variant must produce the SAME survivors — the store only
     // changes WHERE the corpus signatures come from, not the pair set or
     // the drop policy — so the oracle is dd_incremental_dedup's verbatim
-    "dd_incremental_store" ->
-      """WITH tk AS (
-        |  SELECT doc_id, list_transform(string_split_regex(trim(text), '\s+'),
-        |    tok -> struct_pack(
-        |      u := CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2147483647,
-        |      v := CAST(('0x' || substr(md5(tok), 16, 15)) AS BIGINT) % 2147483647)) AS k
-        |  FROM documents
-        |),
-        |skeys AS (
-        |  SELECT doc_id, list_distinct(list_transform(range(1, len(k) - 1),
-        |    i -> ((3266489917 * 1) % 2147483647 * k[i].u % 2147483647
-        |        + (3266489917 * 2) % 2147483647 * k[i+1].u % 2147483647
-        |        + (3266489917 * 3) % 2147483647 * k[i+2].u % 2147483647) % 2147483647
-        |          * 2147483647
-        |        + ((3266489917 * 1) % 2147483647 * k[i].v % 2147483647
-        |        + (3266489917 * 2) % 2147483647 * k[i+1].v % 2147483647
-        |        + (3266489917 * 3) % 2147483647 * k[i+2].v % 2147483647) % 2147483647)) AS keys
-        |  FROM tk
-        |),
-        |sig AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, 12),
-        |           h -> list_min(list_transform(keys,
-        |                  kk -> ((2654435761 * (h + 1)) % 2147483647 * (kk // 2147483647) % 2147483647
-        |                      + (2246822519 * (h + 1)) % 2147483647 * (kk % 2147483647) % 2147483647
-        |                      + (104729 * (h + 1)) % 2147483647) % 2147483647))) AS sig
-        |  FROM skeys WHERE len(keys) > 0
-        |),
-        |bands AS (
-        |  SELECT doc_id, b,
-        |         md5(sig[b*3+1] || ',' || sig[b*3+2] || ',' || sig[b*3+3]) AS bucket
-        |  FROM sig, LATERAL (SELECT UNNEST(range(0, 4)) AS b) r
-        |),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b USING (b, bucket)
-        |  WHERE a.doc_id < b.doc_id
-        |),
-        |ver AS (
-        |  SELECT c.d1, c.d2
-        |  FROM cand c JOIN skeys a ON c.d1 = a.doc_id JOIN skeys b ON c.d2 = b.doc_id
-        |  WHERE len(list_intersect(a.keys, b.keys)) * 1.0
-        |        / (len(a.keys) + len(b.keys) - len(list_intersect(a.keys, b.keys))) >= 0.5
-        |),
-        |flags AS (SELECT doc_id, source LIKE 'src1_' AS isn FROM documents),
-        |ver2 AS (
-        |  SELECT v.d1, v.d2, f1.isn AS n1, f2.isn AS n2
-        |  FROM ver v JOIN flags f1 ON v.d1 = f1.doc_id
-        |             JOIN flags f2 ON v.d2 = f2.doc_id
-        |),
-        |dropped AS (
-        |  SELECT d2 AS doc_id FROM ver2 WHERE n2
-        |  UNION
-        |  SELECT d1 AS doc_id FROM ver2 WHERE n1 AND NOT n2
-        |)
-        |SELECT doc_id FROM documents
-        |WHERE source LIKE 'src1_'
-        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    "dd_incremental_store" -> INCREMENTAL_DEDUP_SQL,
 
     // a deleted signature store must dedup the batch exactly as if the
     // deleted corpus docs never existed — the dd_incremental_dedup
@@ -4291,6 +4306,35 @@ object SparkEntry {
     // the streaming serve run is stateless map-only over a bounded
     // feed, so it answers exactly the batch fit+score
     "st_classifier_serve" -> CLASSIFIER_FIT_SCORE_SQL,
+
+    // the bounded single-batch stream against the persisted signature
+    // store keeps exactly the batch incremental survivors
+    "st_dedup_serve" -> INCREMENTAL_DEDUP_SQL,
+
+    // the folded stream-store sketch must answer probes exactly as ONE
+    // batch sketch of the whole corpus (CM merge: cell-wise sum), so
+    // the oracle is tx_count_min's estimate side alone
+    "st_cm_sketch" ->
+      s"""WITH toks AS (
+         |  SELECT UNNEST(string_split_regex(trim(text), '${"\\"}s+')) AS tok
+         |  FROM documents
+         |),
+         |probes AS (SELECT UNNEST([${CmProbes.map("'" + _ + "'").mkString(", ")}]) AS tok),
+         |cells AS (
+         |  SELECT r.i AS row,
+         |    CAST(('0x' || substr(md5('cm' || r.i || ':' || tok), 1, 8)) AS BIGINT) % 1024 AS cell,
+         |    COUNT(*) AS c
+         |  FROM toks CROSS JOIN range(4) r(i)
+         |  GROUP BY 1, 2
+         |),
+         |pc AS (
+         |  SELECT p.tok, r.i AS row,
+         |    CAST(('0x' || substr(md5('cm' || r.i || ':' || p.tok), 1, 8)) AS BIGINT) % 1024 AS cell
+         |  FROM probes p CROSS JOIN range(4) r(i)
+         |)
+         |SELECT pc.tok, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |FROM pc LEFT JOIN cells c ON pc.row = c.row AND pc.cell = c.cell
+         |GROUP BY pc.tok""".stripMargin,
 
     // exact integer tf/df/N + bucket-ordered w^2 folds: ln, sqrt, and
     // division land on identical doubles in both engines

@@ -28,6 +28,21 @@ class SparkEntrySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming store keys are invocation-idempotent: a re-run from the " +
+      "wiped checkpoint reproduces the first run's rows exactly") {
+    // the bench re-invokes every key across passes; a surviving
+    // checkpoint would replay ZERO batches and serve a stale output, so
+    // the keys wipe store/checkpoint/output per invocation — this pins
+    // that a second invocation actually re-runs and lands identically
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("st_dedup_serve", "st_cm_sketch")) {
+      val first = SparkEntry.queries(name)(spark, sf).collect().toSet
+      val second = SparkEntry.queries(name)(spark, sf).collect().toSet
+      assert(first.nonEmpty, s"$name: empty result")
+      assert(first === second, s"$name: re-run diverged")
+    }
+  }
+
   test("a5_percentiles_approx tracks the exact percentiles within the " +
       "GK rank-error bound") {
     import spark.implicits._
