@@ -86,18 +86,23 @@ object SparkEntry {
   /** Fixed-iteration n-D Lloyd as a generated CTE chain: init (first-4 by
     * pid) then `iters` rounds of LATERAL argmin assignment + per-dimension
     * AVG re-assembled into a centroid list — the SQL mirror of
-    * [[graft.kmeans.LloydN.iterateN]].
+    * [[graft.kmeans.LloydN.iterateN]]. `fitWhere` restricts the FIT
+    * (init + every round) to a slice of `emb` — the streaming-ingest
+    * oracle's shape, where the quantizer is fit on the resident slice
+    * and the rest arrives under the frozen centroids.
     */
-  private def nLloydCtes(iters: Int, k: Int): String = {
+  private def nLloydCtes(iters: Int, k: Int, fitWhere: String = ""): String = {
+    val w = if (fitWhere.isEmpty) "" else s" WHERE $fitWhere"
+    val fitSrc = if (fitWhere.isEmpty) "emb" else s"(SELECT * FROM emb$w)"
     val base =
       s"""emb AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |nc0 AS (
          |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS INT) AS cid, v
-         |  FROM (SELECT pid, v FROM emb ORDER BY pid LIMIT $k)
+         |  FROM (SELECT pid, v FROM emb$w ORDER BY pid LIMIT $k)
          |)""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""na$r AS (
-         |  SELECT e.pid, e.v, a.cid FROM emb e, LATERAL (
+         |  SELECT e.pid, e.v, a.cid FROM $fitSrc e, LATERAL (
          |    SELECT c.cid,
          |           list_sum(list_transform(range(1, len(e.v) + 1),
          |                                   i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS d2
@@ -156,10 +161,14 @@ object SparkEntry {
   /** IVF top-k as SQL (5-round Lloyd quantizer at k=8, nprobe=2, k=5) —
     * shared verbatim by `sm_ann_ivf_topk` (inline quantizer) and
     * `sm_ann_ivf_store` (persisted index): the store path answers
-    * identically by construction.
+    * identically by construction. `fitWhere` restricts the quantizer
+    * FIT to a slice of the corpus while cells/queries stay over the
+    * whole of it — the `st_ivf_ingest` shape (quantizer fit on the
+    * resident slice, the streamed slice assigned under the frozen
+    * centroids).
     */
-  private lazy val ivfTopkSql: String =
-    s"""WITH ${nLloydCtes(5, 8)},
+  private def ivfSearchSql(fitWhere: String = ""): String =
+    s"""WITH ${nLloydCtes(5, 8, fitWhere)},
        |cells AS (
        |  SELECT e.pid AS cid_id, e.v AS cv, a.cid AS cell FROM emb e, LATERAL (
        |    SELECT c.cid,
@@ -193,6 +202,14 @@ object SparkEntry {
        |)
        |SELECT qid, cid, ROUND(sim, 6) AS sim, rank
        |FROM ivfranked WHERE rank <= 5""".stripMargin
+
+  private lazy val ivfTopkSql: String = ivfSearchSql()
+
+  /** The streaming-ingest oracle: quantizer fit on the even-pid resident
+    * slice, every vector (resident + streamed) assigned under the frozen
+    * centroids — exactly what build-then-append produces.
+    */
+  private lazy val ivfIngestSql: String = ivfSearchSql("pid % 2 = 0")
 
   /** Fixed-iteration 2-D Lloyd under the f32 wire funnel as a generated
     * CTE chain — the SQL mirror of [[graft.kmeans.Lloyd.iterateF32]]:
@@ -1590,6 +1607,35 @@ object SparkEntry {
       TextOps.cmEstimate(
         StreamOps.readCmSketchStore(s, store), CmProbes,
         depth = 4, width = 1024)
+    },
+
+    // Streaming ingestion into a persisted IVF index: the index is BUILT
+    // on the resident (even-pid) half, the odd half arrives as a
+    // micro-batch stream assigned under the FROZEN stored quantizer
+    // (O(batch) per batch, the index is never rewritten; each batch is a
+    // replay-idempotent overwrite segment in every scan tier), and the
+    // search runs over resident + ingested together. The oracle fits the
+    // quantizer on the even slice and assigns everything under it —
+    // exactly what build-then-append produces; StreamingSpec pins replay
+    // idempotence and the refit-threshold discipline.
+    "st_ivf_ingest" -> { (s, dir) =>
+      val all = npoints(s, dir)
+        .select(col("pid").as("id"), col("features").as("vec"))
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = s"target/graft_stores/st_ivf_store_$tag"
+      val ckpt = s"target/graft_stores/st_ivf_ckpt_$tag"
+      wipeLocalDirs(s, store, ckpt)
+      Similarity.writeIvfIndex(
+        all.filter(col("id") % 2 === 0), nlist = 8, path = store)
+      StreamOps.runStreamingIvfAppend(
+        OpsN.pointsFromEmbeddings(Graft.tableStream(s, dir, "embeddings"))
+          .select(col("pid").as("id"), col("features").as("vec"))
+          .filter(col("id") % 2 === 1),
+        store, ckpt)
+      val queries = all.filter(col("id") < 10)
+      Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+        .select(col("qid"), col("cid"), round(col("sim"), 6).as("sim"),
+          col("rank").cast("long").as("rank"))
     },
 
     // Stream-static enrichment: events joined (broadcast) to the customer
@@ -4310,6 +4356,10 @@ object SparkEntry {
     // the bounded single-batch stream against the persisted signature
     // store keeps exactly the batch incremental survivors
     "st_dedup_serve" -> INCREMENTAL_DEDUP_SQL,
+
+    // build-then-append ≡ fit the quantizer on the resident slice and
+    // assign everything under the frozen centroids
+    "st_ivf_ingest" -> ivfIngestSql,
 
     // the folded stream-store sketch must answer probes exactly as ONE
     // batch sketch of the whole corpus (CM merge: cell-wise sum), so

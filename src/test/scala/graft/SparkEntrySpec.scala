@@ -35,7 +35,7 @@ class SparkEntrySpec extends AnyFunSuite {
     // the keys wipe store/checkpoint/output per invocation — this pins
     // that a second invocation actually re-runs and lands identically
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("st_dedup_serve", "st_cm_sketch")) {
+    for (name <- Seq("st_dedup_serve", "st_cm_sketch", "st_ivf_ingest")) {
       val first = SparkEntry.queries(name)(spark, sf).collect().toSet
       val second = SparkEntry.queries(name)(spark, sf).collect().toSet
       assert(first.nonEmpty, s"$name: empty result")
