@@ -1663,6 +1663,43 @@ object SparkEntry {
           (floor(avg(col("quality")) * 1e6) / 1e6).as("avg_quality"))
     },
 
+    // The END-TO-END training-data pipeline, every stage an
+    // already-oracled operator composed in production order:
+    //   quality gate (score >= 0.5) -> exact dedup (keep-min-id per
+    //   normalized fingerprint) -> MinHash/LSH near-dedup ->
+    //   DECONTAMINATION (drop train docs near-dup, exact Jaccard >= 0.4,
+    //   to any val/test doc — Lee ACL'22) -> per-source quality cap
+    //   (top-7) -> 512-token sequence packing over 8 shards.
+    // Each relational stage runs over the previous stage's survivors
+    // (the oracle re-derives every stage over the narrowed set); per-doc
+    // quantities (quality, split, shard, token count) are id/text-pure,
+    // so composition costs no extra text scans beyond each stage's own.
+    // At 100 TB the chain is exactly this plan: no stage introduces an
+    // exchange the standalone operator doesn't already carry, and the
+    // narrowing joins are key-only (doc_id) semi/anti joins.
+    "tx_pipeline_e2e" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val kept0 = docs.join(
+        TextOps.analyze(docs).filter(col("quality") >= 0.5)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val kept1 = Dedup.exactDedup(kept0)
+      val kept2 = Dedup.nearDedup(kept1,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      val leaks = TextOps.splitLeakage(kept2,
+        n = 3, threshold = 0.4, maxShingleDf = Some(50L))
+      val contaminated = leaks.filter(col("split1") === "train")
+        .select(col("d1").as("doc_id"))
+        .union(leaks.filter(col("split2") === "train")
+          .select(col("d2").as("doc_id")))
+        .distinct()
+      val kept3 = kept2.join(contaminated, Seq("doc_id"), "left_anti")
+      val capped = kept3.join(
+        TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      TextOps.packSequences(capped, budget = 512L, shards = 8)
+    },
+
     // Gopher quality-filter composition — the daily production shape:
     // repetition/length gate FIRST (cheap signals drop boilerplate and
     // too-short docs before any shingling cost), then MinHash near-dedup
@@ -4552,6 +4589,97 @@ object SparkEntry {
          |FROM an JOIN survivors USING (doc_id)
          |WHERE quality >= 0.5
          |GROUP BY lang_pred""".stripMargin,
+
+    // every stage's own proven SQL re-derived over the previous stage's
+    // survivors: quality gate -> exact dedup -> near dedup (the %SRC%
+    // template over kept1) -> cross-split decontamination (shingle sets
+    // from the dedup stage's skeys, df-cap re-counted within kept2) ->
+    // per-source cap -> shard cumsum packing
+    "tx_pipeline_e2e" ->
+      s"""WITH $QUALITY_CTES,
+         |kept0 AS (
+         |  SELECT d.doc_id, d.text, d.source
+         |  FROM documents d JOIN q USING (doc_id)
+         |  WHERE q.q >= 0.5
+         |),
+         |ex AS (
+         |  SELECT md5(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g')) AS fp,
+         |         MIN(doc_id) AS keep_id
+         |  FROM kept0 GROUP BY 1
+         |),
+         |kept1 AS (
+         |  SELECT k.doc_id, k.text, k.source
+         |  FROM kept0 k JOIN ex ON k.doc_id = ex.keep_id
+         |),
+         |${dedupVerCtes("kept1")},
+         |kept2 AS (
+         |  SELECT k.doc_id, k.text, k.source FROM kept1 k
+         |  WHERE k.doc_id NOT IN (SELECT d2 FROM ver)
+         |),
+         |sh2 AS (
+         |  SELECT s.doc_id, UNNEST(s.keys) AS shash
+         |  FROM skeys s JOIN kept2 USING (doc_id)
+         |),
+         |shf2 AS (
+         |  SELECT sh2.doc_id, sh2.shash FROM sh2
+         |  JOIN (SELECT shash FROM sh2 GROUP BY shash HAVING COUNT(*) <= 50)
+         |    USING (shash)
+         |),
+         |sizes2 AS (SELECT doc_id, COUNT(*) AS sz FROM shf2 GROUP BY doc_id),
+         |lp AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+         |  FROM shf2 a JOIN shf2 b USING (shash)
+         |  WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |jp AS (
+         |  SELECT d1, d2
+         |  FROM lp JOIN sizes2 s1 ON d1 = s1.doc_id
+         |          JOIN sizes2 s2 ON d2 = s2.doc_id
+         |  WHERE c / (s1.sz + s2.sz - c) >= 0.4
+         |),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+         |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM kept2
+         |),
+         |contaminated AS (
+         |  SELECT d1 AS doc_id
+         |  FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
+         |  WHERE s1.split = 'train' AND s2.split <> 'train'
+         |  UNION
+         |  SELECT d2 AS doc_id
+         |  FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
+         |  WHERE s2.split = 'train' AND s1.split <> 'train'
+         |),
+         |kept3 AS (
+         |  SELECT k.doc_id, k.text, k.source FROM kept2 k
+         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |),
+         |cr AS (
+         |  SELECT k.doc_id, k.text,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY k.source ORDER BY q.q DESC, k.doc_id) AS rnk
+         |  FROM kept3 k JOIN q ON k.doc_id = q.doc_id
+         |),
+         |capped AS (SELECT doc_id, text FROM cr WHERE rnk <= 7),
+         |pt AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+         |    CAST(len(string_split_regex(trim(text), '${"\\"}s+')) AS BIGINT) AS n_tokens
+         |  FROM capped
+         |),
+         |pc AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM pt
+         |)
+         |SELECT doc_id, shard,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
+         |FROM pc""".stripMargin,
 
     "st_session_counts" ->
       """WITH o AS (

@@ -814,4 +814,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"state operator partitions $parts != the sized 8 — the batch " +
         "one-per-core default leaked into streaming state")
   }
+
+  test("tx_pipeline_e2e composes without degenerate joins or a global " +
+      "sort: narrowing is key-only semi/anti joins, packing stays a " +
+      "per-shard window") {
+    val s = executed(
+      graft.SparkEntry.queries("tx_pipeline_e2e")(spark, sf)).toString
+    graft.util.OpCaches.releaseAll(spark)
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoop"),
+      s"degenerate join in the pipeline plan:\n${s.take(1500)}")
+    // the one serialization smell a composed pipeline can develop: a
+    // window or aggregation collapsed onto a single partition (the cap
+    // stage's rangepartitioning is its DOCUMENTED offsets engine — a
+    // distributed sort, locked per-(partition, source) in its own test —
+    // so range exchanges are expected here, SinglePartition is not)
+    assert(!s.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the pipeline plan:\n${s.take(1500)}")
+    assert(s.contains("LeftSemi") && s.contains("LeftAnti"),
+      s"expected key-only semi/anti narrowing joins:\n${s.take(1500)}")
+  }
 }
