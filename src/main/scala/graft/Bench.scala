@@ -302,11 +302,12 @@ object Bench {
       // st_cm_sketch (tx_count_min's sketch build + an O(d·w)
       // fold/probe), st_ivf_ingest (sm_ann_ivf_store's build +
       // assign-under-frozen-quantizer classes behind the bounded
-      // runner), and tx_pipeline_e2e (a pure composition — every stage
+      // runner), tx_pipeline_e2e (a pure composition — every stage
       // is an operator whose scale class is certified standalone, and
-      // composition adds only key-only narrowing joins) are excluded
-      // for the same covered-class reason — the prune discipline cuts
-      // redundant rows
+      // composition adds only key-only narrowing joins), and mm_resize
+      // (mm_phash_groups' per-row decode class + a linear posexplode)
+      // are excluded for the same covered-class reason — the prune
+      // discipline cuts redundant rows
       // round-16 retirement (the twice-certified policy):
       // tx_classifier_fit_score (2.04x r15b, 1.49-2.19x across the three
       // r16 artifacts — the one-token-volume-exchange class, stable) and

@@ -2023,6 +2023,18 @@ object SparkEntry {
         MultimodalOps.patternedBmpMedia(Graft.table(s, dir, "documents")))
     },
 
+    // REAL-decode box-resize to 4x4 over the 16x16 pattern BMPs: the
+    // fixture pixel at (x, y) of pattern p is the first md5 byte of
+    // "p:x:y", so DuckDB recomputes the expected pooled cells
+    // arithmetically and the gate covers decode orientation + the
+    // integer pooling end to end (a flipped BMP row order or a lossy
+    // mean would hash-mismatch)
+    "mm_resize" -> { (s, dir) =>
+      MultimodalOps.resizeImages(
+        MultimodalOps.patternedBmpMedia(Graft.table(s, dir, "documents")),
+        w = 4, h = 4)
+    },
+
     "mm_features" -> { (s, dir) =>
       MultimodalOps.extractFeatures(
           MultimodalOps.mediaFromDocuments(Graft.table(s, dir, "documents")))
@@ -2570,6 +2582,22 @@ object SparkEntry {
         |       MIN(doc_id) OVER (PARTITION BY doc_id % 37) AS keeper,
         |       COUNT(*) OVER (PARTITION BY doc_id % 37) AS group_n
         |FROM documents""".stripMargin,
+
+    // the pattern pixel is md5-derived, so the oracle recomputes every
+    // source pixel and pools the same integer mean: the engine sums
+    // R+G+B over 4x4x3 samples and floors by 48, which equals the
+    // 16-pixel channel sum floored by 16 on the gray fixture
+    // (3a // 48 = a // 16 exactly)
+    "mm_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id AS media_id, rx.x, ry.y,
+        |    CAST(('0x' || substr(md5((d.doc_id % 37) || ':' || rx.x || ':' || ry.y), 1, 2)) AS BIGINT) AS v
+        |  FROM documents d
+        |  CROSS JOIN range(16) rx(x) CROSS JOIN range(16) ry(y)
+        |)
+        |SELECT media_id, CAST(y // 4 AS BIGINT) AS iy, CAST(x // 4 AS BIGINT) AS ix,
+        |       CAST(SUM(v) // 16 AS BIGINT) AS v
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     // the capability matrix is a deterministic constant table; the
     // oracle re-states it LITERALLY (not derived from realFormats) so a

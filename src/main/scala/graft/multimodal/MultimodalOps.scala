@@ -558,6 +558,79 @@ object MultimodalOps {
       .withColumn("n_bytes", octet_length(col("media")).cast("long"))
   }
 
+  /** Box-resample (average-pool) RESIZE of one image to w×h gray pixels:
+    * REAL decode (javax.imageio), then target cell (ix, iy) averages the
+    * source box [⌊ix·W/w⌋, ⌊(ix+1)·W/w⌋) × [⌊iy·H/h⌋, ⌊(iy+1)·H/h⌋) —
+    * the thumbnail/downsample step a multimodal training pipeline runs
+    * before feature extraction. The cell value is the INTEGER floor of
+    * the summed R+G+B over the box divided by 3·pixels (exact integer
+    * arithmetic end to end, so both engines land the identical value;
+    * on the gray fixtures this is exactly the floor-mean of the channel
+    * value). Undecodable or empty payloads yield an empty array —
+    * missing codecs stay visible, the [[extractFeatures]] strict-mode
+    * discipline.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Long] = {
+    require(w >= 1 && h >= 1, s"target dims must be positive, got ${w}x$h")
+    if (payload == null || payload.isEmpty) return Array.empty
+    val img = readImage(payload)
+    if (img == null || img.getWidth < 1 || img.getHeight < 1)
+      return Array.empty
+    val (sw, sh) = (img.getWidth, img.getHeight)
+    val out = new Array[Long](w * h)
+    var iy = 0
+    while (iy < h) {
+      val y0 = iy * sh / h
+      val y1 = math.max((iy + 1) * sh / h, y0 + 1) min sh
+      var ix = 0
+      while (ix < w) {
+        val x0 = ix * sw / w
+        val x1 = math.max((ix + 1) * sw / w, x0 + 1) min sw
+        var sum = 0L
+        var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            cnt += 3
+            x += 1
+          }
+          y += 1
+        }
+        out(iy * w + ix) = if (cnt == 0) 0L else sum / cnt
+        ix += 1
+      }
+      iy += 1
+    }
+    out
+  }
+
+  /** [[resizeImage]] over a media table — decode + pool per row in a
+    * per-partition batch (the one mapPartitions the repo reserves for
+    * binary media), then a linear posexplode to one row per target cell.
+    * Output: (media_id, iy, ix, v), w·h rows per decodable image.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("px", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = Encoders.row(outSchema)
+    media.select(col("media_id"), col("media"))
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0),
+          resizeImage(r.getAs[Array[Byte]](1), w, h).toSeq))
+      }(enc)
+      .select(col("media_id"), posexplode(col("px")).as(Seq("i", "v")))
+      .select(
+        col("media_id"),
+        (col("i") / lit(w)).cast("long").as("iy"),
+        (col("i") % lit(w)).cast("long").as("ix"),
+        col("v"))
+  }
+
   /** 64-bit average-hash (aHash) of an image: decode, 8x8 average-pool
     * the luminance, threshold each block at the global block mean —
     * bit i set iff block i >= mean. Identical images hash identically;

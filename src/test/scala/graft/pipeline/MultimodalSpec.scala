@@ -288,4 +288,28 @@ class MultimodalSpec extends AnyFunSuite {
       (11L, 11L, 2L), (14L, 11L, 2L),
       (13L, 13L, 1L)))
   }
+
+  test("resizeImage: box means are exact integer floors, including " +
+      "UNEVEN target boxes (16 -> 3 splits 5/5/6), and undecodable " +
+      "payloads yield an empty array") {
+    // a gradient image whose pixel (x, y) = x makes every box mean a
+    // hand-derivable column average: box [x0, x1) has mean
+    // floor(sum(x0..x1-1) / (x1 - x0)) regardless of y
+    val img = MultimodalOps.bmp24Gray(16, 16, (x, _) => x)
+    def colMean(x0: Int, x1: Int): Long = {
+      val s = (x0 until x1).map(_.toLong).sum
+      s / (x1 - x0)
+    }
+    val even = MultimodalOps.resizeImage(img, 4, 4)
+    assert(even.length === 16)
+    // 4x4 boxes over the x-gradient: every row of cells is identical
+    for (iy <- 0 until 4; ix <- 0 until 4)
+      assert(even(iy * 4 + ix) === colMean(ix * 4, ix * 4 + 4),
+        s"cell ($ix, $iy)")
+    // 16 -> 3: floor boundaries 0/5/10/16 — the uneven-box path
+    val odd = MultimodalOps.resizeImage(img, 3, 1)
+    assert(odd.toSeq === Seq(colMean(0, 5), colMean(5, 10), colMean(10, 16)))
+    assert(MultimodalOps.resizeImage(Array[Byte](1, 2, 3), 4, 4).isEmpty)
+    assert(MultimodalOps.resizeImage(Array.emptyByteArray, 4, 4).isEmpty)
+  }
 }
