@@ -1684,16 +1684,25 @@ object SparkEntry {
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
       val kept1 = Dedup.exactDedup(kept0)
-      val kept2 = Dedup.nearDedup(kept1,
-        n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      // each survivor frame feeds SEVERAL downstream consumers (the
+      // leak audit reads kept2 twice, the anti join and the cap read it
+      // again) — cache the narrowing frames once or every consumer
+      // re-runs the whole upstream dedup lineage
+      val kept2 = graft.util.OpCaches.cache(Dedup.nearDedup(kept1,
+        n = 3, numHashes = 12, bands = 4, threshold = 0.5))
       val leaks = TextOps.splitLeakage(kept2,
         n = 3, threshold = 0.4, maxShingleDf = Some(50L))
-      val contaminated = leaks.filter(col("split1") === "train")
-        .select(col("d1").as("doc_id"))
-        .union(leaks.filter(col("split2") === "train")
-          .select(col("d2").as("doc_id")))
+      // ONE pass over the pair set: a leak pair has split1 != split2,
+      // so at most one side is the train doc — a two-armed when()
+      // instead of a union of two filters keeps the exact-Jaccard join
+      // single-consumer (a union would run it twice)
+      val contaminated = leaks
+        .select(when(col("split1") === "train", col("d1"))
+          .when(col("split2") === "train", col("d2")).as("doc_id"))
+        .filter(col("doc_id").isNotNull)
         .distinct()
-      val kept3 = kept2.join(contaminated, Seq("doc_id"), "left_anti")
+      val kept3 = graft.util.OpCaches.cache(
+        kept2.join(contaminated, Seq("doc_id"), "left_anti"))
       val capped = kept3.join(
         TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
