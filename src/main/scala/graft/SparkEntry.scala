@@ -330,6 +330,101 @@ object SparkEntry {
       if (fs.exists(hp)) { fs.delete(hp, true); () }
     }
 
+  /** Filesystem-safe tag for per-fixture store/checkpoint paths. The
+    * sanitization alone is LOSSY (`.../sf0.001` and a hypothetical
+    * `.../sf0_001` both map to `sf0_001`), and several keys WIPE their
+    * tagged dirs on entry — a collision would let one fixture's
+    * invocation delete another's store mid-run. The appended murmur3 of
+    * the RAW dir string makes the tag injective per fixture dir.
+    */
+  private def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff)
+        .toHexString
+
+  /** Write `df` as ONE parquet FILE at `destFile` (not a directory) —
+    * the unit a file-stream source treats as a single arrival, used by
+    * the late-arrival serving key to feed micro-batches one file at a
+    * time (mirrors the fixture layout [[Graft.tableStream]] reads).
+    */
+  private def writeSingleParquetFile(df: DataFrame, destFile: String): Unit = {
+    val spark = df.sparkSession
+    val tmp = destFile + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(tmpPath)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(destFile)
+    fs.mkdirs(dest.getParent)
+    fs.rename(part.getPath, dest)
+    fs.delete(tmpPath, true)
+    ()
+  }
+
+  /** Read a streaming runner's `batch-*` output segments as one
+    * (doc_id) frame — or an EMPTY one when the feed produced zero
+    * micro-batches: the glob alone would throw path-not-found there,
+    * where the SQL oracle returns an empty set.
+    */
+  private def readBatchDocIds(
+      s: SparkSession, out: String, docs: DataFrame): DataFrame = {
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(outPath) &&
+      fs.listStatus(outPath).exists(_.getPath.getName.startsWith("batch-"))
+    if (hasBatches) s.read.parquet(s"$out/batch-*").select(col("doc_id"))
+    else docs.select(col("doc_id")).limit(0)
+  }
+
+  /** The e2e training-data NARROWING CHAIN shared by the two pipeline
+    * keys (`tx_pipeline_e2e`, `tx_pipeline_e2e_bpe`): quality gate
+    * (Gopher-style composite >= 0.5) -> exact dedup -> MinHash/LSH
+    * near-dedup -> DECONTAMINATION (drop train docs near-dup, exact
+    * Jaccard >= 0.4, to any val/test doc — Lee ACL'22) -> per-source
+    * quality cap (top-7). Returns the capped survivor frame the packing
+    * stage consumes.
+    *
+    * Each relational stage runs over the previous stage's survivors
+    * (the oracle re-derives every stage over the narrowed set); per-doc
+    * quantities (quality, split, token count) are id/text-pure, so
+    * composition costs no extra text scans beyond each stage's own. At
+    * 100 TB the chain is exactly this plan: no stage introduces an
+    * exchange the standalone operator doesn't already carry, and the
+    * narrowing joins are key-only (doc_id) semi/anti joins. Survivor
+    * frames that feed SEVERAL downstream consumers (the leak audit
+    * reads kept2 twice, the anti join and the cap read it again) are
+    * cached via OpCaches — without it every consumer re-runs the whole
+    * upstream dedup lineage.
+    */
+  private def pipelineSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Graft.table(s, dir, "documents")
+    val kept0 = docs.join(
+      TextOps.analyze(docs).filter(col("quality") >= 0.5)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val kept1 = Dedup.exactDedup(kept0)
+    val kept2 = graft.util.OpCaches.cache(Dedup.nearDedup(kept1,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5))
+    val leaks = TextOps.splitLeakage(kept2,
+      n = 3, threshold = 0.4, maxShingleDf = Some(50L))
+    // ONE pass over the pair set: a leak pair has split1 != split2,
+    // so at most one side is the train doc — a two-armed when()
+    // instead of a union of two filters keeps the exact-Jaccard join
+    // single-consumer (a union would run it twice)
+    val contaminated = leaks
+      .select(when(col("split1") === "train", col("d1"))
+        .when(col("split2") === "train", col("d2")).as("doc_id"))
+      .filter(col("doc_id").isNotNull)
+      .distinct()
+    val kept3 = graft.util.OpCaches.cache(
+      kept2.join(contaminated, Seq("doc_id"), "left_anti"))
+    kept3.join(
+      TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S1+P1: scan + parse projection to the canonical points view
@@ -851,7 +946,7 @@ object SparkEntry {
     // build once, search many.
     "tx_bm25_store" -> { (s, dir) =>
       val store = "target/graft_stores/bm25_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       TextOps.writeBm25Index(Graft.table(s, dir, "documents"), store)
       TextOps.bm25TopKFromStore(
         s, Seq("customer", "vector", "stream"), store, k = 10)
@@ -864,7 +959,7 @@ object SparkEntry {
     // so the oracle is tx_bm25_store's
     "tx_bm25_append" -> { (s, dir) =>
       val store = "target/graft_stores/bm25app_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       val d = Graft.table(s, dir, "documents")
       TextOps.writeBm25Index(d.filter(col("doc_id") % 2 === 0), store)
       TextOps.appendToBm25Index(d.filter(col("doc_id") % 2 === 1), store)
@@ -880,7 +975,7 @@ object SparkEntry {
     // computes.
     "tx_bm25_delete" -> { (s, dir) =>
       val store = "target/graft_stores/bm25del_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       val d = Graft.table(s, dir, "documents")
       TextOps.writeBm25Index(d, store)
       TextOps.deleteFromBm25Index(d.filter(col("doc_id") % 7 === 3), store)
@@ -904,7 +999,7 @@ object SparkEntry {
     // bit-identically to tx_bm25_append (shared oracle).
     "tx_bm25_append_serve" -> { (s, dir) =>
       val store = "target/graft_stores/bm25srvapp_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       val d = Graft.table(s, dir, "documents")
       // the base-split tag is part of the fingerprint: a marker built
       // under a different base partition must invalidate, or a restore
@@ -926,7 +1021,7 @@ object SparkEntry {
     // tx_bm25_delete (shared oracle).
     "tx_bm25_delete_serve" -> { (s, dir) =>
       val store = "target/graft_stores/bm25srvdel_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       val d = Graft.table(s, dir, "documents")
       val fp = graft.util.StoreFixture.fingerprint(s, s"$dir/documents.parquet")
       graft.util.StoreFixture.ensurePristine(s, store, fp) {
@@ -1095,7 +1190,7 @@ object SparkEntry {
     "dd_incremental_store" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val store = "target/graft_stores/sig_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       Dedup.writeSignatureStore(
         docs.filter(!col("source").like("src1_")),
         n = 3, numHashes = 12, bands = 4, path = store)
@@ -1114,7 +1209,7 @@ object SparkEntry {
     "dd_store_delete" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val store = "target/graft_stores/sigdel_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       val corpus = docs.filter(!col("source").like("src1_"))
       Dedup.writeSignatureStore(
         corpus, n = 3, numHashes = 12, bands = 4, path = store)
@@ -1343,7 +1438,7 @@ object SparkEntry {
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
       val store = "target/graft_stores/ivf_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       Similarity.writeIvfIndex(all, nlist = 8, path = store)
       val queries = all.filter(col("id") < 10)
       Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
@@ -1361,7 +1456,7 @@ object SparkEntry {
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
       val store = "target/graft_stores/ivfsq_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       Similarity.writeIvfIndexSq(all, nlist = 8, path = store)
       val queries = all.filter(col("id") < 10)
       Similarity.ivfTopKFromStoreSq(queries, store, k = 5, nprobe = 2)
@@ -1380,7 +1475,7 @@ object SparkEntry {
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
       val store = "target/graft_stores/ivfpq_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       Similarity.writeIvfIndexPq(all, nlist = 8, path = store, m = 8)
       val queries = all.filter(col("id") < 10)
       // CoverProbed derives the re-rank depth from the store's live
@@ -1412,7 +1507,7 @@ object SparkEntry {
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
       val store = "target/graft_stores/ivfdel_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       Similarity.writeIvfIndex(all, nlist = 8, path = store)
       Similarity.deleteFromIvfIndex(
         s, store, all.filter(col("id") % 5 === 3).select(col("id")))
@@ -1551,7 +1646,7 @@ object SparkEntry {
     "st_classifier_serve" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val store = "target/graft_stores/classifier_serve_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       TextOps.writeClassifierModel(docs, col("source") === "src0", store)
       StreamOps.runStreamingClassifierScore(
         Graft.tableStream(s, dir, "documents"), store,
@@ -1572,7 +1667,7 @@ object SparkEntry {
     // batches against a stale output).
     "st_dedup_serve" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = dirTag(dir)
       val store = s"target/graft_stores/st_dedup_store_$tag"
       val out = s"target/graft_stores/st_dedup_out_$tag"
       val ckpt = s"target/graft_stores/st_dedup_ckpt_$tag"
@@ -1585,7 +1680,55 @@ object SparkEntry {
           .filter(col("source").like("src1_")),
         store, out, ckpt,
         n = 3, numHashes = 12, bands = 4, threshold = 0.5)
-      s.read.parquet(s"$out/batch-*").select(col("doc_id"))
+      // a feed with zero src1_ docs produces zero micro-batches and no
+      // batch-* segments: the glob would then throw path-not-found where
+      // the SQL oracle returns an empty set — readBatchDocIds guards
+      // with an empty same-schema frame
+      readBatchDocIds(s, out, docs)
+    },
+
+    // LATE / OUT-OF-ORDER arrivals against the persisted signature
+    // store — the serving property none of the bounded single-batch
+    // st_* keys exercises: micro-batch 1 serves the even-id half of the
+    // src1_ feed, then micro-batch 2 arrives carrying the ODD ids —
+    // rows that precede (by id/event order) rows already served, i.e.
+    // older than any watermark horizon would have retained. POLICY
+    // (the store-backed design's contract, vs
+    // dropDuplicatesWithinWatermark's reclaim-and-forget): nothing is
+    // dropped for LATENESS — the signature store never expires — so a
+    // late near-dup of the corpus or of an EARLIER batch's survivor is
+    // dropped (earlier batch wins, exactly the multi-batch policy
+    // StreamingSpec pins in-memory), and a late NOVEL doc is kept no
+    // matter how old. The oracle derives keep1 (batch 1 vs corpus,
+    // keep-min-id within batch) then keep2 (batch 2 vs corpus +
+    // keep1 SURVIVORS — a batch-2 near-dup of a batch-1 DROPPED doc
+    // survives, because dropped docs never enter the store).
+    "st_dedup_serve_late" -> { (s, dir) =>
+      val docs = Graft.table(s, dir, "documents")
+      val base = s"target/graft_stores/st_dedup_late_${dirTag(dir)}"
+      val feed = s"$base/feed"
+      val store = s"$base/store"
+      val out = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      wipeLocalDirs(s, base)
+      Dedup.writeSignatureStore(
+        docs.filter(!col("source").like("src1_")),
+        n = 3, numHashes = 12, bands = 4, path = store)
+      val fresh = docs.filter(col("source").like("src1_"))
+      // one bounded run per arrival file, SHARED checkpoint: run 2
+      // resumes from run 1's offsets and processes only the late file
+      // — two genuine sequential micro-batches through the production
+      // runner, not one batch wearing two labels
+      def serve(batch: DataFrame, file: String): Unit = {
+        writeSingleParquetFile(batch, s"$feed/$file")
+        StreamOps.runStreamingDedupAgainstStore(
+          s.readStream.schema(docs.schema).parquet(feed),
+          store, out, ckpt,
+          n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+      }
+      serve(fresh.filter(col("doc_id") % 2 === 0), "arrival-1.parquet")
+      serve(fresh.filter(col("doc_id") % 2 === 1), "arrival-2.parquet")
+      readBatchDocIds(s, out, docs)
     },
 
     // Running Count-Min sketch over a document stream: each micro-batch
@@ -1597,7 +1740,7 @@ object SparkEntry {
     // cell-for-cell; the oracle checks the probe estimates,
     // StreamingSpec pins the segment fold itself).
     "st_cm_sketch" -> { (s, dir) =>
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = dirTag(dir)
       val store = s"target/graft_stores/st_cm_store_$tag"
       val ckpt = s"target/graft_stores/st_cm_ckpt_$tag"
       wipeLocalDirs(s, store, ckpt)
@@ -1621,7 +1764,7 @@ object SparkEntry {
     "st_ivf_ingest" -> { (s, dir) =>
       val all = npoints(s, dir)
         .select(col("pid").as("id"), col("features").as("vec"))
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = dirTag(dir)
       val store = s"target/graft_stores/st_ivf_store_$tag"
       val ckpt = s"target/graft_stores/st_ivf_ckpt_$tag"
       wipeLocalDirs(s, store, ckpt)
@@ -1678,35 +1821,26 @@ object SparkEntry {
     // exchange the standalone operator doesn't already carry, and the
     // narrowing joins are key-only (doc_id) semi/anti joins.
     "tx_pipeline_e2e" -> { (s, dir) =>
+      TextOps.packSequences(pipelineSurvivors(s, dir),
+        budget = 512L, shards = 8)
+    },
+
+    // The e2e pipeline packing under the FITTED BPE vocab (the r16
+    // verdict's tokenizer-loop ask): the same narrowing chain, but the
+    // packing stage counts tokens with the PRODUCTION tokenizer — the
+    // persisted tx_bpe_fit dictionary join (bpeModelOrFit reads the
+    // store when fresh), so the bins reflect real BPE fertility instead
+    // of the regex placeholder counter. The fit is trained on the FULL
+    // corpus (the tokenizer a production pipeline ships is trained
+    // before filtering decisions, and the oracle's fit-chain CTEs run
+    // over `documents`), applied to the capped survivors only; the dict
+    // join stays broadcast (O(distinct words) model side) — plan-locked
+    // in PlanShapeSpec alongside the regex-packing sibling.
+    "tx_pipeline_e2e_bpe" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
-      val kept0 = docs.join(
-        TextOps.analyze(docs).filter(col("quality") >= 0.5)
-          .select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      val kept1 = Dedup.exactDedup(kept0)
-      // each survivor frame feeds SEVERAL downstream consumers (the
-      // leak audit reads kept2 twice, the anti join and the cap read it
-      // again) — cache the narrowing frames once or every consumer
-      // re-runs the whole upstream dedup lineage
-      val kept2 = graft.util.OpCaches.cache(Dedup.nearDedup(kept1,
-        n = 3, numHashes = 12, bands = 4, threshold = 0.5))
-      val leaks = TextOps.splitLeakage(kept2,
-        n = 3, threshold = 0.4, maxShingleDf = Some(50L))
-      // ONE pass over the pair set: a leak pair has split1 != split2,
-      // so at most one side is the train doc — a two-armed when()
-      // instead of a union of two filters keeps the exact-Jaccard join
-      // single-consumer (a union would run it twice)
-      val contaminated = leaks
-        .select(when(col("split1") === "train", col("d1"))
-          .when(col("split2") === "train", col("d2")).as("doc_id"))
-        .filter(col("doc_id").isNotNull)
-        .distinct()
-      val kept3 = graft.util.OpCaches.cache(
-        kept2.join(contaminated, Seq("doc_id"), "left_anti"))
-      val capped = kept3.join(
-        TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      TextOps.packSequences(capped, budget = 512L, shards = 8)
+      TextOps.packSequencesBpe(pipelineSurvivors(s, dir),
+        TextOps.bpeModelOrFit(docs, BPE_MERGES, bpeStorePath(dir))._2,
+        budget = 512L, shards = 8)
     },
 
     // Gopher quality-filter composition — the daily production shape:
@@ -1839,7 +1973,7 @@ object SparkEntry {
     "tx_lm_store" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val store = "target/graft_stores/lm_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       TextOps.writeLmModel(docs, store)
       TextOps.lmScoreFromStore(docs, store)
     },
@@ -1905,7 +2039,7 @@ object SparkEntry {
     "tx_classifier_fit_score" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val store = "target/graft_stores/classifier_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       TextOps.writeClassifierModel(docs, col("source") === "src0", store)
       TextOps.classifierScoreFromStore(docs, store)
     },
@@ -1925,7 +2059,7 @@ object SparkEntry {
     "tx_tfidf_store" -> { (s, dir) =>
       val docs = Graft.table(s, dir, "documents")
       val store = "target/graft_stores/tfidf_" +
-        dir.replaceAll("[^A-Za-z0-9]", "_")
+        dirTag(dir)
       TextOps.writeTfidfModel(docs, store, nBuckets = 1024)
       TextOps.tfidfFromStore(docs, store)
         .where(col("doc_id") % 10 === 0)
@@ -2184,6 +2318,83 @@ object SparkEntry {
       |  FROM scored
       |)""".stripMargin
 
+  /** WITH-body prefix shared by the two e2e pipeline oracles
+    * (`tx_pipeline_e2e`, `tx_pipeline_e2e_bpe`): quality gate -> exact
+    * dedup -> LSH near-dedup -> decontamination -> per-source cap,
+    * ending at `capped(doc_id, text)` — the survivor set the packing
+    * stages consume. Mirrors [[pipelineSurvivors]] stage for stage.
+    */
+  private lazy val PIPELINE_CTES: String =
+    s"""$QUALITY_CTES,
+       |kept0 AS (
+       |  SELECT d.doc_id, d.text, d.source
+       |  FROM documents d JOIN q USING (doc_id)
+       |  WHERE q.q >= 0.5
+       |),
+       |ex AS (
+       |  SELECT md5(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g')) AS fp,
+       |         MIN(doc_id) AS keep_id
+       |  FROM kept0 GROUP BY 1
+       |),
+       |kept1 AS (
+       |  SELECT k.doc_id, k.text, k.source
+       |  FROM kept0 k JOIN ex ON k.doc_id = ex.keep_id
+       |),
+       |${dedupVerCtes("kept1")},
+       |kept2 AS (
+       |  SELECT k.doc_id, k.text, k.source FROM kept1 k
+       |  WHERE k.doc_id NOT IN (SELECT d2 FROM ver)
+       |),
+       |sh2 AS (
+       |  SELECT s.doc_id, UNNEST(s.keys) AS shash
+       |  FROM skeys s JOIN kept2 USING (doc_id)
+       |),
+       |shf2 AS (
+       |  SELECT sh2.doc_id, sh2.shash FROM sh2
+       |  JOIN (SELECT shash FROM sh2 GROUP BY shash HAVING COUNT(*) <= 50)
+       |    USING (shash)
+       |),
+       |sizes2 AS (SELECT doc_id, COUNT(*) AS sz FROM shf2 GROUP BY doc_id),
+       |lp AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
+       |  FROM shf2 a JOIN shf2 b USING (shash)
+       |  WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |jp AS (
+       |  SELECT d1, d2
+       |  FROM lp JOIN sizes2 s1 ON d1 = s1.doc_id
+       |          JOIN sizes2 s2 ON d2 = s2.doc_id
+       |  WHERE c / (s1.sz + s2.sz - c) >= 0.4
+       |),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
+       |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM kept2
+       |),
+       |contaminated AS (
+       |  SELECT d1 AS doc_id
+       |  FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
+       |  WHERE s1.split = 'train' AND s2.split <> 'train'
+       |  UNION
+       |  SELECT d2 AS doc_id
+       |  FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
+       |  WHERE s2.split = 'train' AND s1.split <> 'train'
+       |),
+       |kept3 AS (
+       |  SELECT k.doc_id, k.text, k.source FROM kept2 k
+       |  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |),
+       |cr AS (
+       |  SELECT k.doc_id, k.text,
+       |         ROW_NUMBER() OVER (
+       |           PARTITION BY k.source ORDER BY q.q DESC, k.doc_id) AS rnk
+       |  FROM kept3 k JOIN q ON k.doc_id = q.doc_id
+       |),
+       |capped AS (SELECT doc_id, text FROM cr WHERE rnk <= 7)""".stripMargin
+
   /** The token-key CTE shared by the shingle-family oracles (plain
     * string: the `\s+` must not pass through an s-interpolator).
     */
@@ -2382,7 +2593,7 @@ object SparkEntry {
     * share; bpeModelOrFit's fingerprinted meta guards staleness.
     */
   private def bpeStorePath(dir: String): String =
-    "target/graft_stores/bpe_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    "target/graft_stores/bpe_" + dirTag(dir)
 
   /** One side (u or v) of the n-term positional window-key combination
     * — generated, since the substring-span oracle needs n = 16 terms.
@@ -4431,6 +4642,47 @@ object SparkEntry {
     // store keeps exactly the batch incremental survivors
     "st_dedup_serve" -> INCREMENTAL_DEDUP_SQL,
 
+    // two sequential micro-batches, the second LATE (odd ids arriving
+    // after the even-id batch): rank rk = 0 corpus / 1 first batch /
+    // 2 late batch; keep1 = batch-1 survivors vs corpus (keep-min-id
+    // within the batch), keep2 = batch-2 survivors vs corpus + keep1
+    // ONLY (a dropped batch-1 doc never entered the store, so its
+    // batch-2 look-alikes survive); nothing is dropped for lateness
+    "st_dedup_serve_late" ->
+      s"""WITH $DEDUP_VER,
+         |b AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source NOT LIKE 'src1_' THEN 0
+         |         WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS rk
+         |  FROM documents
+         |),
+         |vb AS (
+         |  SELECT v.d1, v.d2, b1.rk AS r1, b2.rk AS r2
+         |  FROM ver v JOIN b b1 ON v.d1 = b1.doc_id
+         |             JOIN b b2 ON v.d2 = b2.doc_id
+         |),
+         |drop1 AS (
+         |  SELECT d2 AS doc_id FROM vb WHERE r2 = 1 AND r1 <= 1
+         |  UNION
+         |  SELECT d1 AS doc_id FROM vb WHERE r1 = 1 AND r2 = 0
+         |),
+         |keep1 AS (
+         |  SELECT doc_id FROM b WHERE rk = 1
+         |    AND doc_id NOT IN (SELECT doc_id FROM drop1)
+         |),
+         |drop2 AS (
+         |  SELECT d2 AS doc_id FROM vb
+         |  WHERE r2 = 2 AND (r1 = 0 OR r1 = 2
+         |    OR d1 IN (SELECT doc_id FROM keep1))
+         |  UNION
+         |  SELECT d1 AS doc_id FROM vb
+         |  WHERE r1 = 2 AND (r2 = 0 OR d2 IN (SELECT doc_id FROM keep1))
+         |)
+         |SELECT doc_id FROM keep1
+         |UNION
+         |SELECT doc_id FROM b
+         |WHERE rk = 2 AND doc_id NOT IN (SELECT doc_id FROM drop2)""".stripMargin,
+
     // build-then-append ≡ fit the quantizer on the resident slice and
     // assign everything under the frozen centroids
     "st_ivf_ingest" -> ivfIngestSql,
@@ -4633,80 +4885,46 @@ object SparkEntry {
     // from the dedup stage's skeys, df-cap re-counted within kept2) ->
     // per-source cap -> shard cumsum packing
     "tx_pipeline_e2e" ->
-      s"""WITH $QUALITY_CTES,
-         |kept0 AS (
-         |  SELECT d.doc_id, d.text, d.source
-         |  FROM documents d JOIN q USING (doc_id)
-         |  WHERE q.q >= 0.5
-         |),
-         |ex AS (
-         |  SELECT md5(regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g')) AS fp,
-         |         MIN(doc_id) AS keep_id
-         |  FROM kept0 GROUP BY 1
-         |),
-         |kept1 AS (
-         |  SELECT k.doc_id, k.text, k.source
-         |  FROM kept0 k JOIN ex ON k.doc_id = ex.keep_id
-         |),
-         |${dedupVerCtes("kept1")},
-         |kept2 AS (
-         |  SELECT k.doc_id, k.text, k.source FROM kept1 k
-         |  WHERE k.doc_id NOT IN (SELECT d2 FROM ver)
-         |),
-         |sh2 AS (
-         |  SELECT s.doc_id, UNNEST(s.keys) AS shash
-         |  FROM skeys s JOIN kept2 USING (doc_id)
-         |),
-         |shf2 AS (
-         |  SELECT sh2.doc_id, sh2.shash FROM sh2
-         |  JOIN (SELECT shash FROM sh2 GROUP BY shash HAVING COUNT(*) <= 50)
-         |    USING (shash)
-         |),
-         |sizes2 AS (SELECT doc_id, COUNT(*) AS sz FROM shf2 GROUP BY doc_id),
-         |lp AS (
-         |  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS c
-         |  FROM shf2 a JOIN shf2 b USING (shash)
-         |  WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |jp AS (
-         |  SELECT d1, d2
-         |  FROM lp JOIN sizes2 s1 ON d1 = s1.doc_id
-         |          JOIN sizes2 s2 ON d2 = s2.doc_id
-         |  WHERE c / (s1.sz + s2.sz - c) >= 0.4
-         |),
-         |sp AS (
-         |  SELECT doc_id,
-         |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8 THEN 'train'
-         |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 8 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM kept2
-         |),
-         |contaminated AS (
-         |  SELECT d1 AS doc_id
-         |  FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
-         |  WHERE s1.split = 'train' AND s2.split <> 'train'
-         |  UNION
-         |  SELECT d2 AS doc_id
-         |  FROM jp JOIN sp s1 ON d1 = s1.doc_id JOIN sp s2 ON d2 = s2.doc_id
-         |  WHERE s2.split = 'train' AND s1.split <> 'train'
-         |),
-         |kept3 AS (
-         |  SELECT k.doc_id, k.text, k.source FROM kept2 k
-         |  WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |),
-         |cr AS (
-         |  SELECT k.doc_id, k.text,
-         |         ROW_NUMBER() OVER (
-         |           PARTITION BY k.source ORDER BY q.q DESC, k.doc_id) AS rnk
-         |  FROM kept3 k JOIN q ON k.doc_id = q.doc_id
-         |),
-         |capped AS (SELECT doc_id, text FROM cr WHERE rnk <= 7),
+      s"""WITH $PIPELINE_CTES,
          |pt AS (
          |  SELECT doc_id,
          |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
          |    CAST(len(string_split_regex(trim(text), '${"\\"}s+')) AS BIGINT) AS n_tokens
          |  FROM capped
+         |),
+         |pc AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                        ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM pt
+         |)
+         |SELECT doc_id, shard,
+         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin, n_tokens
+         |FROM pc""".stripMargin,
+
+    // the same survivor chain packed under the FITTED vocab: per-doc
+    // counts from the fit-chain dictionary join (the tx_seq_pack_bpe
+    // CTEs — fit over the FULL corpus, applied to capped survivors
+    // only), wordless docs kept at 0 via the LEFT JOIN, then the same
+    // shard/cumsum/bin arithmetic
+    "tx_pipeline_e2e_bpe" ->
+      s"""WITH $PIPELINE_CTES,
+         |${bpeCtes(BPE_MERGES)},
+         |dw AS (
+         |  SELECT doc_id, UNNEST(string_split(
+         |    regexp_replace(lower(trim(text)), '${"\\"}s+', ' ', 'g'), ' ')) AS w
+         |  FROM capped
+         |),
+         |wc AS (
+         |  SELECT dw.doc_id, CAST(SUM(len(d.syms)) AS BIGINT) AS bpe_toks
+         |  FROM dw JOIN d${BPE_MERGES + 1} d USING (w)
+         |  GROUP BY dw.doc_id
+         |),
+         |pt AS (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+         |    CAST(COALESCE(wc.bpe_toks, 0) AS BIGINT) AS n_tokens
+         |  FROM capped LEFT JOIN wc USING (doc_id)
          |),
          |pc AS (
          |  SELECT doc_id, shard, n_tokens,

@@ -20,6 +20,21 @@ class PlanShapeSpec extends AnyFunSuite {
   private def executed(df: org.apache.spark.sql.DataFrame): SparkPlan =
     df.queryExecution.executedPlan
 
+  /** Plan string INCLUDING cached subtrees: a cached frame renders as an
+    * opaque InMemoryTableScan node, so `executedPlan.toString` alone
+    * silently excludes the cached child plan from shape assertions —
+    * exactly the join-heavy stages an OpCaches-wrapped pipeline hides.
+    * Walks InMemoryTableScanExec nodes (recursively: a cached plan can
+    * itself scan another cache) and appends each relation's cachedPlan.
+    */
+  private def deepPlanString(plan: SparkPlan): String = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val cached = plan.collect {
+      case s: InMemoryTableScanExec => s.relation.cachedPlan
+    }
+    plan.toString + cached.map(deepPlanString).mkString("\n")
+  }
+
   test("parquet scan prunes to the projected columns (ReadSchema)") {
     val df = Ops.pointsFromLineitem(Graft.table(spark, sf, "lineitem"))
     val scan = executed(df).toString
@@ -818,8 +833,12 @@ class PlanShapeSpec extends AnyFunSuite {
   test("tx_pipeline_e2e composes without degenerate joins or a global " +
       "sort: narrowing is key-only semi/anti joins, packing stays a " +
       "per-shard window") {
-    val s = executed(
-      graft.SparkEntry.queries("tx_pipeline_e2e")(spark, sf)).toString
+    // deepPlanString, not toString: the pipeline caches its survivor
+    // frames (OpCaches), and the quality-gate/dedup/near-dedup lineage
+    // lives INSIDE those InMemoryRelations — a flat toString would run
+    // the assertions against a plan that omits the join-heavy stages
+    val s = deepPlanString(executed(
+      graft.SparkEntry.queries("tx_pipeline_e2e")(spark, sf)))
     graft.util.OpCaches.releaseAll(spark)
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoop"),
@@ -833,5 +852,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"single-partition exchange in the pipeline plan:\n${s.take(1500)}")
     assert(s.contains("LeftSemi") && s.contains("LeftAnti"),
       s"expected key-only semi/anti narrowing joins:\n${s.take(1500)}")
+  }
+
+  test("tx_pipeline_e2e_bpe packs under the fitted dict via a BROADCAST " +
+      "join (no per-row merge re-derivation), same no-degenerate/no-" +
+      "single-partition invariants as the regex sibling") {
+    val top = executed(
+      graft.SparkEntry.queries("tx_pipeline_e2e_bpe")(spark, sf))
+    val flat = top.toString // the packing stage (caches hide upstream)
+    val s = deepPlanString(top) // + the cached narrowing lineage
+    graft.util.OpCaches.releaseAll(spark)
+    // the fitted dict is O(distinct words) — the word-key (`w`) join
+    // must broadcast it, never shuffle the capped corpus by word
+    assert(flat.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("[w#")),
+      s"fitted-dict (w-key) join not broadcast:\n${flat.take(2000)}")
+    // words join the PRE-MERGED dict: a merge fold (aggregate-HOF) in
+    // the pack plan would mean a per-row re-derivation over the corpus.
+    // (a bare `lambda` check would false-positive on the quality/cap
+    // stage's list-HOF scoring expressions, which legitimately remain
+    // in the uncached cap leg of this plan)
+    assert(!flat.contains("aggregate("),
+      s"per-row merge fold in the pack plan:\n${flat.take(1500)}")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoop"),
+      s"degenerate join in the pipeline plan:\n${s.take(1500)}")
+    assert(!s.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the pipeline plan:\n${s.take(1500)}")
   }
 }

@@ -36,9 +36,18 @@ class SparkEntrySpec extends AnyFunSuite {
     // that a second invocation actually re-runs and lands identically
     val sf = "/root/testdata/sf0.001"
     for (name <- Seq("st_dedup_serve", "st_cm_sketch", "st_ivf_ingest")) {
-      val first = SparkEntry.queries(name)(spark, sf).collect().toSet
-      val second = SparkEntry.queries(name)(spark, sf).collect().toSet
+      // MULTIPLICITY-sensitive compare (sorted row strings, not a Set):
+      // the exact divergence a failed wipe produces is duplicate rows —
+      // stale output segments plus identical re-written ones — which a
+      // Set compare collapses to equality (e.g. st_dedup_serve's
+      // single-column doc_id output)
+      val first = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val second = SparkEntry.queries(name)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
       assert(first.nonEmpty, s"$name: empty result")
+      assert(first.length === second.length,
+        s"$name: re-run changed row count ${first.length} -> ${second.length}")
       assert(first === second, s"$name: re-run diverged")
     }
   }

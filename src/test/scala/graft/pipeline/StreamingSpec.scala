@@ -116,6 +116,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids(store) === Set(1L, 11L, 21L))
   }
 
+  test("runStreamingDedupAgainstStore: a LATE batch (ids OLDER than " +
+      "already-served rows) is never dropped for lateness — batch order " +
+      "beats id order, and the store never expires") {
+    import graft.dedup.Dedup
+    val base = "target/stream_store_dedup_late"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val store = s"$base/store"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    val tC = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tA = "one two three four five six seven eight nine ten"
+    val tB = "red orange yellow green blue indigo violet purple pink black"
+    val tD = "mercury venus earth mars jupiter saturn uranus neptune pluto ceres"
+    Dedup.writeSignatureStore(Seq(Doc(100L, tC, "c")).toDF(),
+      n = 3, numHashes = 12, bands = 4, path = store)
+
+    def ids(path: String): Set[Long] =
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .select($"doc_id").as[Long].collect().toSet
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    // batch 1 (on-time, NEWEST ids): 50/52 are within-batch dups
+    // (keep-min-id keeps 50), 51 is novel
+    mem.addData(Doc(50L, tA, "s"), Doc(51L, tB, "s"), Doc(52L, tA, "s"))
+    StreamOps.runStreamingDedupAgainstStore(mem.toDF(), store, out, ckpt,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    assert(ids(out) === Set(50L, 51L))
+    // batch 2 arrives LATE: every id PRECEDES batch 1's (out-of-order
+    // by id/event time — older than any watermark horizon would keep).
+    //  - 5 dups batch 1's survivor 51 -> DROPPED despite the smaller
+    //    id: batch order beats id order (keep-min-id applies only
+    //    WITHIN a batch), because the store carries batch 1's
+    //    signatures forever — no watermark reclaim
+    //  - 6 dups the corpus doc -> dropped no matter how old
+    //  - 7 is novel -> KEPT: the design drops nothing for lateness
+    mem.addData(Doc(5L, tB, "s"), Doc(6L, tC, "s"), Doc(7L, tD, "s"))
+    StreamOps.runStreamingDedupAgainstStore(mem.toDF(), store, out, ckpt,
+      n = 3, numHashes = 12, bands = 4, threshold = 0.5)
+    assert(ids(out) === Set(50L, 51L, 7L))
+    // only survivors extended the store — the mechanism behind the
+    // oracle's keep1-membership rule (a late dup of a DROPPED doc is
+    // judged against survivors, never against the dropped doc)
+    assert(ids(store) === Set(100L, 50L, 51L, 7L))
+  }
+
   test("dedupBatchAgainstStore: replaying a micro-batch (at-least-once " +
       "foreachBatch) leaves both sinks byte-identical, and a missing " +
       "store cold-starts as empty") {
