@@ -364,6 +364,10 @@ object Bench {
       } else if (contaminated && gateRetries > 0 && retryAffordable) {
         gateRetries -= 1
         rejectedPasses += ((t, l))
+        // emit here too: a rejection STREAK otherwise leaves the
+        // on-disk snapshot stale for its whole length (observed 35 min
+        // in the r17 certification — six rejections, zero emits)
+        emit("timed")
       } else {
         passBuf += p
         passLoads += l
@@ -509,11 +513,11 @@ object Bench {
       // tx_classifier_fit_score (2.04x r15b, 1.49-2.19x across the three
       // r16 artifacts — the one-token-volume-exchange class, stable) and
       // tx_budget_mix_epochs (0.78x r15b, 0.61-0.79x r16 — flat sized
-      // fan-out) move to the retired list. tx_bpe_fit STAYS: its path
-      // was touched in round 16 (the fit now also writes the model
-      // store) and its class moved 1.01 -> 0.89-1.28x with the new
-      // write leg — re-certify the new shape before retiring.
-      "tx_bpe_fit")
+      // fan-out) move to the retired list. tx_bpe_fit retired in round
+      // 17: its store-write shape (touched r16) re-certified at 1.08x
+      // in the full-set probe (BASELINE.md r17) — second clean
+      // certification of the ~1x dictionary-loop class.
+      )
     // the rows RETIRED by the round-15 prune (ratio class certified
     // stable across two independent certifications). Their coverage is
     // not gone: SPARK_GRAFT_SCALE_QUERIES=full re-probes active+retired
@@ -528,7 +532,10 @@ object Bench {
       "tx_tfidf_store", "sm_ann_ivf_store", "tx_dsir_sample",
       "tx_token_budget", "dd_substring_cut",
       // round-16 retirements (see the active-set note below)
-      "tx_classifier_fit_score", "tx_budget_mix_epochs")
+      "tx_classifier_fit_score", "tx_budget_mix_epochs",
+      // round-17 retirement: store-write shape re-certified 1.08x in
+      // the full-set probe (the r16 verdict's #3)
+      "tx_bpe_fit")
     // SPARK_GRAFT_SCALE_QUERIES: unset → the active set; "full" → active
     // + retired; otherwise a comma-separated explicit key list (each key
     // must exist in SparkEntry.queries)
