@@ -397,8 +397,23 @@ object SparkEntry {
     * reads kept2 twice, the anti join and the cap read it again) are
     * cached via OpCaches — without it every consumer re-runs the whole
     * upstream dedup lineage.
+    *
+    * The returned frame is LOCAL-CHECKPOINTED (lineage truncated), not
+    * just persisted: each downstream ACTION otherwise re-plans the full
+    * dedup/leakage tree — canonicalizing the deep HOF lineage against
+    * the cache registry costs seconds per action at any SF (probed
+    * 13.6 s → 0.6 s for the BPE pack at sf0.1), and the BPE key
+    * consumes the frame on two join legs. Checkpoint blocks are
+    * invisible to `clearCache`, so the release is OpCaches-tracked (the
+    * `Dedup.dupGroups` discipline); at 100 TB the same barrier would be
+    * a reliable checkpoint (`df.checkpoint`) so a lost executor can't
+    * drop survivor blocks mid-pipeline. `truncate = false` returns the
+    * raw chain — the plan-shape specs inspect the narrowing joins that
+    * a checkpoint scan would hide.
     */
-  private def pipelineSurvivors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pipelineSurvivors(
+      s: SparkSession, dir: String,
+      truncate: Boolean = true): DataFrame = {
     val docs = Graft.table(s, dir, "documents")
     val kept0 = docs.join(
       TextOps.analyze(docs).filter(col("quality") >= 0.5)
@@ -420,9 +435,17 @@ object SparkEntry {
       .distinct()
     val kept3 = graft.util.OpCaches.cache(
       kept2.join(contaminated, Seq("doc_id"), "left_anti"))
-    kept3.join(
+    val capped = kept3.join(
       TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+    if (!truncate) capped
+    else {
+      val cp = capped.localCheckpoint(true)
+      org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(cp).foreach(r =>
+        graft.util.OpCaches.track(s,
+          () => { r.unpersist(blocking = false); () }))
+      cp
+    }
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -830,15 +830,17 @@ class PlanShapeSpec extends AnyFunSuite {
         "one-per-core default leaked into streaming state")
   }
 
-  test("tx_pipeline_e2e composes without degenerate joins or a global " +
-      "sort: narrowing is key-only semi/anti joins, packing stays a " +
-      "per-shard window") {
-    // deepPlanString, not toString: the pipeline caches its survivor
-    // frames (OpCaches), and the quality-gate/dedup/near-dedup lineage
-    // lives INSIDE those InMemoryRelations — a flat toString would run
-    // the assertions against a plan that omits the join-heavy stages
+  test("the e2e survivor chain composes without degenerate joins or a " +
+      "global sort: narrowing is key-only semi/anti joins") {
+    // truncate = false: the keys checkpoint the survivor frame (lineage
+    // truncation — downstream plans scan checkpoint blocks), so the
+    // narrowing joins are only visible on the RAW chain. deepPlanString,
+    // not toString: the chain caches kept2/kept3 (OpCaches), and the
+    // quality-gate/dedup/near-dedup lineage lives INSIDE those
+    // InMemoryRelations — a flat toString would omit the join-heavy
+    // stages from the assertions.
     val s = deepPlanString(executed(
-      graft.SparkEntry.queries("tx_pipeline_e2e")(spark, sf)))
+      graft.SparkEntry.pipelineSurvivors(spark, sf, truncate = false)))
     graft.util.OpCaches.releaseAll(spark)
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoop"),
@@ -854,30 +856,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected key-only semi/anti narrowing joins:\n${s.take(1500)}")
   }
 
+  test("tx_pipeline_e2e packs off the CHECKPOINTED survivor frame: the " +
+      "pack plan scans truncated lineage, one shard exchange, no global " +
+      "sort") {
+    val s = deepPlanString(executed(
+      graft.SparkEntry.queries("tx_pipeline_e2e")(spark, sf)))
+    graft.util.OpCaches.releaseAll(spark)
+    // lineage truncated: re-planning the dedup/leakage tree per action
+    // costs seconds (BASELINE.md r17); the pack must consume the
+    // checkpoint scan, not the raw chain
+    assert(s.contains("ExistingRDD") || s.contains("Scan ExistingRDD"),
+      s"pack does not scan the checkpointed survivors:\n${s.take(1500)}")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoop") && !s.contains("rangepartitioning"),
+      s"degenerate join or global sort in the pack plan:\n${s.take(1500)}")
+  }
+
   test("tx_pipeline_e2e_bpe packs under the fitted dict via a BROADCAST " +
-      "join (no per-row merge re-derivation), same no-degenerate/no-" +
-      "single-partition invariants as the regex sibling") {
-    val top = executed(
-      graft.SparkEntry.queries("tx_pipeline_e2e_bpe")(spark, sf))
-    val flat = top.toString // the packing stage (caches hide upstream)
-    val s = deepPlanString(top) // + the cached narrowing lineage
+      "join (no per-row merge re-derivation) off the checkpointed " +
+      "survivors") {
+    val s = deepPlanString(executed(
+      graft.SparkEntry.queries("tx_pipeline_e2e_bpe")(spark, sf)))
     graft.util.OpCaches.releaseAll(spark)
     // the fitted dict is O(distinct words) — the word-key (`w`) join
     // must broadcast it, never shuffle the capped corpus by word
-    assert(flat.linesIterator.exists(l =>
+    assert(s.linesIterator.exists(l =>
       l.contains("BroadcastHashJoin") && l.contains("[w#")),
-      s"fitted-dict (w-key) join not broadcast:\n${flat.take(2000)}")
+      s"fitted-dict (w-key) join not broadcast:\n${s.take(2000)}")
     // words join the PRE-MERGED dict: a merge fold (aggregate-HOF) in
-    // the pack plan would mean a per-row re-derivation over the corpus.
-    // (a bare `lambda` check would false-positive on the quality/cap
-    // stage's list-HOF scoring expressions, which legitimately remain
-    // in the uncached cap leg of this plan)
-    assert(!flat.contains("aggregate("),
-      s"per-row merge fold in the pack plan:\n${flat.take(1500)}")
+    // the pack plan would mean a per-row re-derivation over the corpus
+    assert(!s.contains("aggregate("),
+      s"per-row merge fold in the pack plan:\n${s.take(1500)}")
+    assert(s.contains("ExistingRDD"),
+      s"pack does not scan the checkpointed survivors:\n${s.take(1500)}")
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoop"),
-      s"degenerate join in the pipeline plan:\n${s.take(1500)}")
+      s"degenerate join in the pack plan:\n${s.take(1500)}")
     assert(!s.contains("Exchange SinglePartition"),
-      s"single-partition exchange in the pipeline plan:\n${s.take(1500)}")
+      s"single-partition exchange in the pack plan:\n${s.take(1500)}")
   }
 }
