@@ -51,16 +51,38 @@ import org.apache.spark.sql.SparkSession
   * to `SPARK_GRAFT_BENCH_BUDGET_SEC` (default 1500; `0` = unlimited, the
   * builder's certification setting). Under a budget the warm-up is ONE
   * pass (the adaptive decay loop is a certification luxury), the timed
-  * loop targets `runs` but settles for what the budget funds (≥1), gate
+  * loop targets `runs` but settles for what the budget funds, gate
   * retries are skipped when they'd eat a needed pass, and the scale
-  * block shrinks its run count to fit — or reports
-  * `"scale":{"skipped":"budget"}` when even one ratio sweep can't.
+  * block shrinks its run count to fit.
   * Budgeted numbers are the same per-query medians as certification
   * numbers, just over fewer passes after less warm-up — BASELINE.md §r17
   * records the observed mapping. Emission is INCREMENTAL: BENCH.json is
   * rewritten as a well-formed line after every completed pass, and a JVM
   * shutdown hook prints the latest line if the normal exit path never
   * did — so even a timeout kill yields parseable numbers.
+  *
+  * ROUND-18 HEADROOM (BENCH_r17 landed 148 s OVER its own budget: the
+  * pass estimate was the LAST pass total, and a box that slowed ~70%
+  * mid-run — pass totals 531/310/491 s — made that estimate stale the
+  * moment it was taken): budget arithmetic now projects with the WORST
+  * pass observed so far (box noise is one-sided, so the max is the
+  * honest forward estimate on a degrading box), re-projects after EVERY
+  * pass (accepted or rejected), and SHEDS timed passes — 3 → 2 → 1 → 0,
+  * the 0-pass floor falling back to the warm-up pass's numbers
+  * (`"fallback":"warmup"`) — until the projection (remaining passes ×
+  * 1.1 × worst pass + the minimum scale evidence) fits what's left.
+  * The shed sequence keeps `elapsed_sec ≤ budget_sec` even on a box
+  * that halves mid-run, because each decision is made against the
+  * slowdown already observed rather than the speed hoped for.
+  *
+  * MINI SCALE BLOCK (round-18): when the budget can't fund a full
+  * 10×-replica sweep of the active scale set, the block no longer
+  * degrades straight to `"skipped"` — it first tries a 4-key mini
+  * sweep (the quadratic control pair + the heaviest dedup head + one
+  * persisted store) so every driver artifact carries at least the
+  * headline linear-vs-quadratic ratios (`"scale":{"mode":"mini",...}`);
+  * only when even that can't fit does it report
+  * `"scale":{"skipped":"budget"}`.
   *
   * Per-query FAILURES are first-class (round-17): a query that throws in
   * every sampled pass lands in `"failed":[...]` with its median reported
@@ -262,6 +284,22 @@ object Bench {
         .map { case (t, l) => s"[$t,$l]" }.mkString("[", ",", "]")
       val partialJson =
         if (partialTag.isEmpty) "" else s""","partial":"$partialTag""""
+      // a completed run whose budget shed every timed pass reports its
+      // warm-up-pass numbers honestly tagged, instead of masquerading
+      // as a median over timed passes
+      val fallbackJson =
+        if (passes.isEmpty && warmupLastPass.nonEmpty)
+          ""","fallback":"warmup""""
+        else ""
+      // SPARK_GRAFT_BENCH_PRIMARY=1 marks this artifact as the round's
+      // PRIMARY measurement machine-readably (set on the one
+      // certification run BASELINE.md names as primary; corroboration
+      // and probe runs leave it unset) — so a comparison script can
+      // select the right artifact without parsing BASELINE.md prose
+      val primaryJson =
+        if (sys.env.get("SPARK_GRAFT_BENCH_PRIMARY").contains("1"))
+          ""","primary":true"""
+        else ""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_mad":$mads,"failed":$failedJson,"sf":"$sfDir",""" +
         s""""runs":$runs,"runs_effective":${passes.length},""" +
@@ -273,7 +311,7 @@ object Bench {
         s""""pass_cpu_sec":${passCpus.mkString("[", ",", "]")},""" +
         s""""load_gate":$loadGate,"rejected_passes":$rejectedJson,""" +
         s""""loadavg_end":${loadAvgJson()},"materialize":"noop"""" +
-        partialJson + scaleJson + "}"
+        partialJson + fallbackJson + primaryJson + scaleJson + "}"
     }
     def emit(partialTag: String): Unit = {
       latestJson = buildJson(partialTag)
@@ -340,25 +378,71 @@ object Bench {
       }
     }
 
-    var bestTotal =
-      if (warmupTotals.nonEmpty) warmupTotals.last else Double.MaxValue
-    // running estimate of one pass's wall cost, for budget arithmetic
-    var passEst =
-      if (warmupTotals.nonEmpty) warmupTotals.last else 0.0
-    var budgetStop = false
-    while (passBuf.length < runsTarget && !budgetStop && !shuttingDown) {
+    // mini scale set, doing double duty: (a) the budget RESERVE the
+    // timed loop protects so every driver artifact carries at least
+    // this much scale evidence, and (b) the fallback sweep the scale
+    // block runs when the full active set doesn't fit. Composition per
+    // the r17 verdict's #5: the quadratic control pair (the
+    // linear-vs-quadratic headline ratio), the heaviest near-dedup
+    // head, and one persisted-store composition.
+    val miniScaleSet = Seq(
+      "sm_cosine_lsh_neardup", "sm_cosine_lsh_sized",
+      "dd_near_dedup", "dd_incremental_store")
+    // one 10x sweep costs ~3.5x the keys' base times (same constant as
+    // the full block's estimate below)
+    def miniSweepEst(base: Map[String, Double]): Double =
+      3.5 * miniScaleSet.flatMap(base.get).filter(_ > 0).sum
+    def scaleGenEstNow(): Double =
+      if (Files.exists(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10"))))
+        10.0 else 120.0
+
+    // bestTotal seeds/updates ONLY from zero-failure passes: a pass
+    // where one heavy query transiently throws reads artificially low,
+    // and letting it become bestTotal would make every later healthy
+    // pass look contaminated — burning the retry budget (and, under a
+    // wall budget, the timed passes + scale block) on phantom outliers
+    val warmupClean =
+      warmupLastPass.nonEmpty && warmupLastPass.values.forall(_ > 0)
+    var bestTotal = if (warmupClean) warmupTotals.last else Double.MaxValue
+    // the WORST pass observed so far is the forward wall estimate for
+    // all budget arithmetic: box noise is one-sided, so on a degrading
+    // box the max is honest where the last-pass estimate went stale
+    // (r17 overshot its budget by 148 s on pass totals 531/310/491 s —
+    // every decision made at a 310 s estimate was wrong by 70%)
+    var maxPassSec = if (warmupTotals.nonEmpty) warmupTotals.max else 0.0
+    // the effective timed-pass target, re-projected and shed
+    // pass-by-pass (3 → 2 → 1 → 0); at the 0 floor the run reports the
+    // warm-up pass's numbers ("fallback":"warmup") instead of
+    // overshooting the budget chasing a timed pass it can't afford
+    var runsEffTarget = runsTarget
+    def reProject(): Unit = if (budgeted) {
+      val reserve = scaleGenEstNow() + miniSweepEst(warmupLastPass)
+      while (runsEffTarget > passBuf.length &&
+             (runsEffTarget - passBuf.length) * 1.1 *
+               math.max(maxPassSec, 1.0) + reserve > remainingSec)
+        runsEffTarget -= 1
+    }
+    reProject()
+    while (passBuf.length < runsEffTarget && !shuttingDown) {
       val c0 = cpuSec()
       val p = names.map(n => n -> runOnce(n)).toMap
       val c = cpuSec() - c0
       val l = load1()
       val t = p.values.filter(_ > 0).sum
-      bestTotal = math.min(bestTotal, t)
-      passEst = math.max(t, 1.0)
-      val contaminated = l > loadGate || t > passOutlier * bestTotal
+      val clean = p.values.forall(_ > 0)
+      if (clean) bestTotal = math.min(bestTotal, t)
+      maxPassSec = math.max(maxPassSec, t)
+      // the outlier arm compares pass TOTALS, so it only fires between
+      // clean passes (a failed-query pass's total is incomparable —
+      // not evidence of box contamination in either direction)
+      val contaminated = l > loadGate ||
+        (clean && t > passOutlier * bestTotal)
       // a gate retry costs a whole pass: under budget it's affordable
-      // only when the remaining budget still funds the retry AND one
-      // accepted pass after it
-      val retryAffordable = !budgeted || remainingSec > 2.2 * passEst
+      // only when the worst observed pass still fits twice over (the
+      // retry AND one accepted pass after it)
+      val retryAffordable =
+        !budgeted || remainingSec > 2.2 * math.max(maxPassSec, 1.0)
       if (shuttingDown) {
         // a pass cut by teardown is neither a sample nor a rejection
       } else if (contaminated && gateRetries > 0 && retryAffordable) {
@@ -377,10 +461,11 @@ object Bench {
         // emit("") below is the only untagged one)
         emit("timed")
       }
-      // stop (with >=1 accepted pass) when the budget can't fund the
-      // next pass; the scale block below gets whatever is left
-      if (budgeted && passBuf.nonEmpty && remainingSec < 1.1 * passEst)
-        budgetStop = true
+      // re-project after EVERY pass, accepted or rejected: a mid-run
+      // box slowdown shows up in maxPassSec immediately, and the shed
+      // decision is made against the slowdown observed, not the speed
+      // hoped for
+      reProject()
     }
     val passes: Seq[Map[String, Double]] = passBuf.toSeq
 
@@ -561,8 +646,14 @@ object Bench {
     // corpus isn't cached on disk yet. Under budget the sweep count
     // shrinks to what fits (min 2 = 1 warm + 1 timed); below that the
     // block is skipped with the reason visible in the artifact.
-    val scaleBaseSum =
-      scaleSet.flatMap(med.get).filter(_ > 0).sum
+    // base medians for the ratio denominators: timed-pass medians when
+    // the budget funded timed passes, the warm-up pass's times when it
+    // shed them all — so a warm-up-fallback artifact still carries
+    // meaningful ratios instead of -1 denominators
+    val baseMed: String => Double = n =>
+      med.get(n).filter(_ > 0)
+        .orElse(warmupLastPass.get(n).filter(_ > 0)).getOrElse(-1.0)
+    val scaleBaseSum = scaleSet.map(baseMed).filter(_ > 0).sum
     val scaleSweepEst = 3.5 * scaleBaseSum
     val scaleGenEst =
       if (Files.exists(Paths.get(scaleDir))) 10.0 else 120.0
@@ -571,43 +662,62 @@ object Bench {
       else math.min(
         scaleRunsWanted + 1,
         ((remainingSec - scaleGenEst) / math.max(scaleSweepEst, 1.0)).toInt)
+    // min of N (default 3): the box's I/O-wait spikes are one-sided
+    // (they only ever ADD time), and a spike landing on both of 2
+    // runs turned a linear 7x ratio into an apparent-superlinear 12x
+    // in round 8. No loadavg gate HERE: back-to-back 10x-corpus runs
+    // saturate local[32] by design, so 1-min loadavg cannot separate
+    // our own load from contamination (the first gated r10 run
+    // burned its whole scale retry budget on self-load while
+    // min-of-3 still produced clean ratios) — min over extra runs is
+    // the right guard; widen SPARK_GRAFT_SCALE_RUNS if a ratio
+    // looks off.
+    def runScaleBlock(set: Seq[String], warm: Boolean, runsN: Int,
+        mode: String): String = try {
+      graft.tools.GenScaleCorpus.ensure(spark, sfDir, scaleDir, scaleReplicas)
+      def runScale(name: String): Double = {
+        spark.catalog.clearCache()
+        graft.util.OpCaches.releaseAll(spark)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, scaleDir)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (warm) set.foreach(runScale) // warm-up (JIT + footer cache)
+      val times = set.map(n => n -> Seq.fill(runsN)(runScale(n)).min)
+      val sq = times.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
+      val ratios = times.map { case (n, t) =>
+        s"\"$n\":${if (baseMed(n) > 0) t / baseMed(n) else -1.0}"
+      }.mkString("{", ",", "}")
+      val modeJson =
+        if (mode.isEmpty) "" else s""","mode":"$mode","warmed":$warm"""
+      s""","scale":{"base":"$sfDir","replicas":$scaleReplicas,""" +
+        s""""queries":$sq,"ratio_vs_base":$ratios,"runs":$runsN""" +
+        modeJson + "}"
+    } catch {
+      case e: Throwable => s""","scale":{"error":"${e.getClass.getName}"}"""
+    }
     scaleJson =
       if (only.nonEmpty || shuttingDown) ""
-      else if (affordableSweeps < 2)
-        s""","scale":{"skipped":"budget","remaining_sec":$remainingSec,""" +
-          s""""sweep_est_sec":$scaleSweepEst}"""
-      else try {
-        val scaleRuns = affordableSweeps - 1
-        graft.tools.GenScaleCorpus.ensure(spark, sfDir, scaleDir, scaleReplicas)
-        def runScale(name: String): Double = {
-          spark.catalog.clearCache()
-          graft.util.OpCaches.releaseAll(spark)
-          val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, scaleDir)
-            .write.mode("overwrite").format("noop").save()
-          (System.nanoTime() - t0) / 1e9
-        }
-        scaleSet.foreach(runScale) // warm-up (JIT + footer cache)
-        // min of N (default 3): the box's I/O-wait spikes are one-sided
-        // (they only ever ADD time), and a spike landing on both of 2
-        // runs turned a linear 7x ratio into an apparent-superlinear 12x
-        // in round 8. No loadavg gate HERE: back-to-back 10x-corpus runs
-        // saturate local[32] by design, so 1-min loadavg cannot separate
-        // our own load from contamination (the first gated r10 run
-        // burned its whole scale retry budget on self-load while
-        // min-of-3 still produced clean ratios) — min over extra runs is
-        // the right guard; widen SPARK_GRAFT_SCALE_RUNS if a ratio
-        // looks off.
-        val times =
-          scaleSet.map(n => n -> Seq.fill(scaleRuns)(runScale(n)).min)
-        val sq = times.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
-        val ratios = times.map { case (n, t) =>
-          s"\"$n\":${if (med(n) > 0) t / med(n) else -1.0}"
-        }.mkString("{", ",", "}")
-        s""","scale":{"base":"$sfDir","replicas":$scaleReplicas,""" +
-          s""""queries":$sq,"ratio_vs_base":$ratios,"runs":$scaleRuns}"""
-      } catch {
-        case e: Throwable => s""","scale":{"error":"${e.getClass.getName}"}"""
+      else if (affordableSweeps >= 2)
+        runScaleBlock(scaleSet, warm = true,
+          runsN = affordableSweeps - 1, mode = "")
+      else {
+        // full set doesn't fit — the r17 artifact degraded straight to
+        // "skipped" and carried ZERO scale evidence; try the 4-key mini
+        // sweep first (the timed loop reserved room for exactly this).
+        // Warm sweep when two fit; a single cold sweep is still an
+        // upper-bound ratio, honestly tagged warmed:false.
+        val miniEst = miniSweepEst(
+          miniScaleSet.map(n => n -> baseMed(n)).toMap)
+        val miniAffordable =
+          ((remainingSec - scaleGenEst) / math.max(miniEst, 1.0)).toInt
+        if (miniAffordable >= 1)
+          runScaleBlock(miniScaleSet, warm = miniAffordable >= 2,
+            runsN = 1, mode = "mini")
+        else
+          s""","scale":{"skipped":"budget","remaining_sec":$remainingSec,""" +
+            s""""sweep_est_sec":$scaleSweepEst,"mini_est_sec":$miniEst}"""
       }
 
     if (!shuttingDown) {

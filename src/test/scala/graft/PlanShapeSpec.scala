@@ -872,17 +872,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"degenerate join or global sort in the pack plan:\n${s.take(1500)}")
   }
 
-  test("tx_pipeline_e2e_bpe packs under the fitted dict via a BROADCAST " +
-      "join (no per-row merge re-derivation) off the checkpointed " +
+  test("tx_pipeline_e2e_bpe packs under the fitted dict via a hash-keyed " +
+      "w-join (no per-row merge re-derivation) off the checkpointed " +
       "survivors") {
     val s = deepPlanString(executed(
       graft.SparkEntry.queries("tx_pipeline_e2e_bpe")(spark, sf)))
     graft.util.OpCaches.releaseAll(spark)
-    // the fitted dict is O(distinct words) — the word-key (`w`) join
-    // must broadcast it, never shuffle the capped corpus by word
+    // the fitted dict is O(distinct words); on this fixture AQE
+    // broadcasts it, but bpeApplyCountsWith DELIBERATELY leaves the
+    // strategy to AQE (an unconditional broadcast() hint would OOM the
+    // driver on a 100 TB corpus's vocabulary, and the shuffled
+    // fallback is documented bit-identical) — so the lock accepts any
+    // hash-keyed w-join, broadcast or the documented shuffle fallback.
+    // What the plan must NEVER contain is a per-row merge
+    // re-derivation — the aggregate-HOF assertion beneath pins that.
     assert(s.linesIterator.exists(l =>
-      l.contains("BroadcastHashJoin") && l.contains("[w#")),
-      s"fitted-dict (w-key) join not broadcast:\n${s.take(2000)}")
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("SortMergeJoin")) && l.contains("[w#")),
+      s"no hash-keyed fitted-dict (w-key) join in the pack plan:\n${s.take(2000)}")
     // words join the PRE-MERGED dict: a merge fold (aggregate-HOF) in
     // the pack plan would mean a per-row re-derivation over the corpus
     assert(!s.contains("aggregate("),

@@ -35,7 +35,12 @@ class SparkEntrySpec extends AnyFunSuite {
     // the keys wipe store/checkpoint/output per invocation — this pins
     // that a second invocation actually re-runs and lands identically
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("st_dedup_serve", "st_cm_sketch", "st_ivf_ingest")) {
+    // st_dedup_serve_late is exactly this class twice over: two
+    // sequential micro-batch runs over one shared checkpoint + store —
+    // a wipe regression would leave stale arrival files/offsets and
+    // duplicate batch segments across BOTH runs
+    for (name <- Seq("st_dedup_serve", "st_cm_sketch", "st_ivf_ingest",
+        "st_dedup_serve_late")) {
       // MULTIPLICITY-sensitive compare (sorted row strings, not a Set):
       // the exact divergence a failed wipe produces is duplicate rows —
       // stale output segments plus identical re-written ones — which a

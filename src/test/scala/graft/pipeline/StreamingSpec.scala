@@ -673,6 +673,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === whole)
   }
 
+  test("runStreamingCmSketch and runStreamingIvfAppend are batch-ORDER " +
+      "invariant: the same two micro-batches in either order fold to the " +
+      "same sketch and answer searches identically") {
+    // the out-of-order companion to st_dedup_serve_late (which pins the
+    // ORDER-SENSITIVE store — earlier batch wins): these two stores are
+    // order-FREE by construction — CM because the fold is a cell-wise
+    // SUM (commutative), IVF because every vector is assigned under the
+    // FROZEN quantizer and the probe scans all segments — and this
+    // proves it against a real reversed two-batch feed, so no hidden
+    // batch-id- or arrival-order-dependence can creep into the runners
+    import graft.sim.Similarity
+    import graft.text.TextOps
+    val base = "target/stream_order_invariance"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // ---- CM sketch: A-then-B vs B-then-A fold to identical cells ----
+    val b1 = Seq(Doc(1L, "x x y", "s"), Doc(2L, "z q r s t", "s"))
+    val b2 = Seq(Doc(3L, "x y y w", "s"), Doc(4L, "q q v", "s"))
+    def feedCm(name: String, first: Seq[Doc], second: Seq[Doc]): Set[(Int, Long, Long)] = {
+      val mem = MemoryStream[Doc]
+      mem.addData(first: _*)
+      StreamOps.runStreamingCmSketch(mem.toDF(), s"$base/$name/store",
+        s"$base/$name/ckpt", depth = 3, width = 64)
+      mem.addData(second: _*)
+      StreamOps.runStreamingCmSketch(mem.toDF(), s"$base/$name/store",
+        s"$base/$name/ckpt", depth = 3, width = 64)
+      StreamOps.readCmSketchStore(spark, s"$base/$name/store")
+        .as[(Int, Long, Long)].collect().toSet
+    }
+    val cmAB = feedCm("cm_ab", b1, b2)
+    val cmBA = feedCm("cm_ba", b2, b1)
+    assert(cmAB === cmBA, "CM fold diverged under batch reordering")
+    // and both equal the one-shot sketch of the whole corpus
+    assert(cmAB === TextOps.cmSketch((b1 ++ b2).toDF(), depth = 3, width = 64)
+      .as[(Int, Long, Long)].collect().toSet)
+
+    // ---- IVF append: reversed ingest order answers identically ----
+    def vec(i: Int): Array[Double] = {
+      val a = i * math.Pi / 80.0
+      Array(math.cos(a), math.sin(a), 0.01 * i, 1.0)
+    }
+    val initial = (0 until 30).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val v1 = (0 until 4).map(i => VecRow(100L + i, vec(31 + i)))
+    val v2 = (0 until 4).map(i => VecRow(200L + i, vec(40 + i)))
+    def feedIvf(name: String, first: Seq[VecRow], second: Seq[VecRow]): Seq[String] = {
+      val store = s"$base/$name/store"
+      // identical deterministic builds → identical quantizer, so the
+      // only degree of freedom between the two stores is batch order
+      Similarity.writeIvfIndex(initial, nlist = 4, path = store)
+      val mem = MemoryStream[VecRow]
+      mem.addData(first: _*)
+      StreamOps.runStreamingIvfAppend(mem.toDF(), store, s"$base/$name/ckpt")
+      mem.addData(second: _*)
+      StreamOps.runStreamingIvfAppend(mem.toDF(), store, s"$base/$name/ckpt")
+      val queries = Seq((1L, vec(33)), (2L, vec(41)), (3L, vec(5)))
+        .toDF("id", "vec")
+      val r = Similarity.ivfTopKFromStore(queries, store, k = 5, nprobe = 2)
+        .collect().map(_.toString).sorted.toSeq
+      graft.util.OpCaches.releaseAll(spark)
+      r
+    }
+    val ivfAB = feedIvf("ivf_ab", v1, v2)
+    val ivfBA = feedIvf("ivf_ba", v2, v1)
+    assert(ivfAB === ivfBA, "IVF search diverged under batch reordering")
+    // the probes must actually see the streamed ids from BOTH batches
+    assert(ivfAB.exists(_.startsWith("[1,102,")), "batch-1 ids never ranked")
+    assert(ivfAB.exists(_.startsWith("[2,201,")), "batch-2 ids never ranked")
+  }
+
   test("streaming classifier serve == batch score bit-for-bit, across " +
     "micro-batch boundaries (stateless map-only scoring)") {
     val docs = Seq(
