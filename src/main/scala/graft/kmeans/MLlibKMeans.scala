@@ -29,6 +29,11 @@ object MLlibKMeans {
       maxIter: Int = 20,
       tol: Double = 0.001,
       seed: Long = 42L): KMeansModel = {
+    // loud degenerate-input refusal (one limit-1 probe, negligible next
+    // to the fit's own passes): MLlib otherwise dies deep in a stage
+    // with an opaque task failure on an empty frame
+    require(!points.isEmpty,
+      "MLlibKMeans.fit: empty input — k-means needs at least one point")
     val vecs = points.select(
       col("pid"),
       array_to_vector(col("features")).as("features"))

@@ -22,6 +22,11 @@ object MLlibLSH {
       docs: DataFrame,
       numHashTables: Int,
       maxDistance: Double): DataFrame = {
+    // loud degenerate-input refusal (one limit-1 probe): MinHashLSH.fit
+    // otherwise throws a bare head-of-empty-array on an empty frame
+    require(!docs.isEmpty,
+      "minHashSimilarityJoin: empty input — MLlib MinHashLSH cannot " +
+        "fit on zero vectors")
     val mh = new MinHashLSH()
       .setNumHashTables(numHashTables)
       .setInputCol("features")

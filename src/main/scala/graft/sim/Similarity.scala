@@ -905,6 +905,12 @@ object Similarity {
     import spark.implicits._
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
     val n = pts.count()
+    // loud degenerate-input refusal (n is already counted — no extra
+    // job): the head() below would otherwise throw a bare
+    // NoSuchElementException on an empty corpus
+    require(n > 0,
+      "writeIvfIndexPq: empty corpus at fit time — cannot fit the " +
+        "quantizer or PQ codebooks (need >= 1 vector)")
     val d = pts.select(size(col("features"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
     val dsub = d / m

@@ -431,10 +431,24 @@ object StreamOps {
     */
   def readCmSketchStore(
       spark: SparkSession,
-      storePath: String): DataFrame =
-    spark.read.parquet(s"$storePath/batch-*")
-      .groupBy(col("row"), col("cell"))
-      .agg(sum(col("c")).as("c"))
+      storePath: String): DataFrame = {
+    // a feed that produced ZERO micro-batches (empty source) leaves no
+    // segments — the glob alone would throw path-not-found where the
+    // right answer is the empty sketch (every estimate 0), same guard
+    // as the dedup runner's zero-batch output read
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasBatches = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch-"))
+    if (!hasBatches)
+      spark.range(0).select(
+        col("id").cast("int").as("row"), col("id").as("cell"),
+        col("id").as("c"))
+    else
+      spark.read.parquet(s"$storePath/batch-*")
+        .groupBy(col("row"), col("cell"))
+        .agg(sum(col("c")).as("c"))
+  }
 
   /** One micro-batch of [[runStreamingDedupAgainstStore]] — deterministic
     * and idempotent in (batch contents, batchId, pre-batch store state):

@@ -1010,6 +1010,13 @@ object TextOps {
     */
   def writeBm25Index(docs: DataFrame, path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    // loud degenerate-input refusal (one limit-1 probe, negligible next
+    // to the index build's tokenize pass): a zero-row postings/terms
+    // partitionBy write produces NO part files, so the store would fail
+    // only later, at read time, with an opaque schema-inference error
+    require(!docs.isEmpty,
+      "writeBm25Index: empty corpus — an empty index would be " +
+        "schema-less on disk; nothing to index")
     val spark = docs.sparkSession
     // full rebuild resets to the legacy flat layout: component-wise
     // overwrite alone would leave a stale generation manifest pointing
@@ -2218,9 +2225,12 @@ object TextOps {
     val counts = graft.util.OpCaches.cache(
       classifierCounts(docs, positive, nBuckets))
     counts.write.mode("overwrite").parquet(s"$path/counts")
+    // coalesce: SUM over zero rows is NULL — an empty-corpus store must
+    // carry tp=tn=0 so the reader's empty-class require fires loudly
+    // instead of a null-row access deep in the meta read
     counts.agg(
-        sum(col("cp")).cast("long").as("tp"),
-        sum(col("cn")).cast("long").as("tn"))
+        coalesce(sum(col("cp")), lit(0L)).cast("long").as("tp"),
+        coalesce(sum(col("cn")), lit(0L)).cast("long").as("tn"))
       .withColumn("n_buckets", lit(nBuckets))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -2237,7 +2247,12 @@ object TextOps {
     val spark = docs.sparkSession
     val meta = spark.read.parquet(s"$path/meta")
       .select(col("tp"), col("tn"), col("n_buckets")).head()
-    val (tp, tn, nBuckets) = (meta.getLong(0), meta.getLong(1), meta.getInt(2))
+    // null-safe: a pre-round-18 store written from an empty corpus
+    // carries NULL totals (SUM over zero rows) — read them as 0 so the
+    // empty-class require below is the error, not a null-row access
+    val tp = if (meta.isNullAt(0)) 0L else meta.getLong(0)
+    val tn = if (meta.isNullAt(1)) 0L else meta.getLong(1)
+    val nBuckets = meta.getInt(2)
     require(tp > 0 && tn > 0,
       s"stored classifier model at $path has an empty class (tp=$tp tn=$tn)")
     val w = new Array[Double](nBuckets)
