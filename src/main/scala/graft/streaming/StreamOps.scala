@@ -373,6 +373,14 @@ object StreamOps {
     * the per-batch segment buildup back into flat files (don't compact
     * between a crashed batch and its replay, as with the signature
     * store).
+    *
+    * '''Batch-order invariant''' (unlike the dedup runner, where the
+    * earlier batch wins cross-batch near-dup ties): every vector is
+    * assigned under the FROZEN stored quantizer and the probe scans all
+    * segments, so reordering the input micro-batches permutes segment
+    * contents but cannot change any search answer — pinned against a
+    * real reversed two-batch feed in StreamingSpec's order-invariance
+    * test.
     */
   def runStreamingIvfAppend(
       stream: DataFrame,
@@ -403,6 +411,12 @@ object StreamOps {
     * No streaming state store: the sketch IS the state, and it lives in
     * the segment files — nothing to watermark, O(d·w) per segment
     * regardless of stream volume.
+    *
+    * '''Batch-order invariant''': the fold is a cell-wise SUM, so any
+    * permutation of the micro-batches yields the identical merged
+    * sketch — pinned against a real reversed two-batch feed in
+    * StreamingSpec's order-invariance test (alongside the commutativity
+    * lock in CountMinSpec).
     */
   def runStreamingCmSketch(
       stream: DataFrame,
