@@ -91,8 +91,14 @@ import org.apache.spark.sql.SparkSession
   * are excluded from that query's median (one flaky throw doesn't poison
   * a 5-pass median).
   *
-  * Emits ONE JSON line to stdout AND to BENCH.json in the working
-  * directory (sbt log prefixes make stdout unparseable on its own).
+  * Emits the full JSON line to stdout AND to BENCH.json in the working
+  * directory (sbt log prefixes make stdout unparseable on its own),
+  * then a COMPACT summary line (~1.5 KB: total, pass totals, failed,
+  * top-15 per-query medians, scale ratios + confidence) as the very
+  * LAST stdout line — the driver captures a bounded stdout tail that
+  * the full 150-query line overflows (BENCH_r17/r18 both landed
+  * "parsed": null), so the line any tail capture ends with is the one
+  * sized to survive it (round-19).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -141,6 +147,18 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // targeted quiet-probe mode (round-19, the r18 verdict's #3): an
+    // explicit SPARK_GRAFT_SCALE_QUERIES list whose EVERY key is inside
+    // SPARK_GRAFT_BENCH_ONLY runs the scale block against the subset's
+    // own base medians — the cheap way to re-read one watch-listed
+    // scale row on a quiet box (warm + min-of-N on 2 keys ≈ a minute)
+    // without paying the full 150-key suite for its denominators.
+    val scaleProbeSet: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_SCALE_QUERIES")
+        .filter(_ != "full")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(ks => ks.nonEmpty && only.exists(o => ks.forall(o.contains)))
 
     // dev-only fail injection (comma-separated names): makes the named
     // keys report failure so the `failed` plumbing is demonstrable
@@ -235,7 +253,9 @@ object Bench {
     val passCpus = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passBuf = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
     @volatile var scaleJson = ""
+    @volatile var scaleCompactJson = ""
     @volatile var latestJson = ""
+    @volatile var latestCompact = ""
     @volatile var printedFinal = false
 
     // external-noise evidence: this box shows a persistent ~2.5 loadavg
@@ -286,9 +306,12 @@ object Bench {
         if (partialTag.isEmpty) "" else s""","partial":"$partialTag""""
       // a completed run whose budget shed every timed pass reports its
       // warm-up-pass numbers honestly tagged, instead of masquerading
-      // as a median over timed passes
+      // as a median over timed passes. Only the final UNTAGGED emit
+      // carries it: intermediate snapshots already say
+      // "partial":"warmup", and double-tagging misled tail-parses of
+      // killed runs (round-19 ADVICE)
       val fallbackJson =
-        if (passes.isEmpty && warmupLastPass.nonEmpty)
+        if (partialTag.isEmpty && passes.isEmpty && warmupLastPass.nonEmpty)
           ""","fallback":"warmup""""
         else ""
       // SPARK_GRAFT_BENCH_PRIMARY=1 marks this artifact as the round's
@@ -313,8 +336,64 @@ object Bench {
         s""""loadavg_end":${loadAvgJson()},"materialize":"noop"""" +
         partialJson + fallbackJson + primaryJson + scaleJson + "}"
     }
+    // COMPACT SUMMARY LINE (round-19, the r18 verdict's #1): the
+    // driver's log capture keeps only a bounded stdout TAIL, and the
+    // full BENCH line (150 per-query medians + MADs, ~12 KB) overflows
+    // it — BENCH_r17.json and BENCH_r18.json both landed
+    // "parsed": null, so the driver artifact carried no per-query
+    // evidence two rounds running. The LAST line printed is therefore
+    // a compact, standalone-valid JSON summary — total, pass totals,
+    // failures, the TOP-15 per-query medians (by cost; "queries" keeps
+    // its name so metric-shaped parsers still find per-query numbers),
+    // and the scale ratios — sized ~1.5 KB to survive any plausible
+    // tail capture. The full line still precedes it on stdout and is
+    // always on disk as BENCH.json.
+    def buildCompact(partialTag: String): String = {
+      def r3(x: Double): Double = math.round(x * 1000) / 1000.0
+      val passes = passBuf.toSeq
+      val src: Seq[Map[String, Double]] =
+        if (passes.nonEmpty) passes
+        else if (warmupLastPass.nonEmpty) Seq(warmupLastPass)
+        else Seq.empty
+      val med = names.map { n =>
+        val ok = src.flatMap(_.get(n)).filter(_ > 0)
+        n -> (if (ok.nonEmpty) median(ok) else -1.0)
+      }.toMap
+      val failed = names.filter(n => med(n) <= 0)
+      val total = med.values.filter(_ > 0).sum
+      val passTotals = passes.map(_.values.filter(_ > 0).sum)
+      val totalMad =
+        if (passTotals.nonEmpty)
+          median(passTotals.map(t => math.abs(t - median(passTotals))))
+        else 0.0
+      val top = names.filter(med(_) > 0).sortBy(n => -med(n)).take(15)
+      val qs = top.map(n => s""""$n":${r3(med(n))}""").mkString("{", ",", "}")
+      val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+      val partialJson =
+        if (partialTag.isEmpty) "" else s""","partial":"$partialTag""""
+      val fallbackJson =
+        if (partialTag.isEmpty && passes.isEmpty && warmupLastPass.nonEmpty)
+          ""","fallback":"warmup""""
+        else ""
+      val primaryJson =
+        if (sys.env.get("SPARK_GRAFT_BENCH_PRIMARY").contains("1"))
+          ""","primary":true"""
+        else ""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""compact":true,"n_queries":${names.length},"queries_top":15,""" +
+        s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir",""" +
+        s""""runs_effective":${passes.length},""" +
+        s""""pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},""" +
+        s""""total_mad_sec":${r3(totalMad)},""" +
+        s""""warmup_totals":${warmupTotals.map(r3).mkString("[", ",", "]")},""" +
+        s""""elapsed_sec":${r3(elapsedSec)},""" +
+        s""""budget_sec":${if (budgeted) budgetSec else 0},""" +
+        s""""loadavg_end":${loadAvgJson()}""" +
+        partialJson + fallbackJson + primaryJson + scaleCompactJson + "}"
+    }
     def emit(partialTag: String): Unit = {
       latestJson = buildJson(partialTag)
+      latestCompact = buildCompact(partialTag)
       try Files.writeString(Paths.get("BENCH.json"), latestJson + "\n")
       catch { case _: Exception => () }
     }
@@ -336,11 +415,20 @@ object Bench {
         // from one that died between emits
         val killed =
           latestJson.stripSuffix("}") + ""","killed_by_signal":true}"""
+        // the compact summary goes LAST so a bounded tail capture of a
+        // killed run still ends in standalone-parseable JSON (skipped
+        // if no emit ever built one — never print a malformed fragment)
+        val killedCompact =
+          if (latestCompact.nonEmpty)
+            latestCompact.stripSuffix("}") + ""","killed_by_signal":true}"""
+          else ""
         try Files.writeString(Paths.get("BENCH.json"), killed + "\n")
         catch { case _: Exception => () }
         println(killed)
+        if (killedCompact.nonEmpty) println(killedCompact)
         System.out.flush()
         System.err.println(killed)
+        if (killedCompact.nonEmpty) System.err.println(killedCompact)
         System.err.flush()
       }
     }))
@@ -390,12 +478,21 @@ object Bench {
       "dd_near_dedup", "dd_incremental_store")
     // one 10x sweep costs ~3.5x the keys' base times (same constant as
     // the full block's estimate below)
-    def miniSweepEst(base: Map[String, Double]): Double =
-      3.5 * miniScaleSet.flatMap(base.get).filter(_ > 0).sum
+    def miniSweepEst(set: Seq[String], base: Map[String, Double]): Double =
+      3.5 * set.flatMap(base.get).filter(_ > 0).sum
     def scaleGenEstNow(): Double =
       if (Files.exists(Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10"))))
         10.0 else 120.0
+    // the budget slice the timed loop must leave for scale evidence: in
+    // a BENCH_ONLY dev run with no probe set the scale block is skipped
+    // entirely, so reserving for it would shed timed passes to protect a
+    // reserve that is never spent (round-19 ADVICE); in probe mode the
+    // reserve is the probe set's own sweep estimate
+    def scaleReserve: Double =
+      if (only.nonEmpty && scaleProbeSet.isEmpty) 0.0
+      else scaleGenEstNow() +
+        miniSweepEst(scaleProbeSet.getOrElse(miniScaleSet), warmupLastPass)
 
     // bestTotal seeds/updates ONLY from zero-failure passes: a pass
     // where one heavy query transiently throws reads artificially low,
@@ -417,7 +514,7 @@ object Bench {
     // overshooting the budget chasing a timed pass it can't afford
     var runsEffTarget = runsTarget
     def reProject(): Unit = if (budgeted) {
-      val reserve = scaleGenEstNow() + miniSweepEst(warmupLastPass)
+      val reserve = scaleReserve
       while (runsEffTarget > passBuf.length &&
              (runsEffTarget - passBuf.length) * 1.1 *
                math.max(maxPassSec, 1.0) + reserve > remainingSec)
@@ -440,9 +537,12 @@ object Bench {
         (clean && t > passOutlier * bestTotal)
       // a gate retry costs a whole pass: under budget it's affordable
       // only when the worst observed pass still fits twice over (the
-      // retry AND one accepted pass after it)
-      val retryAffordable =
-        !budgeted || remainingSec > 2.2 * math.max(maxPassSec, 1.0)
+      // retry AND one accepted pass after it) ON TOP of the scale
+      // reserve reProject() protects — otherwise a retry streak eats
+      // the mini-sweep budget and downgrades the artifact's scale
+      // evidence to skipped (round-19 ADVICE)
+      val retryAffordable = !budgeted ||
+        remainingSec > 2.2 * math.max(maxPassSec, 1.0) + scaleReserve
       if (shuttingDown) {
         // a pass cut by teardown is neither a sample nor a rejection
       } else if (contaminated && gateRetries > 0 && retryAffordable) {
@@ -594,6 +694,16 @@ object Bench {
       // (mm_phash_groups' per-row decode class + a linear posexplode)
       // are excluded for the same covered-class reason — the prune
       // discipline cuts redundant rows
+      // round-19 additions, all excluded covered-class: tx_extract_html
+      // is a zero-exchange per-row HOF projection (plan-locked) — a
+      // strictly cheaper member of mm_phash_groups' certified
+      // linear-scan class (no decode, no group agg); dd_url_dedup is a
+      // map-side projection + one group-by — dd_exact_groups' exact
+      // class (retired-equivalent: the single-exchange hash-agg shape
+      // certified across the store rows); tx_domain_cap runs the
+      // IDENTICAL perSourceRankCap engine as tx_source_cap (active in
+      // this set) with the group key swapped to the derived domain —
+      // same offsets+prune+window plan, same ratio class
       // round-16 retirement (the twice-certified policy):
       // tx_classifier_fit_score (2.04x r15b, 1.49-2.19x across the three
       // r16 artifacts — the one-token-volume-exchange class, stable) and
@@ -683,22 +793,51 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
+      // per-sweep load readings + a machine-readable confidence tag
+      // (round-19, the r18 verdict's #2): the r18 mini block shipped a
+      // single-run dd_near_dedup 34.96x taken at loadavg ~12 — pure
+      // box contamination (same-day quiet min-of-3: 5.63x) that read
+      // as a quadratic regression because nothing in the artifact
+      // said "one run, loaded box". min-of-N >= 2 is the noise guard
+      // (one-sided I/O-wait spikes rarely land on BOTH runs); a
+      // runs=1 reading is only ever an UPPER BOUND and now says so.
+      val l0 = load1()
       if (warm) set.foreach(runScale) // warm-up (JIT + footer cache)
       val times = set.map(n => n -> Seq.fill(runsN)(runScale(n)).min)
+      val l1 = load1()
+      val confidence =
+        if (runsN >= 2) s"min-of-$runsN"
+        else if (warm) "single-run-upper-bound"
+        else "single-cold-run-upper-bound"
       val sq = times.map { case (n, t) => s"\"$n\":$t" }.mkString("{", ",", "}")
+      def ratioOf(n: String, t: Double): Double =
+        if (baseMed(n) > 0) t / baseMed(n) else -1.0
       val ratios = times.map { case (n, t) =>
-        s"\"$n\":${if (baseMed(n) > 0) t / baseMed(n) else -1.0}"
+        s"\"$n\":${ratioOf(n, t)}"
       }.mkString("{", ",", "}")
       val modeJson =
         if (mode.isEmpty) "" else s""","mode":"$mode","warmed":$warm"""
+      // the compact trailing line carries the ratios (2dp), run count,
+      // confidence, and the sweep's own load window — enough for a
+      // tail-parse to judge the block's reliability without BENCH.json
+      val ratios2 = times.map { case (n, t) =>
+        s"\"$n\":${math.round(ratioOf(n, t) * 100) / 100.0}"
+      }.mkString("{", ",", "}")
+      scaleCompactJson =
+        s""","scale":{"ratio_vs_base":$ratios2,"runs":$runsN,""" +
+          s""""confidence":"$confidence","sweep_loadavg":[$l0,$l1]""" +
+          modeJson + "}"
       s""","scale":{"base":"$sfDir","replicas":$scaleReplicas,""" +
-        s""""queries":$sq,"ratio_vs_base":$ratios,"runs":$runsN""" +
+        s""""queries":$sq,"ratio_vs_base":$ratios,"runs":$runsN,""" +
+        s""""confidence":"$confidence","sweep_loadavg":[$l0,$l1]""" +
         modeJson + "}"
     } catch {
-      case e: Throwable => s""","scale":{"error":"${e.getClass.getName}"}"""
+      case e: Throwable =>
+        scaleCompactJson = s""","scale":{"error":"${e.getClass.getName}"}"""
+        s""","scale":{"error":"${e.getClass.getName}"}"""
     }
     scaleJson =
-      if (only.nonEmpty || shuttingDown) ""
+      if ((only.nonEmpty && scaleProbeSet.isEmpty) || shuttingDown) ""
       else if (affordableSweeps >= 2)
         runScaleBlock(scaleSet, warm = true,
           runsN = affordableSweeps - 1, mode = "")
@@ -706,30 +845,52 @@ object Bench {
         // full set doesn't fit — the r17 artifact degraded straight to
         // "skipped" and carried ZERO scale evidence; try the 4-key mini
         // sweep first (the timed loop reserved room for exactly this).
-        // Warm sweep when two fit; a single cold sweep is still an
+        // PREFER min-of-2 (round-19): a single-run ratio is only an
+        // upper bound on a box whose I/O-wait spikes are one-sided —
+        // when the budget funds warm + two sweeps, spend it. One warm
+        // sweep when two fit; a single cold sweep is still an
         // upper-bound ratio, honestly tagged warmed:false.
         val miniEst = miniSweepEst(
-          miniScaleSet.map(n => n -> baseMed(n)).toMap)
-        val miniAffordable =
-          ((remainingSec - scaleGenEst) / math.max(miniEst, 1.0)).toInt
-        if (miniAffordable >= 1)
-          runScaleBlock(miniScaleSet, warm = miniAffordable >= 2,
-            runsN = 1, mode = "mini")
-        else
-          s""","scale":{"skipped":"budget","remaining_sec":$remainingSec,""" +
-            s""""sweep_est_sec":$scaleSweepEst,"mini_est_sec":$miniEst}"""
+          miniScaleSet, miniScaleSet.map(n => n -> baseMed(n)).toMap)
+        if (miniEst <= 0) {
+          // every mini key failed its base pass: no usable ratio
+          // denominators, and the 1.0 s estimate floor would judge the
+          // sweep affordable with no real cost model (round-19 ADVICE)
+          scaleCompactJson = s""","scale":{"skipped":"no-base-times"}"""
+          s""","scale":{"skipped":"no-base-times"}"""
+        } else {
+          val miniAffordable =
+            ((remainingSec - scaleGenEst) / math.max(miniEst, 1.0)).toInt
+          if (miniAffordable >= 3)
+            runScaleBlock(miniScaleSet, warm = true, runsN = 2, mode = "mini")
+          else if (miniAffordable == 2)
+            runScaleBlock(miniScaleSet, warm = true, runsN = 1, mode = "mini")
+          else if (miniAffordable == 1)
+            runScaleBlock(miniScaleSet, warm = false, runsN = 1, mode = "mini")
+          else {
+            scaleCompactJson = s""","scale":{"skipped":"budget"}"""
+            s""","scale":{"skipped":"budget","remaining_sec":$remainingSec,""" +
+              s""""sweep_est_sec":$scaleSweepEst,"mini_est_sec":$miniEst}"""
+          }
+        }
       }
 
     if (!shuttingDown) {
       emit("")
       val json = latestJson
+      val compact = latestCompact
       spark.stop()
-      // LAST stdout line, after spark.stop() so no shutdown logging can
-      // trail it (Spark logs go to stderr; build.sbt's StdoutOutput
-      // strategy keeps this line free of sbt's "[info] " prefix) — the
-      // driver parses the log tail for exactly this.
+      // Printed after spark.stop() so no shutdown logging can trail
+      // them (Spark logs go to stderr; build.sbt's StdoutOutput
+      // strategy keeps these lines free of sbt's "[info] " prefix).
+      // The full line first, then the COMPACT summary as the very
+      // LAST stdout line — the driver keeps a bounded stdout tail, and
+      // the full 150-query line overflows it (BENCH_r17/r18 both
+      // parsed null), so the line a tail capture is guaranteed to end
+      // with is the one sized to fit.
       printedFinal = true
       println(json)
+      println(compact)
       System.out.flush()
     }
     // under teardown the shutdown hook owns the final print (and the

@@ -800,6 +800,35 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.scrub(col("aug")).as("clean"))
     },
 
+    // HTML main-content extraction (jusText/trafilatura shape): each
+    // document is wrapped in deterministic markup — title, script,
+    // style, a link-dominated nav, the real text plus a known prose
+    // paragraph as <p> content, a link-list, and a stopword-free
+    // footer — and the extractor must recover EXACTLY the two content
+    // paragraphs (the wrapPcmWav discipline: the wrapper is generated,
+    // so the oracle knows the expected text to the byte; every
+    // boilerplate class — short, link-dense, low-stopword — must be
+    // dropped for the hash to match). Pure per-row expressions, zero
+    // exchanges.
+    "tx_extract_html" -> { (s, dir) =>
+      val second = "it is a second paragraph of the content and it has " +
+        "the usual stopwords in it for the density gate"
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title><script>var t = \"x\";</script>" +
+          "<style>.m{color:red}</style></head><body>" +
+          "<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> " +
+          "<a href=\"/tags\">tags</a></nav><div id=\"main\"><p>"),
+        col("text"),
+        lit("</p><p>" + second + "</p></div>" +
+          "<ul><li><a href=\"/r1\">related item one</a></li>" +
+          "<li><a href=\"/r2\">related item two</a></li></ul>" +
+          "<footer>copyright examplecorp sitemap contact privacy terms" +
+          "</footer></body></html>"))
+      Graft.table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.extractHtmlMain(html).as("main_text"))
+    },
+
     // Gopher-style repetition quality signals: top-token dominance and
     // distinct-token ratio, computed distributed (explode + aggregate,
     // never a per-row O(n²) scan)
@@ -1073,6 +1102,34 @@ object SparkEntry {
     // Exact dedup groups by normalized-text md5
     "dd_exact_groups" -> { (s, dir) =>
       Dedup.exactGroups(Graft.table(s, dir, "documents"))
+    },
+
+    // URL-level dedup (the C4/RefinedWeb pre-text step): each doc gets a
+    // deterministically MESSY url — upper-case scheme and host, www.,
+    // the https default port, tracking params in varying order, a
+    // fragment — exercising every normalization rule; groups key on the
+    // canonical form (doc_id mod lcm(8,6,5)=120, so every SF has real
+    // collisions). The oracle constructs the expected canonical url
+    // from first principles (doc_id arithmetic), so the Spark side's
+    // parse+normalize chain is checked, not mirrored.
+    "dd_url_dedup" -> { (s, dir) =>
+      val d = col("doc_id")
+      val messy = concat(
+        when(d % 2 === 0, lit("HTTPS://")).otherwise(lit("https://")),
+        when(d % 3 === 0,
+          concat(lit("WWW.Dom"), (d % 8).cast("string"), lit(".Example.COM")))
+          .otherwise(
+            concat(lit("dom"), (d % 8).cast("string"), lit(".example.com"))),
+        when(d % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (d % 6).cast("string"),
+        when(d % 2 === 0,
+          concat(lit("?utm_source=feed&id="), (d % 5).cast("string"),
+            lit("&fbclid=zz")))
+          .otherwise(
+            concat(lit("?id="), (d % 5).cast("string"), lit("&utm_campaign=c"))),
+        lit("#s"), (d % 3).cast("string"))
+      Dedup.urlDedup(
+        Graft.table(s, dir, "documents").select(d, messy.as("url")))
     },
 
     // Exact 3-gram Jaccard near-dup pairs (inverted shingle index) with
@@ -2023,6 +2080,23 @@ object SparkEntry {
       TextOps.sourceCap(Graft.table(s, dir, "documents"), cap = 7)
     },
 
+    // per-DOMAIN cap: the same ranking engine keyed by the registrable
+    // domain DERIVED from a messy fixture url (mixed-case hosts, a
+    // subdomain, two public-suffix classes — '.com' and '.co.uk' — so
+    // the eTLD+1 reduction is exercised, not just a split). The oracle
+    // re-derives the domain from doc_id arithmetic.
+    "tx_domain_cap" -> { (s, dir) =>
+      val d = col("doc_id")
+      val host = when(d % 2 === 0,
+        concat(lit("a.site"), (d % 8).cast("string"), lit(".com")))
+        .otherwise(concat(lit("B.Site"), (d % 8).cast("string"), lit(".co.UK")))
+      val url = concat(lit("https://"), host, lit("/d/"), d.cast("string"))
+      TextOps.domainCap(
+        Graft.table(s, dir, "documents")
+          .select(d, col("text"), url.as("url")),
+        urlCol = "url", cap = 7)
+    },
+
     // exact-5 uniform sample per source (deterministic hash draw, same
     // offsets+prune ranking engine as the cap)
     "tx_stratified_sample" -> { (s, dir) =>
@@ -2799,6 +2873,31 @@ object SparkEntry {
          |  FROM j
          |)
          |SELECT doc_id, source, q, rnk FROM r WHERE rnk <= 7""".stripMargin,
+    // the registrable domain re-derived from the fixture's doc_id
+    // arithmetic (even ids → a.siteN.com → siteN.com; odd → B.SiteN
+    // .co.UK → siteN.co.uk), then the same ROW_NUMBER restatement of
+    // the offsets+window rank as tx_source_cap
+    "tx_domain_cap" ->
+      s"""WITH $QUALITY_CTES,
+         |dom AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0
+         |           THEN 'site' || CAST(doc_id % 8 AS VARCHAR) || '.com'
+         |           ELSE 'site' || CAST(doc_id % 8 AS VARCHAR) || '.co.uk'
+         |         END AS domain
+         |  FROM documents
+         |),
+         |j AS (
+         |  SELECT dom.doc_id, dom.domain, q.q
+         |  FROM dom JOIN q USING (doc_id)
+         |),
+         |r AS (
+         |  SELECT doc_id, domain, q,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY domain ORDER BY q DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM j
+         |)
+         |SELECT doc_id, domain, q, rnk FROM r WHERE rnk <= 7""".stripMargin,
     // the hash draw re-derived exactly (first 8 md5 hex of 'strat:<id>'
     // over 2^32 — both engines compute identical doubles), ranked per
     // source ascending, u truncated at 1e-6 for display only
@@ -3156,6 +3255,18 @@ object SparkEntry {
          |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
          |FROM scored""".stripMargin,
 
+    // the expected main text is known to the byte because the HTML
+    // wrapper is generated: the two kept <p> blocks joined by one
+    // space; every boilerplate block (title, nav, related list,
+    // footer) must be gone or the hash mismatches. The corpus text is
+    // pre-normalized (no multi-space/trim delta), so the oracle is the
+    // raw text plus the literal second paragraph.
+    "tx_extract_html" ->
+      ("""SELECT doc_id,
+         |  text || ' it is a second paragraph of the content and it has""" +
+        """ the usual stopwords in it for the density gate' AS main_text
+         |FROM documents""").stripMargin,
+
     "tx_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id,
@@ -3197,6 +3308,21 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |       COUNT(*) AS n, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the expected CANONICAL url built from first principles (the messy
+    // fixture is scheme-case + host-case + www + :443 + tracking params
+    // + fragment over these same moduli) — the Spark parse+normalize
+    // chain must land on exactly this string for the hash to match
+    "dd_url_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         'https://dom' || CAST(doc_id % 8 AS VARCHAR) ||
+        |         '.example.com/p/' || CAST(doc_id % 6 AS VARCHAR) ||
+        |         '?id=' || CAST(doc_id % 5 AS VARCHAR) AS url
+        |  FROM documents
+        |)
+        |SELECT url, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |FROM c GROUP BY 1""".stripMargin,
 
     "dd_jaccard_pairs" ->
       """WITH tk AS (

@@ -59,6 +59,25 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** URL-level duplicate groups — the C4/RefinedWeb step BEFORE any
+    * text-level dedup: a crawl's cheapest duplicate signal is the URL
+    * itself once scheme/host case, `www.`, default ports, fragments,
+    * tracking params, and param order are normalized away
+    * ([[graft.text.UrlOps.canonicalizeUrl]]). Same shape as
+    * [[exactGroups]]: canonical url → count + representative (min id),
+    * so the whole operator is one map-side normalization projection
+    * plus the group-by's own exchange — zero extra shuffles, and at
+    * 100 TB the normalization rides the scan for free.
+    *
+    * Output: (url, n, keep_id).
+    */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.text.UrlOps.canonicalizeUrl(col(urlCol)).as("url"))
+      .groupBy(col("url"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+
   // ---------------------------------------------------------------------
   // Shingles + exact n-gram Jaccard
   // ---------------------------------------------------------------------

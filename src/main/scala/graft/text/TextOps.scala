@@ -169,6 +169,82 @@ object TextOps {
       noEmail, "\\+?[0-9][ ()-]*(?:[0-9][ ()-]*){6,}[0-9]", "<PHONE>")
   }
 
+  /** Stopword set for the [[extractHtmlMain]] density gate — jusText's
+    * signal that a block is prose rather than boilerplate. Tiny and
+    * fixed on purpose (same contract as [[Stopwords]]: determinism +
+    * SQL-expressibility over linguistic accuracy).
+    */
+  private val ExtractStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "in", "and", "to", "is", "was", "with",
+    "for", "it", "on", "as", "at", "by")
+
+  /** Per-block statistics for HTML main-content extraction: the raw
+    * markup is segmented at block-level element CLOSES (script/style
+    * subtrees dropped first — their text is code, not content), and
+    * each block gets (txt, links, wc, sw): its tag-stripped
+    * whitespace-normalized text, anchor count, word count, and
+    * stopword count. Three CHAINED `transform`s so each derived value
+    * (the tag-strip, the word split) is materialized once per block —
+    * a single lambda referencing `txt` three times would re-run the
+    * regexp chain per reference (HOFs are uncached; the repo's
+    * documented inline-recomputation pitfall).
+    *
+    * Everything is per-row column expressions: at 100 TB the
+    * extraction rides the crawl scan with zero exchanges.
+    */
+  def htmlBlockStats(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val seg = regexp_replace(noStyle,
+      "</(p|div|ul|ol|li|nav|footer|header|aside|section|article|title|" +
+        "h[1-6]|table|tr|td|blockquote)>",
+      "")
+    val raw = transform(split(seg, ""), b =>
+      struct(
+        trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "),
+          "[ \\t\\n\\f\\r]+", " ")).as("txt"),
+        (size(split(b, "<a[ >]")) - 1).as("links")))
+    val withWords = transform(raw, s =>
+      struct(
+        s.getField("txt").as("txt"),
+        s.getField("links").as("links"),
+        split(s.getField("txt"), " ").as("words")))
+    transform(withWords, s =>
+      struct(
+        s.getField("txt").as("txt"),
+        s.getField("links").as("links"),
+        size(s.getField("words")).as("wc"),
+        size(filter(s.getField("words"),
+          w => lower(w).isin(ExtractStopwords: _*))).as("sw")))
+  }
+
+  /** jusText/trafilatura-shaped HTML main-content extraction — the
+    * production ingest stage in front of every text operator here:
+    * real pretraining corpora arrive as HTML, and the pipeline's
+    * quality/dedup stages assume boilerplate is already gone.
+    *
+    * A block from [[htmlBlockStats]] is KEPT iff
+    *   - `wc >= 5` (headlines/titles/snippets are not content),
+    *   - `links * 5 <= wc` (link density <= 0.2 — navigation, related
+    *     lists, and footers are link-dominated), and
+    *   - `sw * 20 >= wc` OR `wc >= 10` (stopword density >= 5%, the
+    *     jusText prose signal, with a length escape so terse technical
+    *     prose is not dropped — the synthetic corpus has documents
+    *     with zero stopwords).
+    * Both density gates are integer cross-multiplications, so the
+    * keep/drop decision is bit-deterministic (no float division).
+    * Kept blocks join in document order with single spaces.
+    */
+  def extractHtmlMain(html: Column): Column = {
+    val kept = filter(htmlBlockStats(html), s =>
+      s.getField("wc") >= 5 &&
+        s.getField("links") * 5 <= s.getField("wc") &&
+        (s.getField("sw") * 20 >= s.getField("wc") ||
+          s.getField("wc") >= 10))
+    array_join(transform(kept, s => s.getField("txt")), " ")
+  }
+
   /** Gopher-style repetition signals per document: `top_tok_ratio` (the
     * fraction of all tokens taken by the single most frequent token) and
     * `distinct_ratio` (distinct/total tokens) — the standard cheap
@@ -2455,6 +2531,30 @@ object TextOps {
       valueCol = "q", cap = cap, descending = true)
   }
 
+  /** RefinedWeb-style per-DOMAIN cap: top-`cap` docs per registrable
+    * domain by quality. The domain is DERIVED on the scan — canonical
+    * host of the doc's URL ([[UrlOps.canonicalizeUrl]] → [[UrlOps.urlHost]])
+    * reduced to eTLD+1 under the mini-PSL ([[UrlOps.registrableDomain]]),
+    * a pure map-side projection — then the [[sourceCap]] ranking engine
+    * runs with the domain as the group key: per-(range-partition,
+    * domain) offsets + prefix prune + a (_pidx, domain) window, never a
+    * per-domain single-task sort. At 100 TB a hot domain (the reason
+    * this cap exists) is exactly the key that must not serialize
+    * through one task.
+    *
+    * Output: (doc_id, domain, q, rnk) for the kept docs.
+    */
+  def domainCap(docs: DataFrame, urlCol: String, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    perSourceRankCap(
+      docs.select(
+        col("doc_id"),
+        UrlOps.registrableDomain(
+          UrlOps.urlHost(UrlOps.canonicalizeUrl(col(urlCol)))).as("domain"),
+        (floor(qualityScore(col("text")) * 1e6) / 1e6).as("q")),
+      valueCol = "q", cap = cap, descending = true, groupCol = "domain")
+  }
+
   /** Deterministic exact-k uniform sample per source (sampling WITHOUT
     * replacement): rank each source's documents by the id-pure
     * [[hashUniform]] draw and keep the k smallest — the per-stratum
@@ -2487,7 +2587,7 @@ object TextOps {
     */
   private def perSourceRankCap(
       scored: DataFrame, valueCol: String, cap: Int,
-      descending: Boolean): DataFrame = {
+      descending: Boolean, groupCol: String = "source"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = scored.sparkSession
     val ord = if (descending) col(valueCol).desc else col(valueCol).asc
@@ -2495,16 +2595,16 @@ object TextOps {
     // across jobs) and feeds both the count collect and the ranked plan
     val ranged = graft.util.OpCaches.cache(
       scored
-        .repartitionByRange(col("source"), ord, col("doc_id"))
+        .repartitionByRange(col(groupCol), ord, col("doc_id"))
         .withColumn("_pidx", spark_partition_id()))
     val counts = ranged
-      .groupBy(col("_pidx"), col("source")).agg(count(lit(1)).as("c"))
+      .groupBy(col("_pidx"), col(groupCol)).agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
       .sortBy(t => (t._2, t._1))
     if (counts.isEmpty)
       return spark.emptyDataFrame.select(
-        lit(0L).as("doc_id"), lit("").as("source"),
+        lit(0L).as("doc_id"), lit("").as(groupCol),
         lit(0.0).as(valueCol), lit(0L).as("rnk"))
     // per-source cumulative offsets keyed by "pidx:source" — kept ONLY
     // where offset < cap (the prefix prune: any later slice of that
@@ -2519,15 +2619,15 @@ object TextOps {
     val offsetCol = element_at(
       map(offsets.toSeq.flatMap { case (k, o) =>
         Seq(lit(k), lit(o)) }.toIndexedSeq: _*),
-      concat(col("_pidx").cast("string"), lit(":"), col("source")))
-    val w = Window.partitionBy(col("_pidx"), col("source"))
+      concat(col("_pidx").cast("string"), lit(":"), col(groupCol)))
+    val w = Window.partitionBy(col("_pidx"), col(groupCol))
       .orderBy(ord, col("doc_id"))
     ranged
       .withColumn("_off", offsetCol)
       .where(col("_off").isNotNull)
       .withColumn("rnk", row_number().over(w).cast("long") + col("_off"))
       .where(col("rnk") <= cap)
-      .select(col("doc_id"), col("source"), col(valueCol), col("rnk"))
+      .select(col("doc_id"), col(groupCol), col(valueCol), col("rnk"))
   }
 
   /** Full per-document text-analysis projection over a `documents`-shaped

@@ -654,6 +654,49 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cap prune not below the window:\n${plan.toString.take(1200)}"))
   }
 
+  test("tx_extract_html is map-only: zero exchanges — the extraction " +
+      "rides the scan") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = SparkEntry.queries("tx_extract_html")(spark, sf)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      s"exchange in a per-row extraction plan:\n${plan.toString.take(1200)}")
+  }
+
+  test("dd_url_dedup: the canonicalization is map-side — exactly ONE " +
+      "exchange (the group-by's own), partial+final hash aggregate") {
+    val plan = executed(SparkEntry.queries("dd_url_dedup")(spark, sf)).toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly the group-by exchange:\n${plan.take(1200)}")
+    // map-side combine: partial + final aggregates around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation:\n${plan.take(1200)}")
+    assert(!plan.contains("rangepartitioning"),
+      s"global sort in a dedup plan:\n${plan.take(1200)}")
+  }
+
+  test("domainCap: ranking windows are per-(range-partition, domain) and " +
+      "the cap prune filters BELOW the window (sourceCap's engine, " +
+      "domain-keyed)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Window => LWindow}
+    val plan = SparkEntry.queries("tx_domain_cap")(spark, sf)
+      .queryExecution.optimizedPlan
+    graft.util.OpCaches.releaseAll(spark)
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected a window for the per-partition rank")
+    // a (domain)-only partition spec would drag a hot domain — the very
+    // key the cap exists for — through one task
+    windows.foreach(w => assert(
+      w.partitionSpec.exists(_.references.exists(_.name == "_pidx")),
+      s"window not keyed by the range-partition index:\n${w.toString.take(600)}"))
+    windows.foreach(w => assert(
+      w.child.collectFirst {
+        case f: LFilter if f.condition.toString.contains("isnotnull") &&
+          f.condition.toString.contains("element_at") => f
+      }.isDefined,
+      s"cap prune not below the window:\n${plan.toString.take(1200)}"))
+  }
+
   test("intervalJoin: the keyless range join runs as a bucket EQUI join " +
       "— never a cartesian or a broadcast nested loop") {
     val plan = executed(
@@ -878,17 +921,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val s = deepPlanString(executed(
       graft.SparkEntry.queries("tx_pipeline_e2e_bpe")(spark, sf)))
     graft.util.OpCaches.releaseAll(spark)
-    // the fitted dict is O(distinct words); on this fixture AQE
-    // broadcasts it, but bpeApplyCountsWith DELIBERATELY leaves the
-    // strategy to AQE (an unconditional broadcast() hint would OOM the
-    // driver on a 100 TB corpus's vocabulary, and the shuffled
-    // fallback is documented bit-identical) — so the lock accepts any
-    // hash-keyed w-join, broadcast or the documented shuffle fallback.
-    // What the plan must NEVER contain is a per-row merge
-    // re-derivation — the aggregate-HOF assertion beneath pins that.
+    // the fitted dict is O(distinct words); bpeApplyCountsWith
+    // DELIBERATELY leaves the strategy to AQE (an unconditional
+    // broadcast() hint would OOM the driver on a 100 TB corpus's
+    // vocabulary, and the shuffled fallback is documented
+    // bit-identical) — but on THIS fixture the dict is a few KB and
+    // AQE broadcasts it, so the lock accepts only the HASH-keyed
+    // strategies (broadcast / shuffled-hash). A SortMergeJoin here
+    // would mean AQE stopped broadcasting the small dict on the bench
+    // fixture — the planning regression this lock exists to catch;
+    // the 100 TB sort-merge fallback stays documented (and
+    // result-certified via the shared oracle), it just must not be
+    // the plan the BENCH fixture runs. What the plan must NEVER
+    // contain is a per-row merge re-derivation — the aggregate-HOF
+    // assertion beneath pins that.
     assert(s.linesIterator.exists(l =>
-      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin") ||
-        l.contains("SortMergeJoin")) && l.contains("[w#")),
+      (l.contains("BroadcastHashJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("[w#")),
       s"no hash-keyed fitted-dict (w-key) join in the pack plan:\n${s.take(2000)}")
     // words join the PRE-MERGED dict: a merge fold (aggregate-HOF) in
     // the pack plan would mean a per-row re-derivation over the corpus
