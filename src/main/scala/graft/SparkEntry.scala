@@ -414,13 +414,36 @@ object SparkEntry {
   private[graft] def pipelineSurvivors(
       s: SparkSession, dir: String,
       truncate: Boolean = true): DataFrame = {
+    // stage barrier: under `truncate` (the production/bench form) the
+    // multi-consumer stage frames are LAZY localCheckpoints — LogicalRDD
+    // LEAVES, so every downstream eager action (the cap stage's offsets
+    // collect, the final survivor checkpoint, the pack) plans against a
+    // one-stage tree instead of re-analyzing the whole quality→dedup→
+    // decontamination chain per action (measured r19: ~8 s of the e2e
+    // key's 15 s wall was driver/Catalyst time, the optimization guide's
+    // §7.3 planning-bottleneck case; blocks release via OpCaches exactly
+    // like the final checkpoint's). Materialization cost is zero: the
+    // first action computes the same DAG the caches computed, in the
+    // same single job. With truncate = false (the plan-lock path) the
+    // frames stay plain caches so the RAW chain — the narrowing
+    // semi/anti joins — remains assertable end to end; at 100 TB swap
+    // local checkpoints for reliable ones exactly as documented below.
+    def stage(df: DataFrame): DataFrame =
+      if (!truncate) graft.util.OpCaches.cache(df)
+      else {
+        val c = df.localCheckpoint(false)
+        org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(c).foreach(r =>
+          graft.util.OpCaches.track(s,
+            () => { r.unpersist(blocking = false); () }))
+        c
+      }
     val docs = Graft.table(s, dir, "documents")
     val kept0 = docs.join(
       TextOps.analyze(docs).filter(col("quality") >= 0.5)
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     val kept1 = Dedup.exactDedup(kept0)
-    val kept2 = graft.util.OpCaches.cache(Dedup.nearDedup(kept1,
+    val kept2 = stage(Dedup.nearDedup(kept1,
       n = 3, numHashes = 12, bands = 4, threshold = 0.5))
     val leaks = TextOps.splitLeakage(kept2,
       n = 3, threshold = 0.4, maxShingleDf = Some(50L))
@@ -433,7 +456,7 @@ object SparkEntry {
         .when(col("split2") === "train", col("d2")).as("doc_id"))
       .filter(col("doc_id").isNotNull)
       .distinct()
-    val kept3 = graft.util.OpCaches.cache(
+    val kept3 = stage(
       kept2.join(contaminated, Seq("doc_id"), "left_anti"))
     val capped = kept3.join(
       TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
@@ -612,11 +635,18 @@ object SparkEntry {
     // (floor-truncated, not rounded: Spark HALF_UP and DuckDB decimal
     // rounding diverge on .5 boundaries — the repo-wide convention)
     "a5_percentiles" -> { (s, dir) =>
+      // ONE percentile buffer per group (array-of-percentages form):
+      // separate percentile() aggs each build and sort their own
+      // per-group value buffer; the array form builds/sorts once and
+      // reads both quantiles from it — identical values by construction
+      // (same buffer, same interpolation), ~half the agg cost (r19)
       Graft.table(s, dir, "lineitem")
         .groupBy(col("l_linenumber"))
-        .agg(
-          (floor(expr("percentile(l_extendedprice, 0.5)") * 1e6) / 1e6).as("p50"),
-          (floor(expr("percentile(l_extendedprice, 0.9)") * 1e6) / 1e6).as("p90"))
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9))").as("_p"))
+        .select(
+          col("l_linenumber"),
+          (floor(element_at(col("_p"), 1) * 1e6) / 1e6).as("p50"),
+          (floor(element_at(col("_p"), 2) * 1e6) / 1e6).as("p90"))
     },
 
     // The sketch form of a5_percentiles: exact percentile buffers EVERY
@@ -640,15 +670,26 @@ object SparkEntry {
       def f6(c: Column): Column = floor(c * 1e6) / 1e6
       def ok(a: Column, lo: Column, hi: Column): Column =
         (a >= lo && a <= hi).cast("int")
+      // array-of-percentages forms (r19): ONE exact-percentile buffer
+      // (sorted once, all four band edges read from it — was four
+      // independent buffers) and ONE GK summary (was two); per-quantile
+      // values identical by construction, so the band/ok outputs and
+      // the oracle are untouched
       Graft.table(s, dir, "lineitem")
         .groupBy(col("l_linenumber"))
         .agg(
-          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("_a50"),
-          expr("percentile_approx(l_extendedprice, 0.9, 1000)").as("_a90"),
-          expr("percentile(l_extendedprice, 0.495)").as("_lo50"),
-          expr("percentile(l_extendedprice, 0.505)").as("_hi50"),
-          expr("percentile(l_extendedprice, 0.895)").as("_lo90"),
-          expr("percentile(l_extendedprice, 0.905)").as("_hi90"))
+          expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 1000)")
+            .as("_a"),
+          expr("percentile(l_extendedprice, " +
+            "array(0.495, 0.505, 0.895, 0.905))").as("_e"))
+        .select(
+          col("l_linenumber"),
+          element_at(col("_a"), 1).as("_a50"),
+          element_at(col("_a"), 2).as("_a90"),
+          element_at(col("_e"), 1).as("_lo50"),
+          element_at(col("_e"), 2).as("_hi50"),
+          element_at(col("_e"), 3).as("_lo90"),
+          element_at(col("_e"), 4).as("_hi90"))
         .select(
           col("l_linenumber"),
           f6(col("_lo50")).as("lo50"), f6(col("_hi50")).as("hi50"),
@@ -673,10 +714,15 @@ object SparkEntry {
     "a5_percentiles_sketch" -> { (s, dir) =>
       val li = Graft.table(s, dir, "lineitem")
         .select(col("l_linenumber"), col("l_extendedprice"))
+      // ONE GK summary per group (array form; was two identical
+      // summaries built side by side) — same estimates, half the
+      // sketch-agg buffer work (r19)
       val sk = li.groupBy(col("l_linenumber"))
-        .agg(
-          expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("a50"),
-          expr("percentile_approx(l_extendedprice, 0.9, 1000)").as("a90"))
+        .agg(expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 1000)")
+          .as("_a"))
+        .select(col("l_linenumber"),
+          element_at(col("_a"), 1).as("a50"),
+          element_at(col("_a"), 2).as("a90"))
       def okRank(lt: Column, le: Column, q: Double): Column =
         (lt + 1 <= lit(q + 0.005) * col("n") &&
           le >= lit(q - 0.005) * col("n")).cast("int")

@@ -109,13 +109,21 @@ object Dedup {
       n: Int,
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh0 = docShingleKeys(docs, n)
+    val sh0raw = docShingleKeys(docs, n)
       .select(
         col("doc_id"),
         explode(col("keys")).as("k"))
       .select(
         col("doc_id"),
         (col("k.u") * MinHashP + col("k.v")).as("shash"))
+    // under a df cap the raw shingle stream is consumed TWICE (the df
+    // aggregate and the semi-join's probe side) — cache it so the
+    // tokenize+md5+combine pass (the dominant per-doc cost) runs once,
+    // not per consumer (r19; same OpCaches discipline as `sh` below)
+    val sh0 = maxShingleDf match {
+      case Some(_) => graft.util.OpCaches.cache(sh0raw)
+      case None => sh0raw
+    }
     val shUnfiltered = maxShingleDf match {
       case Some(limit) =>
         val rare = sh0.groupBy(col("shash")).agg(count(lit(1)).as("df"))

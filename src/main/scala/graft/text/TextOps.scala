@@ -377,6 +377,13 @@ object TextOps {
       threshold: Double,
       maxShingleDf: Option[Long] = None): DataFrame = {
     val pairs = graft.dedup.Dedup.jaccardPairs(docs, n, threshold, maxShingleDf)
+    // the split labels stay a JOIN against a docs-side label frame, NOT
+    // per-row assignSplit(d1/d2) expressions on the pair set: measured in
+    // r19, Catalyst pushes a deterministic filter over pair ids below the
+    // pair aggregate INTO the shingle self-join, evaluating two
+    // md5-per-row splits on every co-occurrence row (millions) instead of
+    // every verified pair — 2.8 s → 6.6 s. The joins touch only the
+    // O(pairs) rows.
     val splits = docs.select(col("doc_id"), assignSplit(col("doc_id")).as("split"))
     pairs
       .join(splits.select(col("doc_id").as("d1"), col("split").as("split1")), "d1")
@@ -2751,13 +2758,33 @@ object TextOps {
     *
     * Scale shape (the [[graft.kmeans.OpsN.initKMeansParallel]] driver-loop
     * discipline): the corpus-sized work is the ONE [[bpeWordDict]]
-    * tokenize+count pass; each of the K iterations then runs two
-    * dictionary-sized stages — an adjacent-pair count (positions exploded
-    * from the cached dict, one partial+final aggregation, 1-row collect)
-    * and a map-side [[bpeMergeStep]] projection. Each step's dictionary is
-    * cached and MATERIALIZED (count) before the previous step's cache is
-    * dropped, so lineage never re-derives k merge layers; caches are
-    * OpCaches-tracked for the harness release.
+    * tokenize+count pass; each of the K iterations then runs ONE
+    * dictionary-sized job — the adjacent-pair count (positions exploded
+    * from the dict, one partial+final aggregation, 1-row collect).
+    *
+    * r19 driver-cost rework (measured: only 2.1 s of the key's 8.2 s
+    * wall was job execution — the rest was Catalyst re-analyzing an
+    * ever-deeper merge chain, plus one cache-pinning count() job per
+    * step):
+    *   - each step's dictionary is a LAZY `localCheckpoint` — a
+    *     `LogicalRDD` LEAF, so step k's planning sees (leaf + one merge
+    *     projection + the pair-count aggregate), never k nested
+    *     [[bpeMergeStep]] layers (guide §7.3: very large plans make
+    *     planning itself the bottleneck; materializing intermediates
+    *     truncates them);
+    *   - the pair-count collect IS the job that materializes the new
+    *     checkpoint (its aggregate scans every partition), so the old
+    *     per-step count() job is gone: K+1 jobs for K merges, down
+    *     from 2K+1 (only the LAST step, whose winner nobody needs,
+    *     still pays a bare count() to pin its blocks).
+    * Superseded checkpoints release eagerly ([[graft.util.OpCaches]]
+    * can't see checkpoint blocks, so the loop unpersists them itself —
+    * the [[graft.dedup.Dedup.dupGroups]] discipline); the RETURNED
+    * dict's blocks are OpCaches-tracked for the harness release. Local
+    * checkpoints trade executor-loss recompute for the flat plan — on a
+    * multi-node 100 TB run swap `localCheckpoint` for the documented
+    * reliable-checkpoint variant, exactly as in the e2e pipeline
+    * (SparkEntry's pipelineSurvivors note).
     */
   def bpeFitWithDict(
       docs: DataFrame, merges: Int,
@@ -2765,35 +2792,49 @@ object TextOps {
     require(merges >= 1, s"merges must be >= 1, got $merges")
     val spark = docs.sparkSession
     import spark.implicits._
-    var dict = graft.util.OpCaches.cache(bpeWordDict(docs, eow))
-    dict.count()
+    // the winning adjacent pair of `d` — a full scan of `d` (the
+    // aggregate computes every input partition), so running it on a
+    // freshly lazy-checkpointed dictionary both materializes the
+    // checkpoint blocks and returns the next step's winner in one job
+    def topPair(d: DataFrame): Array[(String, String, Long)] = d
+      .filter(size(col("syms")) >= 2)
+      .select(col("cnt"), col("syms"),
+        explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
+      .select(
+        element_at(col("syms"), col("i")).as("l"),
+        element_at(col("syms"), col("i") + 1).as("r"),
+        col("cnt"))
+      .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
+      .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+      .as[(String, String, Long)].collect()
+    def releaserOf(df: DataFrame): () => Unit =
+      org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(df)
+        .map(r => () => { r.unpersist(blocking = false); () })
+        .getOrElse(() => ())
+    var dict = bpeWordDict(docs, eow).localCheckpoint(false)
+    var releaseDict = releaserOf(dict)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1L
-    var exhausted = false
-    while (step <= merges && !exhausted) {
-      val top = dict
-        .filter(size(col("syms")) >= 2)
-        .select(col("cnt"), col("syms"),
-          explode(sequence(lit(1), size(col("syms")) - 1)).as("i"))
-        .select(
-          element_at(col("syms"), col("i")).as("l"),
-          element_at(col("syms"), col("i") + 1).as("r"),
-          col("cnt"))
-        .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
-        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
-        .as[(String, String, Long)].collect()
-      if (top.isEmpty) exhausted = true
-      else {
-        val (l, r, c) = top.head
-        out += ((step, l, r, c))
-        val next = graft.util.OpCaches.cache(dict.select(
-          col("w"), bpeMergeStep(col("syms"), l, r).as("syms"), col("cnt")))
-        next.count() // pin before dropping the parent cache (lineage depth 1)
-        dict.unpersist(blocking = false)
-        dict = next
-        step += 1
-      }
+    // materializes the initial dict checkpoint AND yields step 1's winner
+    var top = topPair(dict)
+    while (step <= merges && top.nonEmpty) {
+      val (l, r, c) = top.head
+      out += ((step, l, r, c))
+      val next = dict.select(
+        col("w"), bpeMergeStep(col("syms"), l, r).as("syms"), col("cnt"))
+        .localCheckpoint(false)
+      // one job: materialize `next` + (except after the final merge,
+      // where no further winner is needed) the NEXT step's pair count
+      if (step < merges) top = topPair(next)
+      else { next.count(); top = Array.empty }
+      releaseDict() // `next` is materialized; the old step is unreachable
+      dict = next
+      releaseDict = releaserOf(next)
+      step += 1
     }
+    // the returned dict's checkpoint blocks outlive this call (callers
+    // write it to the store / apply it) — release with the harness sweep
+    graft.util.OpCaches.track(spark, releaseDict)
     (out.toSeq, dict)
   }
 
