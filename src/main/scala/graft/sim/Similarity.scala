@@ -904,14 +904,20 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
-    val n = pts.count()
+    // ONE scan for corpus count + dimensionality (was a count() job plus
+    // a separate head() job, r19); max(size) is deterministic where the
+    // old first-row probe depended on scan order — identical on the
+    // uniform-dimension inputs the require below admits
+    val statsRow = pts.agg(
+      count(lit(1)), max(size(col("features")))).head()
+    val n = statsRow.getLong(0)
     // loud degenerate-input refusal (n is already counted — no extra
-    // job): the head() below would otherwise throw a bare
-    // NoSuchElementException on an empty corpus
+    // job): the dimension read below would otherwise be a null get on
+    // an empty corpus
     require(n > 0,
       "writeIvfIndexPq: empty corpus at fit time — cannot fit the " +
         "quantizer or PQ codebooks (need >= 1 vector)")
-    val d = pts.select(size(col("features"))).head().getInt(0)
+    val d = statsRow.getInt(1)
     require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
     val dsub = d / m
     val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, Some(n))
