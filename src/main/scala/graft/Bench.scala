@@ -115,6 +115,11 @@ object Bench {
     def remainingSec: Double =
       if (budgeted) budgetSec - elapsedSec else Double.MaxValue
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // echoed in BOTH emitted JSON lines ("cpus"/"master") so the artifact
+    // itself proves the env var took — the r19 driver flagged
+    // suspect_cpus_ignored because ≈1 low/high-core ratios on the
+    // floor-dominated sf0.1 suite were indistinguishable from an ignored
+    // setting when the tail printed only "sf" (round-20, r19 verdict #2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // 5 passes (round-8): with 3, one slow pass lands IN the median for
     // half the queries; 5 gives the median a guard pass on each side, and
@@ -325,6 +330,8 @@ object Bench {
         else ""
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""query_mad":$mads,"failed":$failedJson,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"master":"local[$cpus]",""" +
+        s""""shuffle_partitions":$cpus,""" +
         s""""runs":$runs,"runs_effective":${passes.length},""" +
         s""""budget_sec":${if (budgeted) budgetSec else 0},""" +
         s""""elapsed_sec":$elapsedSec,""" +
@@ -382,6 +389,7 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
         s""""compact":true,"n_queries":${names.length},"queries_top":15,""" +
         s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir",""" +
+        s""""cpus":$cpus,"master":"local[$cpus]",""" +
         s""""runs_effective":${passes.length},""" +
         s""""pass_totals":${passTotals.map(r3).mkString("[", ",", "]")},""" +
         s""""total_mad_sec":${r3(totalMad)},""" +
@@ -457,6 +465,12 @@ object Bench {
       while (!shuttingDown && warmupTotals.length < warmupCap &&
              (warmupTotals.isEmpty || prev * 0.95 > warmupTotals.last)) {
         if (warmupTotals.nonEmpty) prev = warmupTotals.last
+        // PASS-boundary metadata drain (round-20): the Graft.table schema
+        // cache never survives a pass, so every pass re-reads the parquet
+        // footers once — within a pass keys share them, which is the
+        // legitimate session-scoped behavior the r19 verdict's #7 scoped
+        // (data caches are still drained per QUERY by runOnce)
+        Graft.dropTableSchemaCache()
         val p = names.map(n => n -> runOnce(n)).toMap
         if (!shuttingDown) {
           warmupLastPass = p
@@ -523,6 +537,7 @@ object Bench {
     reProject()
     while (passBuf.length < runsEffTarget && !shuttingDown) {
       val c0 = cpuSec()
+      Graft.dropTableSchemaCache() // pass-boundary metadata drain (r20)
       val p = names.map(n => n -> runOnce(n)).toMap
       val c = cpuSec() - c0
       val l = load1()
@@ -785,6 +800,7 @@ object Bench {
     def runScaleBlock(set: Seq[String], warm: Boolean, runsN: Int,
         mode: String): String = try {
       graft.tools.GenScaleCorpus.ensure(spark, sfDir, scaleDir, scaleReplicas)
+      Graft.dropTableSchemaCache() // block-boundary metadata drain (r20)
       def runScale(name: String): Double = {
         spark.catalog.clearCache()
         graft.util.OpCaches.releaseAll(spark)

@@ -30,12 +30,35 @@ object Graft {
     spark
   }
 
+  /** Cached inferred schema per (sfDir, table) — METADATA, never data:
+    * without it every `table()` call pays a driver-side parquet footer
+    * read for schema inference, a fixed ~20–50 ms tax on all ~150 bench
+    * keys per pass (r19 verdict #5/#7: the per-key floor). The fixture
+    * files are immutable for a given path (the [[tableStream]] schema
+    * peek has made the same assumption since round 13), and the cached
+    * schema IS the inferred one, so reads are bit-identical. The bench
+    * drains it at every PASS boundary ([[dropTableSchemaCache]]) so no
+    * pass benefits from a previous pass's metadata work — within a pass
+    * keys share footer reads exactly as a long-lived production session
+    * would (Spark's own catalog caches file listings the same way,
+    * guide §6).
+    */
+  private val tableSchemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String), org.apache.spark.sql.types.StructType]
+
+  /** Drop every cached table schema (bench pass-boundary hook). */
+  def dropTableSchemaCache(): Unit = tableSchemaCache.clear()
+
   /** Load one of the driver testdata tables from a scale-factor directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // the events fixture carries TIMESTAMP(NANOS), which Spark's reader
     // rejects unless nanos are surfaced as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = tableSchemaCache.getOrElseUpdate((sfDir, name),
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   /** The events table with `ts` normalized to a TIMESTAMP column. The

@@ -405,9 +405,11 @@ object SparkEntry {
     * 13.6 s → 0.6 s for the BPE pack at sf0.1), and the BPE key
     * consumes the frame on two join legs. Checkpoint blocks are
     * invisible to `clearCache`, so the release is OpCaches-tracked (the
-    * `Dedup.dupGroups` discipline); at 100 TB the same barrier would be
-    * a reliable checkpoint (`df.checkpoint`) so a lost executor can't
-    * drop survivor blocks mid-pipeline. `truncate = false` returns the
+    * `Dedup.dupGroups` discipline); at 100 TB set
+    * `spark.graft.checkpoint=reliable` (+ a checkpoint dir) and the same
+    * barrier becomes a reliable checkpoint ([[graft.util.Checkpoints]]),
+    * so a lost executor can't drop survivor blocks mid-pipeline.
+    * `truncate = false` returns the
     * raw chain — the plan-shape specs inspect the narrowing joins that
     * a checkpoint scan would hide.
     */
@@ -426,17 +428,11 @@ object SparkEntry {
     // first action computes the same DAG the caches computed, in the
     // same single job. With truncate = false (the plan-lock path) the
     // frames stay plain caches so the RAW chain — the narrowing
-    // semi/anti joins — remains assertable end to end; at 100 TB swap
-    // local checkpoints for reliable ones exactly as documented below.
+    // semi/anti joins — remains assertable end to end; the local-vs-
+    // reliable posture is the session knob Checkpoints.ModeKey.
     def stage(df: DataFrame): DataFrame =
       if (!truncate) graft.util.OpCaches.cache(df)
-      else {
-        val c = df.localCheckpoint(false)
-        org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(c).foreach(r =>
-          graft.util.OpCaches.track(s,
-            () => { r.unpersist(blocking = false); () }))
-        c
-      }
+      else graft.util.Checkpoints.checkpointTracked(df, eager = false)
     val docs = Graft.table(s, dir, "documents")
     val kept0 = docs.join(
       TextOps.analyze(docs).filter(col("quality") >= 0.5)
@@ -462,13 +458,7 @@ object SparkEntry {
       TextOps.sourceCap(kept3, cap = 7).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
     if (!truncate) capped
-    else {
-      val cp = capped.localCheckpoint(true)
-      org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(cp).foreach(r =>
-        graft.util.OpCaches.track(s,
-          () => { r.unpersist(blocking = false); () }))
-      cp
-    }
+    else graft.util.Checkpoints.checkpointTracked(capped, eager = true)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

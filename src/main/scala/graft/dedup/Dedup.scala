@@ -119,7 +119,14 @@ object Dedup {
     // under a df cap the raw shingle stream is consumed TWICE (the df
     // aggregate and the semi-join's probe side) — cache it so the
     // tokenize+md5+combine pass (the dominant per-doc cost) runs once,
-    // not per consumer (r19; same OpCaches discipline as `sh` below)
+    // not per consumer (r19; same OpCaches discipline as `sh` below).
+    // SIZING NOTE: sh0 and its filtered subset `sh` are persisted
+    // SIMULTANEOUSLY until the harness releaseAll — with a cap that
+    // drops little the two are near-duplicates, so peak storage is ~2x
+    // the exploded shingle stream. The return is lazy, so this function
+    // cannot safely unpersist sh0 itself (sh materializes only under the
+    // caller's action); a 100 TB caller that cares should materialize
+    // the result and then release, exactly as the harnesses do.
     val sh0 = maxShingleDf match {
       case Some(_) => graft.util.OpCaches.cache(sh0raw)
       case None => sh0raw
@@ -1247,7 +1254,9 @@ object Dedup {
     *   executor, so one lost executor mid-iteration fails a multi-hour
     *   100 TB CC job; reliable checkpoints survive executor loss at the
     *   price of a distributed-FS write per round. Same groups, same
-    *   round count — asserted in `TextDedupSpec`.
+    *   round count — asserted in `TextDedupSpec`. The session-wide
+    *   `spark.graft.checkpoint=reliable` knob ([[graft.util.Checkpoints]])
+    *   selects the same posture without the explicit param.
     */
   def dupGroups(
       pairs: DataFrame,
@@ -1264,12 +1273,17 @@ object Dedup {
       pairs: DataFrame,
       maxRounds: Int = 50,
       reliable: Boolean = false): (DataFrame, Int) = {
-    if (reliable) require(
+    // the explicit param (tests, library callers) OR the session-wide
+    // posture knob (spark.graft.checkpoint=reliable) — either selects
+    // fault-tolerant round barriers
+    val rel = reliable ||
+      graft.util.Checkpoints.reliableEnabled(pairs.sparkSession)
+    if (rel) require(
       pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable dupGroups requires sparkContext.setCheckpointDir(...) " +
         "(a fault-tolerant FS path); without it use reliable = false")
     def ckpt(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
+      if (rel) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // eager-checkpoint storage is invisible to the CacheManager, so each
     // SUPERSEDED round is released explicitly the moment the next round
     // materializes — storage stays bounded at ~2 rounds of edges instead
@@ -1277,7 +1291,7 @@ object Dedup {
     // (local mode: unpersist the blocks; reliable mode: delete the
     // round's checkpoint files)
     def releaserOf(df: DataFrame): () => Unit =
-      if (reliable)
+      if (rel)
         () => org.apache.spark.sql.graftshim.Bridge.cleanReliableCheckpoint(df)
       else
         org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(df)

@@ -368,6 +368,108 @@ case class PqLut(
     copy(child = newChild)
 }
 
+/** K-way nearest-centroid argmin as ONE expression node: for an input
+  * ARRAY<DOUBLE> row vector, the (cid, dist2) of the centroid minimizing
+  * the squared Euclidean distance, lowest-cid tiebreak. `flat` holds the
+  * k centroid vectors concatenated in ASCENDING-cid order (k·d doubles),
+  * `cids` the parallel cid list (same order), `d` the centroid width.
+  *
+  * BIT-IDENTICAL to the round-10 three-projection least/when chain it
+  * replaces (`OpsN.assignN`): each candidate distance folds
+  * left-to-right over min(d, row-dims) exactly like [[ArraySqDist]]
+  * (ragged rows fold the common prefix), the running min of doubles is
+  * the same value `least` computes in any order, and the strict `<`
+  * scan in ascending-cid order IS the when-chain's first-match-wins
+  * lowest-cid tiebreak — so every oracle-pinned consumer (Lloyd fits,
+  * IVF quantizers, semdedup cells) sees identical assignments.
+  *
+  * Why an expression and not the chain (round-20, guide §7.3): the chain
+  * builds 3 projections with k distance nodes + a k-deep when-chain that
+  * Catalyst re-analyzes and whole-stage codegen re-generates PER
+  * ITERATION of every quantizer loop — measured ~60–140 ms of driver
+  * time per iteration on the IVF keys at k=8, and the centroids CHANGE
+  * each iteration so no plan-level caching helps. Here the model rides
+  * as runtime references (the [[PqEncode]] discipline): the plan is one
+  * node, and the generated source is IDENTICAL across iterations (only
+  * the reference objects differ), so janino's compile cache hits.
+  */
+case class NearestCentroid(
+    child: Expression,
+    flat: Array[Double],
+    cids: Array[Int],
+    d: Int) extends UnaryExpression {
+  require(d > 0, s"d=$d")
+  require(cids.length >= 1, "empty centroid set")
+  require(flat.length == cids.length * d,
+    s"flat length ${flat.length} != k*d = ${cids.length * d}")
+
+  private def k: Int = cids.length
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField(
+      "cid", org.apache.spark.sql.types.IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dist2", DoubleType,
+      nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val nDims = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val n = math.min(nDims, d)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getDouble(i) - flat(c * d + i)
+        acc += diff * diff
+        i += 1
+      }
+      if (acc < bestD) { bestD = acc; best = cids(c) }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(best, bestD)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("ncFlat", flat, "double[]")
+    val cidsRef = ctx.addReferenceObj("ncCids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val nDims = ctx.freshName("nDims")
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |int $nDims = $v.numElements();
+         |int $n = java.lang.Math.min($nDims, $d);
+         |int $best = 0;
+         |double $bestD = Double.MAX_VALUE;
+         |for (int $c = 0; $c < ${k}; $c++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $diff = $v.getDouble($i) - $flatRef[$c * $d + $i];
+         |    $acc += $diff * $diff;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $cidsRef[$c]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions
+         |  .GenericInternalRow(new Object[] {
+         |    java.lang.Integer.valueOf($best),
+         |    java.lang.Double.valueOf($bestD) });
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object ArrayVector {
   /** A constant vector as ONE Literal plan node. `array(lit, lit, …)`
     * builds d Literal children under a CreateArray that the optimizer
@@ -388,6 +490,20 @@ object ArrayVector {
   /** Column API: codegen'd squared Euclidean distance. */
   def sqDist(a: Column, b: Column): Column =
     Bridge.column(ArraySqDist(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Column API: codegen'd K-way argmin (see [[NearestCentroid]]).
+    * `centroids` is (cid, vector) pairs; sorted ascending-cid here so the
+    * strict-< scan reproduces the lowest-cid tiebreak.
+    */
+  def nearestCentroid(v: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    val d = sorted.head._2.length
+    Bridge.column(NearestCentroid(
+      Bridge.expression(v),
+      sorted.flatMap(_._2).toArray,
+      sorted.map(_._1).toArray,
+      d))
+  }
 
   /** Column API: codegen'd PQ asymmetric-distance accumulate. */
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =

@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * only the wire protocol clamps it to 2-D, `comm.proto:50-53`).
   *
   * Scale notes: assignment stays a shuffle-free per-row projection (the
-  * K·d centroid literal rides in the plan, evaluated by higher-order
-  * functions); the update is a single partial+final aggregation via
-  * [[VectorMean]], so the exchange carries O(K·d·partitions) bytes. For K·d
-  * too large for a plan literal (≫10^4), use [[assignCrossJoinN]], which
-  * broadcasts the centroid table instead.
+  * K·d centroid model rides as runtime references of one codegen'd
+  * argmin node — [[graft.expr.NearestCentroid]]); the update is a single
+  * partial+final aggregation via [[VectorMean]], so the exchange carries
+  * O(K·d·partitions) bytes. For K·d too large for one per-row loop
+  * (≫10^4), use [[assignCrossJoinN]], which broadcasts the centroid
+  * table instead.
   */
 object OpsN {
 
@@ -73,52 +74,42 @@ object OpsN {
     require(
       centroids.forall(_.features.length == d),
       "assignN: ragged centroid dimensions")
-    // scalar least/when chain over codegen'd ArraySqDist — the whole K-way
-    // argmin stays inside whole-stage codegen (HOF array_min/transform are
-    // CodegenFallback). First matching `when` in ascending cid order gives
-    // the lowest-cid tiebreak.
-    val sorted = centroids.sortBy(_.cid)
-    // THREE chained projections (distances → least → argmin chain), each
-    // referencing the previous stage's ATTRIBUTES: inlining everything
-    // into one select duplicates the full least(K sqdists) tree into all
-    // K when-branches — a K²·d expression whose per-EXECUTION codegen
-    // walk (source generation + subexpression elimination runs on every
-    // doExecute, only janino compilation is cached) was ~1 s per Lloyd
-    // iteration at K=32, d=64 (round-10 probe). CollapseProject keeps the
-    // stages apart (non-cheap aliases referenced more than once don't
-    // collapse), whole-stage codegen still fuses them into one span, and
-    // the arithmetic — hence every emitted value — is unchanged.
-    // one Literal node per centroid (not d CreateArray children): leaf
-    // size sets the tree's analysis + codegen cost — see ArrayVector.vecLit
-    val dn = sorted.indices.map(i => s"__gd$i")
-    val p1 = points.select(
-      col("pid") +: col("features") +: sorted.zip(dn).map { case (c, nm) =>
-        dist2N(col("features"),
-          graft.expr.ArrayVector.vecLit(c.features.toIndexedSeq)).as(nm)
-      }: _*)
-    val best =
-      if (dn.size == 1) col(dn.head) else least(dn.map(col): _*)
-    val p2 = p1.withColumn("__gbest", best)
-    val cid = sorted.zip(dn).tail.foldLeft(
-      when(col(dn.head) === col("__gbest"), lit(sorted.head.cid))) {
-      case (acc, (c, nm)) => acc.when(col(nm) === col("__gbest"), lit(c.cid))
-    }
-    p2.select(
-      col("pid"),
+    // ONE codegen'd argmin node with the model as runtime references
+    // ([[graft.expr.NearestCentroid]]) — bit-identical values to the
+    // round-10 three-projection least/when chain (same left-to-right
+    // distance fold, same min, same lowest-cid tiebreak; asserted in
+    // NDimSpec/KMeansProperties), but the plan no longer carries k
+    // distance nodes + a k-deep when-chain that Catalyst re-analyzes and
+    // codegen re-generates per quantizer ITERATION (round-20, guide
+    // §7.3: ~60–140 ms driver per iteration at k=8 across the IVF/Lloyd
+    // family; the generated source is iteration-invariant, so janino's
+    // compile cache hits where the chain's changing literals forced a
+    // fresh source walk each time).
+    // TWO projections (argmin struct → field extraction), the second
+    // referencing the first's ATTRIBUTE: CollapseProject keeps a
+    // non-cheap alias referenced twice apart, so the argmin evaluates
+    // once per row, and whole-stage codegen still fuses the pair.
+    val nc = graft.expr.ArrayVector.nearestCentroid(
       col("features"),
-      cid.cast("int").as("cid"),
-      col("__gbest").as("dist2"))
+      centroids.map(c => (c.cid, c.features)))
+    points
+      .select(col("pid"), col("features"), nc.as("__gnc"))
+      .select(
+        col("pid"),
+        col("features"),
+        col("__gnc.cid").as("cid"),
+        col("__gnc.dist2").as("dist2"))
   }
 
-  /** [[assignN]] while the centroid set fits a literal codegen chain
-    * (k ≤ `literalBound`), [[assignCrossJoinN]] past it: the literal
-    * chain inlines k·d doubles and a k-deep when-chain into one codegen
-    * span — unbeatable at small k (zero shuffle) but compilation and
-    * plan size grow linearly with k, which is what made a corpus-sized
-    * quantizer (k ~ n/occupancy) dominate runtime before this switch.
-    * Same distances, same lowest-cid tiebreak either way; downstream
-    * aggregation order (and so last-ulp mean noise) can differ, which is
-    * why every ORACLE-checked path runs at k ≤ literalBound.
+  /** [[assignN]] while the centroid set fits the per-row argmin loop
+    * (k ≤ `literalBound`), [[assignCrossJoinN]] past it: the single-node
+    * loop is unbeatable at small k (zero shuffle, O(k·d) per row), but a
+    * corpus-sized quantizer (k ~ n/occupancy) needs the broadcast join's
+    * per-partition hash relation rather than an every-row full scan of
+    * the model. Same distances, same lowest-cid tiebreak either way;
+    * downstream aggregation order (and so last-ulp mean noise) can
+    * differ, which is why every ORACLE-checked path runs at
+    * k ≤ literalBound.
     */
   def assignNAdaptive(
       points: DataFrame,

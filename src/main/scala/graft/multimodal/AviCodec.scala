@@ -44,6 +44,20 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object AviCodec {
 
+  /** `ImageIO`'s default stream cache is a DISK temp file: every
+    * `ImageIO.read`/`write` over an in-memory byte array otherwise
+    * creates, fills, and deletes a file under `java.io.tmpdir` — a
+    * per-frame syscall tax on the MJPEG paths (~thousands of frames per
+    * query) that also serializes under concurrency (32 decode tasks
+    * contending on tmpfs metadata measured SLOWER than one, round 20).
+    * Memory-cached streams change only where the codec buffers, never
+    * the bytes it produces. JVM-global, applied once on first use of
+    * any graft codec path ([[imageIoInMemory]] is referenced by this
+    * object's encode/decode and by MultimodalOps.readImage).
+    */
+  private[multimodal] lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** 'MJPG' as the little-endian `biCompression` fourCC. */
   val MJPG: Int = 0x47504a4d
 
@@ -189,6 +203,7 @@ object AviCodec {
     require(width > 0 && height > 0, "width and height must be positive")
     require(frames.forall(_.length == width * height),
       "each frame must be exactly width*height pixels")
+    imageIoInMemory
     def encode(f: Array[Byte]): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -338,6 +353,7 @@ object AviCodec {
     */
   private def jpegLuminance(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
     try {
+      imageIoInMemory
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth != w || img.getHeight != h) null

@@ -35,6 +35,24 @@ object MultimodalOps {
     StructField("n_bytes", LongType, nullable = true)
   ))
 
+  /** Spread a CPU-heavy encode/decode input across the cluster when the
+    * SCAN under it is narrower than the available slots. The media
+    * fixtures are small-byte / heavy-CPU: a sub-128 MB parquet file is
+    * ONE scan partition under `spark.sql.files.maxPartitionBytes`, so
+    * every codec byte of the mjpeg/BMP keys ran in a single task
+    * regardless of core count (r19 scaling rows ≈ 1 at 8-vs-32 cores —
+    * guide §2.5 "input skew: partitioning by bytes underestimates
+    * per-row CPU"). Round-robin repartition to `defaultParallelism`
+    * fixes the local/bench case and is a NO-OP at scale (a 100 TB scan
+    * already carries more partitions than slots, so no exchange is
+    * added); values are per-row and every consumer aggregates
+    * order-independently, so results are partition-invariant.
+    */
+  private def decodeSpread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Build a media table from the documents fixture: the UTF-8 bytes of
     * `text` stand in for an opaque payload (deterministic, so metadata
     * queries remain oracle-checkable via `octet_length`).
@@ -89,8 +107,10 @@ object MultimodalOps {
   }
 
   private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
-    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    try {
+      AviCodec.imageIoInMemory // memory-cached streams (see AviCodec)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: java.io.IOException => null }
 
   private def luminanceHistogram(
       img: java.awt.image.BufferedImage): Array[Float] = {
@@ -351,7 +371,7 @@ object MultimodalOps {
     */
   def mjpegMediaFromDocuments(docs: DataFrame): DataFrame = {
     val enc = Encoders.row(mediaSchema)
-    docs.select(col("doc_id"), col("text"))
+    decodeSpread(docs.select(col("doc_id"), col("text")))
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = wrapMjpegAvi(r.getString(1).getBytes("UTF-8"))
@@ -618,7 +638,7 @@ object MultimodalOps {
       StructField("px", ArrayType(LongType, containsNull = false),
         nullable = false)))
     val enc = Encoders.row(outSchema)
-    media.select(col("media_id"), col("media"))
+    decodeSpread(media.select(col("media_id"), col("media")))
       .mapPartitions { rows =>
         rows.map(r => Row(r.getLong(0),
           resizeImage(r.getAs[Array[Byte]](1), w, h).toSeq))
@@ -714,7 +734,7 @@ object MultimodalOps {
       StructField("phash", LongType, nullable = false)))
     val enc = Encoders.row(outSchema)
     val hashes = graft.util.OpCaches.cache(
-      media.select(col("media_id"), col("media"))
+      decodeSpread(media.select(col("media_id"), col("media")))
         .mapPartitions { rows =>
           rows.map(r => Row(r.getLong(0), perceptualHash(r.getAs[Array[Byte]](1))))
         }(enc))

@@ -905,11 +905,13 @@ object Similarity {
     import spark.implicits._
     val pts = corpus.select(col("id").as("pid"), col("vec").as("features"))
     // ONE scan for corpus count + dimensionality (was a count() job plus
-    // a separate head() job, r19); max(size) is deterministic where the
-    // old first-row probe depended on scan order — identical on the
-    // uniform-dimension inputs the require below admits
+    // a separate head() job, r19); min(size) rides in the same buffers
+    // so RAGGED input is refused loudly here instead of surfacing later
+    // as an opaque slicing error (the old first-row probe silently
+    // depended on scan order; max alone would silently pick the widest)
     val statsRow = pts.agg(
-      count(lit(1)), max(size(col("features")))).head()
+      count(lit(1)), max(size(col("features"))), min(size(col("features"))))
+      .head()
     val n = statsRow.getLong(0)
     // loud degenerate-input refusal (n is already counted — no extra
     // job): the dimension read below would otherwise be a null get on
@@ -918,6 +920,9 @@ object Similarity {
       "writeIvfIndexPq: empty corpus at fit time — cannot fit the " +
         "quantizer or PQ codebooks (need >= 1 vector)")
     val d = statsRow.getInt(1)
+    require(statsRow.getInt(2) == d,
+      s"writeIvfIndexPq: ragged vector dimensions (min ${statsRow.getInt(2)}" +
+        s", max $d) — PQ subspace slicing needs uniform dimensionality")
     require(d % m == 0, s"dim $d not divisible into m=$m subspaces")
     val dsub = d / m
     val model = LloydN.iterateNSampled(pts, nlist, maxIter, fitSampleCap, Some(n))

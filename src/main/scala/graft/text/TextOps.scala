@@ -1168,15 +1168,19 @@ object TextOps {
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .select(col("doc_id"), size(col("t")).cast("long").as("dl"),
           col("t")))
-    // negated stats segment: zero-token docs count in n here exactly as
-    // they did at index time
-    b.agg(
-      (count(lit(1)) * -1L).as("n"),
-      (coalesce(sum(col("dl")), lit(0L)) * -1L).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode("append").parquet(s"$base/stats")
-    // negated per-term df deltas: -1 per (deleted doc, distinct term),
-    // the exact inverse of the df the doc contributed
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // tombstones touch only doc_ids (never the tokenize cache `b`), so
+    // the write overlaps the delta writes below from a Future (guide
+    // §2.6); postings rows can't be unwritten, so readers anti-join
+    val tomb = Future {
+      graft.util.Tombstones.write(docs.select(col("doc_id")), base)
+    }
+    // negated per-term df deltas FIRST — its pass computes and pins `b`,
+    // so the stats write after it is a pure cache reader (the
+    // writeBm25Segment materialization-order discipline): -1 per
+    // (deleted doc, distinct term), the exact inverse of the df the doc
+    // contributed
     b.select(col("doc_id"), explode(col("t")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)))
       .groupBy(col("term"))
@@ -1185,8 +1189,14 @@ object TextOps {
       .repartition(nBuckets, col("tbucket"))
       .write.mode("append").partitionBy("tbucket")
       .parquet(s"$base/terms")
-    // tombstones: postings rows can't be unwritten, so readers anti-join
-    graft.util.Tombstones.write(docs.select(col("doc_id")), base)
+    // negated stats segment: zero-token docs count in n here exactly as
+    // they did at index time
+    b.agg(
+      (count(lit(1)) * -1L).as("n"),
+      (coalesce(sum(col("dl")), lit(0L)) * -1L).as("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("append").parquet(s"$base/stats")
+    Await.result(tomb, scala.concurrent.duration.Duration.Inf)
     graft.util.OpCaches.releaseAll(spark)
   }
 
@@ -1210,11 +1220,16 @@ object TextOps {
         .select(col("doc_id"), col("dl"), explode(col("t")).as("term"))
         .groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).cast("double").as("tf")))
-    // stats over ALL docs (zero-token docs included — the inline path's
-    // N counts them too), exact integer sums so avgdl is engine-stable
-    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
-      .write.mode(mode).parquet(s"$path/stats")
+    // WRITE ORDER + OVERLAP (r20, guide §2.6): the postings write runs
+    // FIRST and alone — its single pass computes and pins BOTH shared
+    // caches (`postings` reads through `base`), so every later consumer
+    // is a pure cache reader and no two jobs ever race to compute the
+    // same cached partition (the materialization-order proof the r19
+    // checklist asked for). The stats and terms writes — independent
+    // cache readers landing in different store subdirectories — then
+    // run CONCURRENTLY from the caller thread + one Future: Spark's
+    // FIFO scheduler back-fills the second job's tasks into the first
+    // job's tail instead of serializing three write barriers.
     // repartition BY BUCKET before partitionBy: without it every write
     // task opens a file in every bucket directory — tasks × nBuckets
     // small files per segment, which on a 1000-executor writer is an
@@ -1226,12 +1241,22 @@ object TextOps {
       .repartition(nBuckets, col("tbucket"))
       .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$path/postings")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // stats over ALL docs (zero-token docs included — the inline path's
+    // N counts them too), exact integer sums so avgdl is engine-stable
+    val statsWrite = Future {
+      base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets))
+        .write.mode(mode).parquet(s"$path/stats")
+    }
     postings.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
       .withColumn("tbucket", pmod(hash(col("term")), lit(nBuckets)))
       .repartition(nBuckets, col("tbucket"))
       .write.mode(mode).partitionBy("tbucket")
       .parquet(s"$path/terms")
+    Await.result(statsWrite, scala.concurrent.duration.Duration.Inf)
   }
 
   /** The bucket count a store was written with, from its own stats
@@ -2374,12 +2399,19 @@ object TextOps {
   def pplBuckets(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    // cached: the range partitioning is sample-based (nondeterministic
-    // across jobs) and feeds both the count collect and the ranked plan
-    val ranged = graft.util.OpCaches.cache(
+    // stage barrier, not a plain cache (r20; the pipelineSurvivors
+    // discipline): the range partitioning is sample-based
+    // (nondeterministic across jobs) and feeds both the count collect
+    // and the ranked plan — a lazy checkpoint BOTH pins it (the cache's
+    // old job) AND plans the second consumer against a leaf instead of
+    // re-analyzing the whole lmScore tree (two shuffle joins over the
+    // cached train-bigram stream; ~0.3 s of Catalyst per extra pass,
+    // guide §7.3). The counts collect below is the materializing action.
+    val ranged = graft.util.Checkpoints.checkpointTracked(
       lmScore(docs)
         .repartitionByRange(col("lm_score"), col("doc_id"))
-        .withColumn("_pidx", spark_partition_id()))
+        .withColumn("_pidx", spark_partition_id()),
+      eager = false)
     val counts = ranged.groupBy(col("_pidx")).agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
@@ -2777,14 +2809,16 @@ object TextOps {
     *     per-step count() job is gone: K+1 jobs for K merges, down
     *     from 2K+1 (only the LAST step, whose winner nobody needs,
     *     still pays a bare count() to pin its blocks).
-    * Superseded checkpoints release eagerly ([[graft.util.OpCaches]]
-    * can't see checkpoint blocks, so the loop unpersists them itself —
-    * the [[graft.dedup.Dedup.dupGroups]] discipline); the RETURNED
-    * dict's blocks are OpCaches-tracked for the harness release. Local
-    * checkpoints trade executor-loss recompute for the flat plan — on a
-    * multi-node 100 TB run swap `localCheckpoint` for the documented
-    * reliable-checkpoint variant, exactly as in the e2e pipeline
-    * (SparkEntry's pipelineSurvivors note).
+    * Superseded checkpoints release eagerly (the
+    * [[graft.dedup.Dedup.dupGroups]] discipline), and EVERY step's
+    * releaser is also OpCaches-registered at creation so a failure
+    * mid-loop can't orphan the live step's blocks (idempotent thunks;
+    * the harness sweep is the failure-path cleanup and releases the
+    * returned dict). Local checkpoints trade executor-loss recompute
+    * for the flat plan — on a multi-node 100 TB run set
+    * `spark.graft.checkpoint=reliable` ([[graft.util.Checkpoints]]),
+    * exactly as in the e2e pipeline (SparkEntry's pipelineSurvivors
+    * note).
     */
   def bpeFitWithDict(
       docs: DataFrame, merges: Int,
@@ -2807,12 +2841,18 @@ object TextOps {
       .groupBy(col("l"), col("r")).agg(sum(col("cnt")).as("c"))
       .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
       .as[(String, String, Long)].collect()
-    def releaserOf(df: DataFrame): () => Unit =
-      org.apache.spark.sql.graftshim.Bridge.checkpointedRdd(df)
-        .map(r => () => { r.unpersist(blocking = false); () })
-        .getOrElse(() => ())
-    var dict = bpeWordDict(docs, eow).localCheckpoint(false)
-    var releaseDict = releaserOf(dict)
+    // every step's releaser is ALSO OpCaches-tracked the moment the
+    // checkpoint exists (thunks are idempotent): a job failure mid-loop
+    // otherwise orphans the live step's checkpoint blocks — invisible to
+    // both clearCache() and releaseAll — for the session lifetime
+    // (round-20 ADVICE). The in-loop release below stays: it bounds live
+    // storage at ~2 steps; the registry entry is the failure-path sweep.
+    def ckptTracked(df: DataFrame): (DataFrame, () => Unit) = {
+      val (c, release) = graft.util.Checkpoints.checkpoint(df, eager = false)
+      graft.util.OpCaches.track(spark, release)
+      (c, release)
+    }
+    var (dict, releaseDict) = ckptTracked(bpeWordDict(docs, eow))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var step = 1L
     // materializes the initial dict checkpoint AND yields step 1's winner
@@ -2820,21 +2860,20 @@ object TextOps {
     while (step <= merges && top.nonEmpty) {
       val (l, r, c) = top.head
       out += ((step, l, r, c))
-      val next = dict.select(
-        col("w"), bpeMergeStep(col("syms"), l, r).as("syms"), col("cnt"))
-        .localCheckpoint(false)
+      val (next, releaseNext) = ckptTracked(dict.select(
+        col("w"), bpeMergeStep(col("syms"), l, r).as("syms"), col("cnt")))
       // one job: materialize `next` + (except after the final merge,
       // where no further winner is needed) the NEXT step's pair count
       if (step < merges) top = topPair(next)
       else { next.count(); top = Array.empty }
       releaseDict() // `next` is materialized; the old step is unreachable
       dict = next
-      releaseDict = releaserOf(next)
+      releaseDict = releaseNext
       step += 1
     }
     // the returned dict's checkpoint blocks outlive this call (callers
-    // write it to the store / apply it) — release with the harness sweep
-    graft.util.OpCaches.track(spark, releaseDict)
+    // write it to the store / apply it) — released by the harness sweep
+    // via the registration ckptTracked already made
     (out.toSeq, dict)
   }
 

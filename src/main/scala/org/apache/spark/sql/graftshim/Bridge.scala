@@ -18,10 +18,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** The persisted RDD backing an (eager) `df.localCheckpoint()` result —
-    * None for any other plan shape. Unpersisting it frees the checkpoint
-    * blocks immediately; the frame is unrecomputable afterwards, so only
-    * release frames that are never used again.
+  /** The RDD backing a `df.localCheckpoint(...)` / `df.checkpoint(...)`
+    * result (eager or LAZY) — None for any other plan shape.
+    * Unpersisting it frees the checkpoint blocks: immediately for an
+    * eager (or already-materialized lazy) checkpoint, while a lazy
+    * checkpoint that no action has materialized yet simply never
+    * persists — the frame stays recomputable until its first action,
+    * and unrecomputable after materialization. Only release frames that
+    * are never used again (or not yet used at all).
     */
   def checkpointedRdd(df: Dataset[_]): Option[RDD[_]] =
     df.queryExecution.analyzed match {
